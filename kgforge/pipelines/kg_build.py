@@ -1,0 +1,279 @@
+"""End-to-end KG construction: extract → link → canonicalize → materialize.
+
+Ray-Data-native re-expression of the reference's
+``KnowledgeGraph.process_sources`` flow (``graphrag_sdk/kg.py:88-119`` →
+``steps/extract_data_step.py:62-92``), with FalkorDB replaced by explicit
+shuffles and deduplicated node/edge Parquet tables.
+
+Stage graph::
+
+    read_parquet(pages)                       # prune to url, warc_ts, text[, html]
+      → map_batches(extract_text_batch)       # html→text (skipped when the CC
+                                              #   corpus ships a text column)
+      → vectorized empty-text filter          # extract_data_step.py:67-74
+      → map_batches(TripleExtractor, ...)     # ACTOR POOL, model built once
+      → [checkpoint: mentions/ shard=N parquet + manifests]   (resume unit)
+      → map_batches(NormalizeMentions)        # sanitize/link/key + combiner
+      → entities: groupby(bucket) fold        # shuffle #1 (pre-aggregated)
+      → nodes parquet
+      → edges: groupby(bucket) fold           # shuffle #2
+      → semi-join src/dst against node keys   # dangling-edge drop (MATCH no-op)
+      → typed edge build → edges parquet
+
+The extraction checkpoint shards by ``hash64(url) % n_shards`` so a
+resumed run recomputes only unfinished shards regardless of input block
+layout; shard count is part of the checkpoint contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from ..functions.html_text import extract_text_batch
+from ..keys import hash64
+from ..ontology import Ontology
+from ..stages.canonicalize import (NormalizeMentions, add_bucket,
+                                   make_edge_finalizer,
+                                   make_edge_typed_builder,
+                                   make_node_finalizer)
+from ..stages.extract import TripleExtractor
+from ..stages.joins import (collect_key_set, filter_keys_in_broadcast,
+                            filter_kind, semi_join_keys)
+from ..state import checkpoint as ckpt
+
+
+@dataclass
+class KGBuildConfig:
+    ontology_json: str
+    alias_map: dict | None = None
+    use_text_column: bool = True          # CC corpus ships extracted text
+    model_factory: Callable | None = None  # ExtractorModel factory
+    max_input_chars: int = 500_000        # reference truncation (step :119)
+    extract_batch_size: int = 128
+    extract_concurrency: Any = 4          # actor-pool size (or (min, max))
+    normalize_concurrency: Any = 4
+    n_buckets: int = 32                   # canonicalize reduce partitions
+    join_strategy: str = "auto"           # auto | broadcast | join
+    join_num_partitions: int = 32
+    broadcast_limit: int = 2_000_000
+    n_shards: int = 16                    # resume granularity
+    keep_lang: list[str] | None = None    # optional language filter
+
+
+@dataclass
+class KGResult:
+    nodes: Dataset
+    edges: Dataset
+    metrics: dict = field(default_factory=dict)
+
+
+def _prepare_pages(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
+    cols = pages.schema().names
+    if cfg.keep_lang and "lang" in cols:
+        keep = set(cfg.keep_lang)
+        pages = pages.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("lang"),
+                                        pa.array(sorted(keep)))),
+            batch_format="pyarrow")
+    if cfg.use_text_column and "text" in cols:
+        keep_cols = [c for c in ("url", "warc_ts", "text") if c in cols]
+        pages = pages.select_columns(keep_cols)
+    else:
+        keep_cols = [c for c in ("url", "warc_ts", "html") if c in cols]
+        pages = pages.select_columns(keep_cols)
+        pages = pages.map_batches(extract_text_batch, batch_format="pyarrow")
+    # empty-document filter (reference extract_data_step.py:67-74)
+    return pages.map_batches(
+        lambda t: t.filter(
+            pc.and_(t.column("text").is_valid(),
+                    pc.greater(pc.utf8_length(t.column("text")), 0))),
+        batch_format="pyarrow")
+
+
+def extract_mentions(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
+    prepared = _prepare_pages(pages, cfg)
+    return prepared.map_batches(
+        TripleExtractor,
+        fn_constructor_kwargs={
+            "ontology_json": cfg.ontology_json,
+            "model_factory": cfg.model_factory,
+            "max_input_chars": cfg.max_input_chars,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=cfg.extract_concurrency)
+
+
+def _add_shard(batch: pa.Table, n_shards: int) -> pa.Table:
+    shards = [hash64(u) % n_shards for u in batch.column("url").to_pylist()]
+    return batch.append_column("shard", pa.array(shards, pa.int64()))
+
+
+def _normalized(mentions: Dataset, cfg: KGBuildConfig) -> Dataset:
+    alias_arg: Any = cfg.alias_map
+    if alias_arg and len(json.dumps(alias_arg)) > 1_000_000:
+        alias_arg = [ray.put(alias_arg)]  # broadcast big alias dictionaries
+    return mentions.map_batches(
+        NormalizeMentions,
+        fn_constructor_kwargs={"ontology_json": cfg.ontology_json,
+                               "alias_map": alias_arg},
+        batch_format="pyarrow",
+        concurrency=cfg.normalize_concurrency)
+
+
+def build_nodes(normalized: Dataset, cfg: KGBuildConfig) -> Dataset:
+    ents = filter_kind(normalized, "entity")
+    ents = ents.map_batches(
+        lambda t: add_bucket(t, "node_key", cfg.n_buckets),
+        batch_format="pyarrow")
+    return ents.groupby("bucket").map_groups(
+        make_node_finalizer(cfg.ontology_json), batch_format="pandas")
+
+
+def build_edges(normalized: Dataset, nodes: Dataset, cfg: KGBuildConfig,
+                node_count: int | None = None) -> Dataset:
+    rels = filter_kind(normalized, "relation")
+
+    def with_edge_key(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_pylist()
+        sk = t.column("src_key").to_pylist()
+        dk = t.column("dst_key").to_pylist()
+        keys = [f"{l}\x1f{s}\x1f{d}" for l, s, d in zip(labels, sk, dk)]
+        t = t.append_column("edge_key", pa.array(keys, pa.string()))
+        return add_bucket(t, "edge_key", cfg.n_buckets)
+
+    rels = rels.map_batches(with_edge_key, batch_format="pyarrow")
+    folded = rels.groupby("bucket").map_groups(
+        make_edge_finalizer(cfg.ontology_json), batch_format="pandas")
+
+    node_keys = nodes.select_columns(["node_key"])
+    strategy = cfg.join_strategy
+    if strategy == "auto":
+        n = node_count if node_count is not None else node_keys.count()
+        strategy = "broadcast" if n <= cfg.broadcast_limit else "join"
+    if strategy == "broadcast":
+        key_ref = ray.put(collect_key_set(node_keys, "node_key"))
+        folded = filter_keys_in_broadcast(folded, key_ref,
+                                          ["src_key", "dst_key"])
+    else:
+        folded = semi_join_keys(folded, node_keys, "src_key", "node_key",
+                                strategy="join",
+                                num_partitions=cfg.join_num_partitions)
+        folded = semi_join_keys(folded, node_keys, "dst_key", "node_key",
+                                strategy="join",
+                                num_partitions=cfg.join_num_partitions)
+    return folded.map_batches(make_edge_typed_builder(cfg.ontology_json),
+                              batch_format="pandas")
+
+
+def build_kg(pages: Dataset, cfg: KGBuildConfig,
+             output_dir: str | None = None, resume: bool = False) -> KGResult:
+    """Run the full pipeline.
+
+    With ``output_dir``, every phase checkpoints to partitioned Parquet
+    with per-partition manifests and the run is resumable; without it the
+    intermediate mention table is pinned in the object store (small
+    relative to pages) so the entity/edge branches don't re-extract.
+    """
+    t0 = time.time()
+    metrics: dict[str, Any] = {"config": {
+        k: v for k, v in vars(cfg).items()
+        if isinstance(v, (int, str, bool, list, type(None)))}}
+
+    if output_dir:
+        mentions = _mentions_checkpointed(pages, cfg, output_dir, resume,
+                                          metrics)
+    else:
+        mentions = extract_mentions(pages, cfg).materialize()
+    t1 = time.time()
+    metrics["extract_sec"] = t1 - t0
+    metrics["mentions"] = mentions.count()
+
+    normalized = _normalized(mentions, cfg).materialize()
+    t2 = time.time()
+    metrics["normalize_sec"] = t2 - t1
+
+    nodes = build_nodes(normalized, cfg).materialize()
+    node_count = nodes.count()
+    t3 = time.time()
+    metrics["nodes"] = node_count
+    metrics["canonicalize_nodes_sec"] = t3 - t2
+
+    edges = build_edges(normalized, nodes, cfg, node_count=node_count)
+    if output_dir:
+        nodes_dir = os.path.join(output_dir, "nodes")
+        edges_dir = os.path.join(output_dir, "edges")
+        # final tables are derived wholesale from the mentions checkpoint:
+        # always rewritten (write_parquet appends uuid-named files, so a
+        # stale dir would duplicate rows on a resumed run)
+        for d in (nodes_dir, edges_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        nodes.write_parquet(nodes_dir)
+        edges.write_parquet(edges_dir)
+        edges = ray.data.read_parquet(edges_dir)
+        metrics["edges"] = edges.count()
+        t4 = time.time()
+        metrics["edges_sec"] = t4 - t3
+        metrics["total_sec"] = t4 - t0
+        with open(os.path.join(output_dir, "ontology.json"), "w") as fh:
+            fh.write(cfg.ontology_json)
+        with open(os.path.join(output_dir, "metrics.json"), "w") as fh:
+            json.dump(metrics, fh, indent=2, default=str)
+    else:
+        edges = edges.materialize()
+        metrics["edges"] = edges.count()
+        t4 = time.time()
+        metrics["edges_sec"] = t4 - t3
+        metrics["total_sec"] = t4 - t0
+    return KGResult(nodes, edges, metrics)
+
+
+def _mentions_checkpointed(pages: Dataset, cfg: KGBuildConfig,
+                           output_dir: str, resume: bool,
+                           metrics: dict) -> Dataset:
+    """Extraction with shard-level checkpoint/resume.
+
+    Shard = ``hash64(url) % n_shards``; finished shards (valid manifest)
+    are skipped entirely — their pages never reach the extractor."""
+    mentions_dir = os.path.join(output_dir, "mentions")
+    os.makedirs(mentions_dir, exist_ok=True)
+    done = ckpt.completed_shards(mentions_dir) if resume else set()
+    if not resume:
+        ckpt.clear_incomplete_shards(mentions_dir, set())
+    else:
+        ckpt.clear_incomplete_shards(mentions_dir, done)
+    missing = [s for s in range(cfg.n_shards) if s not in done]
+    metrics["resume_skipped_shards"] = sorted(done)
+    metrics["resume_recomputed_shards"] = missing
+
+    if missing:
+        todo = set(missing)
+        filtered = pages.map_batches(
+            lambda t: _filter_shards(t, cfg.n_shards, todo),
+            batch_format="pyarrow")
+        mentions = extract_mentions(filtered, cfg)
+        mentions = mentions.map_batches(
+            lambda t: _add_shard(t, cfg.n_shards), batch_format="pyarrow")
+        mentions.write_parquet(mentions_dir, partition_cols=["shard"])
+        for s in missing:
+            ckpt.write_shard_manifest(mentions_dir, s,
+                                      extra={"n_shards": cfg.n_shards})
+    return ray.data.read_parquet(mentions_dir)
+
+
+def _filter_shards(batch: pa.Table, n_shards: int, todo: set[int]) -> pa.Table:
+    mask = pa.array([hash64(u) % n_shards in todo
+                     for u in batch.column("url").to_pylist()])
+    return batch.filter(mask)

@@ -1,0 +1,353 @@
+"""Normalize → canonicalize → materialize stages.
+
+Distributed re-expression of the reference's FalkorDB upsert semantics
+(``graphrag_sdk/steps/extract_data_step.py:195-269``):
+
+- node identity = rendered unique-attr MERGE text (see ``kgforge.keys``),
+- ``SET n += {non-unique attrs}`` = per-attribute last-writer-wins,
+  made DETERMINISTIC by ordering writes on ``(warc_ts, url, seq)``
+  (the reference's order is thread-race nondeterministic, SURVEY §4),
+- edge identity = (label, src node, dst node); endpoints resolved
+  against the final node set, dangling edges silently dropped
+  (Cypher ``MATCH`` no-op semantics, ``extract_data_step.py:266``).
+
+Scale design (the whole point):
+
+1. **Combiner**: each batch pre-aggregates mentions per key inside
+   ``map_batches`` — the shuffle then moves at most one row per
+   (key, block), which also neutralizes Zipfian head-entity skew.
+2. **Bucketed final fold**: ``groupby("bucket")`` over
+   ``bucket = hash64(key) % n_buckets`` — one ``map_groups`` call per
+   bucket (not per key), so the per-group Python overhead is O(buckets),
+   and bucket count scales with the cluster, not the key count.
+3. **Endpoint semi-join**: broadcast the node-key set (``ray.put`` once)
+   when the node table is small, else a hash-partitioned
+   ``Dataset.join`` — both exact, chosen by ``join_strategy``.
+
+The attribute-merge state is associative/commutative: per attribute keep
+``(max (warc_ts, url, seq), value)``; merging partials takes the larger
+order tuple, so two-phase aggregation equals the sequential reference
+fold.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..keys import (KEY_SEP, coerce_value, hash64, node_key,
+                    non_unique_attr_dict, render_properties,
+                    unique_attr_dict)
+from ..ontology import Entity, Ontology
+
+NORMALIZED_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("label", pa.string()),
+    ("node_key", pa.string()),      # entities: identity; relations: null
+    ("unique_json", pa.string()),   # raw unique-attr dict (entities)
+    ("state_json", pa.string()),    # attr -> [[ts,url,seq], value]
+    ("src_key", pa.string()),
+    ("dst_key", pa.string()),
+    ("n_mentions", pa.int64()),
+])
+
+
+def _resolve_aliases(label: str, attrs: dict, alias_map: dict | None) -> dict:
+    """Entity-linking candidate resolution: alias surface form →
+    canonical value, per (label, attribute).  The alias dictionary is
+    broadcast once per actor (``ray.put`` on the driver)."""
+    if not alias_map:
+        return attrs
+    per_attr = alias_map.get(label)
+    if not per_attr:
+        return attrs
+    out = dict(attrs)
+    for name, table in per_attr.items():
+        v = out.get(name)
+        if isinstance(v, str) and v in table:
+            out[name] = table[v]
+    return out
+
+
+def _state(order: tuple, attrs: dict) -> dict:
+    return {k: [list(order), v] for k, v in attrs.items()}
+
+
+def _merge_state(into: dict, other: dict) -> dict:
+    for k, (order, val) in other.items():
+        cur = into.get(k)
+        if cur is None or tuple(order) >= tuple(cur[0]):
+            into[k] = [order, val]
+    return into
+
+
+class NormalizeMentions:
+    """Stateless-per-batch (actor-pooled for setup amortization) stage:
+    raw mention rows → normalized identity rows, pre-aggregated per key
+    within the batch (the combiner)."""
+
+    def __init__(self, ontology_json: str, alias_map: Any = None):
+        self.ontology = Ontology.from_json(ontology_json)
+        if isinstance(alias_map, list):  # [ObjectRef] wrapper
+            alias_map = ray.get(alias_map[0])
+        self.alias_map = alias_map
+        self._entities = {e.label: e for e in self.ontology.entities}
+        self._relation_labels = {r.label for r in self.ontology.relations}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        ts_col = batch.column("warc_ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = ts_col.cast(pa.int64())
+        tss = ts_col.to_pylist()
+        seqs = batch.column("seq").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        labels = batch.column("label").to_pylist()
+        attrs_l = batch.column("attrs").to_pylist()
+        src_l = batch.column("src_label").to_pylist()
+        src_a = batch.column("src_attrs").to_pylist()
+        dst_l = batch.column("dst_label").to_pylist()
+        dst_a = batch.column("dst_attrs").to_pylist()
+
+        # combiner accumulators: key -> partial row
+        ent_acc: dict[str, list] = {}
+        rel_acc: dict[str, list] = {}
+
+        for i in range(len(urls)):
+            order = (tss[i], urls[i], seqs[i])
+            label = labels[i]
+            if kinds[i] == "entity":
+                entity = self._entities.get(label)
+                if entity is None:
+                    continue  # drop-unknown (extract_data_step.py:197-200)
+                attrs = _resolve_aliases(label, json.loads(attrs_l[i]),
+                                         self.alias_map)
+                uniq = unique_attr_dict(entity, attrs)
+                key = label + KEY_SEP + render_properties(uniq)
+                nonuniq = non_unique_attr_dict(entity, attrs)
+                cur = ent_acc.get(key)
+                if cur is None:
+                    ent_acc[key] = [label, json.dumps(uniq),
+                                    _state(order, nonuniq), 1]
+                else:
+                    _merge_state(cur[2], _state(order, nonuniq))
+                    cur[3] += 1
+            else:
+                if label not in self._relation_labels:
+                    continue  # drop-unknown (extract_data_step.py:228-231)
+                skey = self._endpoint_key(src_l[i], src_a[i])
+                dkey = self._endpoint_key(dst_l[i], dst_a[i])
+                if skey is None or dkey is None:
+                    continue  # unknown endpoint label: MATCH can never hit
+                ekey = label + KEY_SEP + skey + KEY_SEP + dkey
+                # edge attrs pass through UNFILTERED (the reference SET r +=
+                # takes args["attributes"] as-is, extract_data_step.py:250-266)
+                attrs = json.loads(attrs_l[i])
+                cur = rel_acc.get(ekey)
+                if cur is None:
+                    rel_acc[ekey] = [label, skey, dkey, _state(order, attrs), 1]
+                else:
+                    _merge_state(cur[3], _state(order, attrs))
+                    cur[4] += 1
+
+        kind, label_o, nkey, uniq_o, state_o, sk_o, dk_o, nm = \
+            [], [], [], [], [], [], [], []
+        for key, (label, uniq, state, n) in ent_acc.items():
+            kind.append("entity"); label_o.append(label); nkey.append(key)
+            uniq_o.append(uniq); state_o.append(json.dumps(state))
+            sk_o.append(None); dk_o.append(None); nm.append(n)
+        for ekey, (label, skey, dkey, state, n) in rel_acc.items():
+            kind.append("relation"); label_o.append(label); nkey.append(None)
+            uniq_o.append(None); state_o.append(json.dumps(state))
+            sk_o.append(skey); dk_o.append(dkey); nm.append(n)
+        return pa.Table.from_arrays(
+            [pa.array(kind, pa.string()), pa.array(label_o, pa.string()),
+             pa.array(nkey, pa.string()), pa.array(uniq_o, pa.string()),
+             pa.array(state_o, pa.string()), pa.array(sk_o, pa.string()),
+             pa.array(dk_o, pa.string()), pa.array(nm, pa.int64())],
+            schema=NORMALIZED_SCHEMA)
+
+    def _endpoint_key(self, label: str, attrs_json: str) -> str | None:
+        """Endpoint identity for the edge semi-join.
+
+        The reference MATCHes endpoints on whatever attributes the payload
+        provides (``extract_data_step.py:232-248``); extraction is prompted
+        to provide the unique attributes, so we canonicalize with the same
+        schema-ordered unique-attr rendering used for node identity
+        (missing values default to ``""``, matching what MERGE stored).
+        """
+        entity = self._entities.get(label)
+        if entity is None:
+            return None
+        attrs = _resolve_aliases(label, json.loads(attrs_json), self.alias_map)
+        return node_key(label, entity, attrs)
+
+
+# ---------------------------------------------------------------------------
+# final folds (bucketed groupby)
+# ---------------------------------------------------------------------------
+
+
+def add_bucket(batch: pa.Table, col: str, n_buckets: int) -> pa.Table:
+    keys = batch.column(col).to_pylist()
+    buckets = np.fromiter((hash64(k) % n_buckets for k in keys),
+                          dtype=np.int64, count=len(keys))
+    return batch.append_column("bucket", pa.array(buckets, pa.int64()))
+
+
+def _unified_attr_schema(parts: list[tuple[str, list]]) -> dict[str, str]:
+    """attr name -> type over a set of (label, attributes) definitions;
+    duplicate names must agree on type."""
+    out: dict[str, str] = {}
+    for label, attrs in parts:
+        for a in attrs:
+            if a.name in out and out[a.name] != a.type:
+                raise ValueError(
+                    f"attribute {a.name!r} has conflicting types "
+                    f"{out[a.name]} vs {a.type} (label {label})")
+            out.setdefault(a.name, a.type)
+    return out
+
+
+def node_attr_schema(ontology: Ontology) -> dict[str, str]:
+    return _unified_attr_schema([(e.label, e.attributes)
+                                 for e in ontology.entities])
+
+
+def edge_attr_schema(ontology: Ontology) -> dict[str, str]:
+    return _unified_attr_schema([(r.label, r.attributes)
+                                 for r in ontology.relations])
+
+
+def _fold_group(df: pd.DataFrame, key_col: str):
+    """Merge partial rows per key within one bucket; returns
+    {key: (label, uniq_json_or_None, src_key, dst_key, state, n)}."""
+    acc: dict[str, list] = {}
+    for row in df.itertuples(index=False):
+        key = getattr(row, key_col)
+        state = json.loads(row.state_json)
+        cur = acc.get(key)
+        if cur is None:
+            acc[key] = [row.label, getattr(row, "unique_json", None),
+                        getattr(row, "src_key", None),
+                        getattr(row, "dst_key", None),
+                        state, int(row.n_mentions)]
+        else:
+            _merge_state(cur[4], state)
+            cur[5] += int(row.n_mentions)
+    return acc
+
+
+def make_node_finalizer(ontology_json: str):
+    """Per-bucket fold → typed node rows.
+
+    Output: ``node_id (uint64), node_key, label, <attr cols typed per
+    ontology: string/double/bool>, n_mentions``.  Unique attrs come from
+    the identity; non-unique attrs from the LWW state.
+    """
+    ontology = Ontology.from_json(ontology_json)
+    schema = node_attr_schema(ontology)
+    attr_names = list(schema)
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        acc = _fold_group(df, "node_key")
+        keys = sorted(acc)  # deterministic output order within bucket
+        data: dict[str, list] = {n: [] for n in attr_names}
+        labels, n_mentions, node_ids = [], [], []
+        for key in keys:
+            label, uniq_json, _, _, state, n = acc[key]
+            uniq = json.loads(uniq_json)
+            values = {k: v for k, (_o, v) in state.items()}
+            values.update(uniq)  # unique attrs are identity — never overwritten
+            for name in attr_names:
+                data[name].append(coerce_value(values.get(name), schema[name]))
+            labels.append(label)
+            n_mentions.append(n)
+            node_ids.append(hash64(key))
+        arrays = [pa.array(node_ids, pa.uint64()),
+                  pa.array(keys, pa.string()),
+                  pa.array(labels, pa.string())]
+        names = ["node_id", "node_key", "label"]
+        for name in attr_names:
+            arrays.append(_typed_array(data[name], schema[name]))
+            names.append(name)
+        arrays.append(pa.array(n_mentions, pa.int64()))
+        names.append("n_mentions")
+        # explicit Arrow schema: blocks where an attr is all-null must not
+        # degrade to a null-typed column (parquet files would disagree)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return finalize
+
+
+def make_edge_finalizer(ontology_json: str):
+    """Per-bucket fold → deduped edge rows (pre-join).
+
+    Output: ``edge_key, label, src_key, dst_key, state_json (folded),
+    n_mentions`` — endpoint ids and typed attrs are attached after the
+    endpoint semi-join (``attach_edge_ids_and_attrs``)."""
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        acc = _fold_group(df, "edge_key")
+        keys = sorted(acc)
+        rows = {"edge_key": [], "label": [], "src_key": [], "dst_key": [],
+                "state_json": [], "n_mentions": []}
+        for key in keys:
+            label, _u, skey, dkey, state, n = acc[key]
+            rows["edge_key"].append(key)
+            rows["label"].append(label)
+            rows["src_key"].append(skey)
+            rows["dst_key"].append(dkey)
+            rows["state_json"].append(json.dumps(state))
+            rows["n_mentions"].append(n)
+        out = pd.DataFrame(rows)
+        out["n_mentions"] = out["n_mentions"].astype(np.int64)
+        return out
+
+    return finalize
+
+
+def _typed_array(values: list, attr_type: str) -> pa.Array:
+    if attr_type == "number":
+        return pa.array(values, pa.float64())
+    if attr_type == "boolean":
+        return pa.array(values, pa.bool_())
+    return pa.array(values, pa.string())
+
+
+def make_edge_typed_builder(ontology_json: str):
+    """Post-join ``map_batches`` body: folded edge rows → typed edge table
+    ``edge_id, label, src_id, dst_id, <attr cols>, n_mentions``.
+
+    Attributes not declared on any ontology relation are dropped here (the
+    Arrow sink is typed; the reference's schemaless DB kept them — see
+    docstring deviation note in kgforge/keys.py)."""
+    ontology = Ontology.from_json(ontology_json)
+    schema = edge_attr_schema(ontology)
+    attr_names = list(schema)
+
+    def build(df: pd.DataFrame) -> pa.Table:
+        arrays = [
+            pa.array([hash64(k) for k in df["edge_key"]], pa.uint64()),
+            pa.array(df["label"].tolist(), pa.string()),
+            pa.array([hash64(k) for k in df["src_key"]], pa.uint64()),
+            pa.array([hash64(k) for k in df["dst_key"]], pa.uint64()),
+        ]
+        names = ["edge_id", "label", "src_id", "dst_id"]
+        states = [json.loads(s) for s in df["state_json"]]
+        for name in attr_names:
+            vals = [coerce_value(st[name][1], schema[name])
+                    if name in st else None for st in states]
+            arrays.append(_typed_array(vals, schema[name]))
+            names.append(name)
+        arrays.append(pa.array(df["n_mentions"].tolist(), pa.int64()))
+        names.append("n_mentions")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return build

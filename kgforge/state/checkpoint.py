@@ -1,0 +1,79 @@
+"""Partition-level checkpoint manifests.
+
+The reference has no checkpointing (re-running re-pays every LLM call;
+SURVEY §4).  Here every expensive phase writes partitioned Parquet plus a
+per-partition ``_manifest.json`` recording row counts, file inventory and
+lineage; a resumed run skips partitions whose manifest validates, so only
+un-finished shards re-pay extraction.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+import pyarrow.dataset as pads
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def shard_dir(root: str, shard: int) -> str:
+    return os.path.join(root, f"shard={shard}")
+
+
+def write_shard_manifest(root: str, shard: int, extra: dict | None = None) -> dict:
+    """Scan the written shard partition (parquet footers only) and commit
+    its manifest — the atomic 'this shard is done' marker."""
+    d = shard_dir(root, shard)
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    rows = 0
+    for f in files:
+        rows += pads.dataset(f).count_rows()
+    manifest = {
+        "shard": shard,
+        "rows": rows,
+        "files": [os.path.basename(f) for f in files],
+        "written_at": time.time(),
+        **(extra or {}),
+    }
+    tmp = os.path.join(d, MANIFEST_NAME + ".tmp")
+    os.makedirs(d, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(d, MANIFEST_NAME))
+    return manifest
+
+
+def completed_shards(root: str) -> set[int]:
+    """Shards whose manifest exists and matches the files on disk."""
+    done: set[int] = set()
+    for path in glob.glob(os.path.join(root, "shard=*", MANIFEST_NAME)):
+        try:
+            with open(path) as fh:
+                m = json.load(fh)
+            d = os.path.dirname(path)
+            files = sorted(os.path.basename(f)
+                           for f in glob.glob(os.path.join(d, "*.parquet")))
+            if files == sorted(m.get("files", [])):
+                done.add(int(m["shard"]))
+        except (OSError, ValueError, KeyError):
+            continue
+    return done
+
+
+def clear_incomplete_shards(root: str, done: set[int]) -> list[int]:
+    """Delete partition dirs without a valid manifest (partial writes from
+    a killed run) so recomputation can't duplicate rows."""
+    cleared = []
+    for d in glob.glob(os.path.join(root, "shard=*")):
+        try:
+            shard = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if shard not in done:
+            shutil.rmtree(d, ignore_errors=True)
+            cleared.append(shard)
+    return cleared
