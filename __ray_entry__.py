@@ -1,44 +1,185 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the kgforge Ray-Data KG-construction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extract→link→canonicalize→materialize
+pipeline on a deterministic CC-style page corpus sized to sf0.001.
+``queries()`` exposes every implemented operator/pipeline (SURVEY.md §2 +
+training-data operators); ``oracle_sql()`` gives DuckDB equivalents with
+matching column names for everything SQL-expressible (KG pipeline / LSH /
+language-ID entries are rows-only by nature — their exactness gate is the
+ReferenceSim P/R pytest suite).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the DRIVER before importing this module; nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kgforge.pipelines import queries as Q  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: returns the canonicalized node table."""
+    return Q.kg_nodes("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # KG construction core (synthesized input_hint pages corpus)
+        "kg_nodes": Q.kg_nodes,
+        "kg_edges": Q.kg_edges,
+        "kg_mentions": Q.kg_mentions,
+        "kg_ontology_detect": Q.kg_ontology_detect,
+        "html_text_pages": Q.html_text_pages,
+        # extract/canonicalize/join semantics, SQL-oracled on testdata
+        "extract_entities_regex": Q.extract_entities_regex,
+        "canonicalize_lww_events": Q.canonicalize_lww_events,
+        "edge_semijoin_events": Q.edge_semijoin_events,
+        # dedup suite
+        "dedup_exact_docs": Q.dedup_exact_docs,
+        "dedup_minhash_docs": Q.dedup_minhash_docs,
+        "dedup_simhash_docs": Q.dedup_simhash_docs,
+        "dedup_ngram_docs": Q.dedup_ngram_docs,
+        "dedup_embedding_pairs": Q.dedup_embedding_pairs,
+        # similarity search
+        "ann_topk_cosine": Q.ann_topk_cosine,
+        "ann_ivf_topk": Q.ann_ivf_topk,
+        # text analysis
+        "token_stats_docs": Q.token_stats_docs,
+        "quality_stats_docs": Q.quality_stats_docs,
+        "langid_docs": Q.langid_docs,
+        "fingerprint_docs": Q.fingerprint_docs,
+        "lang_distribution": Q.lang_distribution,
+        # relational machinery (combiner aggregate, broadcast join,
+        # sort/limit, windowed aggregate)
+        "tpch_q1_pricing": Q.tpch_q1_pricing,
+        "top_spenders": Q.top_spenders,
+        "events_hourly_window": Q.events_hourly_window,
+        # multimodal plumbing
+        "multimodal_decode": Q.multimodal_decode,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPWORDS_SQL = "'" + "','".join(sorted(
+    ["the", "and", "of", "a", "to", "in", "is", "it", "that", "for"])) + "'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_entities_regex": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                        '\b(spark|table|join|merge|filter)\b')) AS entity
+              FROM documents)
+            SELECT entity,
+                   count(*) AS n_mentions,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM m GROUP BY entity ORDER BY entity
+        """,
+        "canonicalize_lww_events": """
+            SELECT user_id,
+                   event_type AS last_event_type,
+                   CAST(round(value * 100) AS BIGINT) AS last_value_cents,
+                   cnt AS n_events
+            FROM (SELECT user_id, event_type, value,
+                         count(*) OVER (PARTITION BY user_id) AS cnt,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "edge_semijoin_events": """
+            SELECT e.user_id,
+                   count(*) AS n_events,
+                   sum(CAST(round(e.value * 100) AS BIGINT)) AS total_cents
+            FROM events e
+            JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON e.user_id = c.c_custkey
+            GROUP BY e.user_id ORDER BY e.user_id
+        """,
+        "dedup_exact_docs": """
+            SELECT min(doc_id) AS doc_id,
+                   count(*) AS n_dups,
+                   text
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "ann_topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 4)
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS score
+            FROM embeddings e CROSS JOIN q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                         e.vec_id) <= 10
+            ORDER BY query_id, score DESC, vec_id
+        """,
+        "token_stats_docs": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(length(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                       AS n_tokens_bpe,
+                   CAST(length(text) AS BIGINT) AS n_chars_text
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_stats_docs": rf"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)
+                       AS n_punct,
+                   CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT)
+                       AS n_upper,
+                   CAST(length(regexp_extract_all(lower(text), '[a-z'']+'))
+                       AS BIGINT) AS n_words,
+                   CAST(length(list_filter(
+                       regexp_extract_all(lower(text), '[a-z'']+'),
+                       w -> w IN ({_STOPWORDS_SQL}))) AS BIGINT) AS n_stopwords,
+                   CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                       AS punct_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS sum_price_cents,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_spenders": """
+            SELECT o.o_custkey, c.c_name,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       AS total_cents,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_name
+            ORDER BY total_cents DESC, o_custkey LIMIT 10
+        """,
+        "events_hourly_window": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM events
+            GROUP BY event_type, hour_epoch ORDER BY event_type, hour_epoch
+        """,
+    }

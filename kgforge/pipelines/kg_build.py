@@ -60,10 +60,27 @@ class KGBuildConfig:
     use_text_column: bool = True          # CC corpus ships extracted text
     model_factory: Callable | None = None  # ExtractorModel factory
     max_input_chars: int = 500_000        # reference truncation (step :119)
-    extract_batch_size: int = 128
-    extract_concurrency: Any = 4          # actor-pool size (or (min, max))
-    normalize_concurrency: Any = 4
+    extract_batch_size: int = 256
+    # autoscaling pools with min=1: a fixed-size pool that reserves every
+    # CPU starves sibling task operators and deadlocks the pipeline
+    extract_concurrency: Any = (1, 8)
+    normalize_concurrency: Any = (1, 4)
+    # large normalize batches make Ray coalesce the extractor's small
+    # output blocks, so the per-batch combiner compresses to ~one row per
+    # distinct key per 64k mentions instead of per tiny block
+    normalize_batch_size: int = 65536
+    # in-memory fast path: one fused extract+normalize pool; None = fixed
+    # pool sized to ~70% of cluster CPUs (autoscaling ramps too slowly for
+    # short runs; a full-size pool would starve the read/fold tasks)
+    fused_concurrency: Any = None
+    # big fused batches ⇒ few, large output blocks: downstream per-block
+    # scheduling overhead (not compute) dominated the folds at 586 blocks
+    fused_batch_size: int = 8192
     n_buckets: int = 32                   # canonicalize reduce partitions
+    # block-size ceiling during the fold shuffles: the sort planner sizes
+    # its parallelism to data_bytes / target_block_size, and the
+    # combiner-compressed fold inputs are small relative to page data
+    fold_target_block_size: int = 16 * 1024 * 1024
     join_strategy: str = "auto"           # auto | broadcast | join
     join_num_partitions: int = 32
     broadcast_limit: int = 2_000_000
@@ -129,14 +146,56 @@ def _normalized(mentions: Dataset, cfg: KGBuildConfig) -> Dataset:
         fn_constructor_kwargs={"ontology_json": cfg.ontology_json,
                                "alias_map": alias_arg},
         batch_format="pyarrow",
+        batch_size=cfg.normalize_batch_size,
         concurrency=cfg.normalize_concurrency)
+
+
+def _fused_normalized(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
+    from ..stages.canonicalize import (FusedExtractNormalize,
+                                       fused_extract_normalize_task)
+    prepared = _prepare_pages(pages, cfg)
+    if cfg.model_factory is None:
+        # light default model → stateless tasks in the warm default worker
+        # pool (per-process module cache holds the folder); elastic, no
+        # actor spawn cost
+        alias_ref = [ray.put(cfg.alias_map)] if cfg.alias_map else None
+        return prepared.map_batches(
+            fused_extract_normalize_task,
+            fn_kwargs={"ontology_json": cfg.ontology_json,
+                       "alias_ref": alias_ref,
+                       "max_input_chars": cfg.max_input_chars},
+            batch_format="pyarrow",
+            batch_size=cfg.fused_batch_size)
+    # heavy models (LLM clients, big gazetteers) get a real actor pool
+    conc = cfg.fused_concurrency
+    if conc is None:
+        avail = int(ray.cluster_resources().get("CPU", 8))
+        conc = max(2, int(avail * 0.7))
+    alias_arg: Any = cfg.alias_map
+    if alias_arg and len(json.dumps(alias_arg)) > 1_000_000:
+        alias_arg = [ray.put(alias_arg)]
+    return prepared.map_batches(
+        FusedExtractNormalize,
+        fn_constructor_kwargs={"ontology_json": cfg.ontology_json,
+                               "alias_map": alias_arg,
+                               "model_factory": cfg.model_factory,
+                               "max_input_chars": cfg.max_input_chars},
+        batch_format="pyarrow",
+        batch_size=cfg.fused_batch_size,
+        concurrency=conc)
 
 
 def build_nodes(normalized: Dataset, cfg: KGBuildConfig) -> Dataset:
     ents = filter_kind(normalized, "entity")
+    # ship only what the fold needs — label is recovered from the key
     ents = ents.map_batches(
-        lambda t: add_bucket(t, "node_key", cfg.n_buckets),
+        lambda t: add_bucket(t.select(["node_key", "unique_json",
+                                       "state_json", "n_mentions"]),
+                             "node_key", cfg.n_buckets),
         batch_format="pyarrow")
+    # sort-based shuffle (task-based, reuses warm workers — hash-shuffle
+    # aggregator ACTORS pay a spawn latency per groupby); parallelism
+    # comes from the reduced target block size set in build_kg
     return ents.groupby("bucket").map_groups(
         make_node_finalizer(cfg.ontology_json), batch_format="pandas")
 
@@ -149,8 +208,10 @@ def build_edges(normalized: Dataset, nodes: Dataset, cfg: KGBuildConfig,
         labels = t.column("label").to_pylist()
         sk = t.column("src_key").to_pylist()
         dk = t.column("dst_key").to_pylist()
-        keys = [f"{l}\x1f{s}\x1f{d}" for l, s, d in zip(labels, sk, dk)]
-        t = t.append_column("edge_key", pa.array(keys, pa.string()))
+        keys = [f"{l}\x1e{s}\x1e{d}" for l, s, d in zip(labels, sk, dk)]
+        # ship only the fold inputs — label/src/dst recovered from the key
+        t = t.select(["state_json", "n_mentions"]).append_column(
+            "edge_key", pa.array(keys, pa.string()))
         return add_bucket(t, "edge_key", cfg.n_buckets)
 
     rels = rels.map_batches(with_edge_key, batch_format="pyarrow")
@@ -190,17 +251,40 @@ def build_kg(pages: Dataset, cfg: KGBuildConfig,
     metrics: dict[str, Any] = {"config": {
         k: v for k, v in vars(cfg).items()
         if isinstance(v, (int, str, bool, list, type(None)))}}
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    ctx = DataContext.get_current()
+    prev_block_size = ctx.target_max_block_size
+    prev_shuffle = ctx.shuffle_strategy
+    # a Dataset CAPTURES its DataContext at creation, so the caller's
+    # `pages` (created before this call) must be patched too — otherwise
+    # every derived dataset keeps the default 128 MiB blocks and the sort
+    # planner runs the fold shuffles single-task
+    contexts = [ctx]
+    pages_ctx = getattr(pages, "context", None)
+    if pages_ctx is not None and pages_ctx is not ctx:
+        contexts.append(pages_ctx)
+    for c in contexts:
+        c.target_max_block_size = cfg.fold_target_block_size
+        # push-based sort shuffle: measurably faster than pull-based for
+        # the many-small-partition exchanges the folds produce
+        c.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     if output_dir:
         mentions = _mentions_checkpointed(pages, cfg, output_dir, resume,
                                           metrics)
+        t1 = time.time()
+        metrics["extract_sec"] = t1 - t0
+        metrics["mentions"] = mentions.count()
+        normalized = _normalized(mentions, cfg).materialize()
     else:
-        mentions = extract_mentions(pages, cfg).materialize()
-    t1 = time.time()
-    metrics["extract_sec"] = t1 - t0
-    metrics["mentions"] = mentions.count()
-
-    normalized = _normalized(mentions, cfg).materialize()
+        # in-memory fast path: ONE fused extract+normalize actor stage —
+        # payloads flow straight into the combiner, only the compressed
+        # normalized table is pinned (two branches consume it)
+        t1 = time.time()
+        normalized = _fused_normalized(pages, cfg).materialize()
+        metrics["mentions"] = int(normalized.sum("n_mentions") or 0)
+        metrics["extract_normalize_sec"] = time.time() - t0
     t2 = time.time()
     metrics["normalize_sec"] = t2 - t1
 
@@ -237,6 +321,9 @@ def build_kg(pages: Dataset, cfg: KGBuildConfig,
         t4 = time.time()
         metrics["edges_sec"] = t4 - t3
         metrics["total_sec"] = t4 - t0
+    for c in contexts:
+        c.target_max_block_size = prev_block_size
+        c.shuffle_strategy = prev_shuffle
     return KGResult(nodes, edges, metrics)
 
 

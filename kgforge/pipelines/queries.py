@@ -1,0 +1,415 @@
+"""Driver-gate query implementations.
+
+One callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data operators).  Each takes ``sf_dir`` and returns a Ray
+Dataset / pandas DataFrame / pyarrow Table; the SQL oracles live in
+``__ray_entry__.oracle_sql`` with IDENTICAL column names.
+
+Float policy for hash-compared results: money-like sums are computed in
+integer cents (``round(x*100)`` per row, then integer sums) so Ray and
+DuckDB agree bit-for-bit regardless of summation order; cosine scores
+are rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from ..functions.textstats import (BPE_RE, TOKEN_RE, LangIdScorer,
+                                   fingerprint_batch, quality_stats_batch,
+                                   token_stats_batch)
+from ..stages.ann import brute_force_topk, ivf_topk
+from ..stages.dedup import (embedding_pairs, exact_dedup, minhash_lsh_pairs,
+                            ngram_jaccard_pairs, simhash_pairs)
+
+
+def _read(sf_dir: str, table: str, columns=None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.round(pc.multiply(col, 100)).cast(pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# KG construction over the synthesized CC-style pages corpus
+# ---------------------------------------------------------------------------
+
+
+def sf_value(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+def pages_for_sf(sf_dir: str, n_override: int | None = None) -> tuple:
+    """Deterministic synthetic pages corpus sized to the scale factor
+    (input_hint shape; no external data).  Cached under /tmp."""
+    from ..testing.corpus import cached_corpus_dir
+    n_pages = n_override or max(64, int(200_000 * sf_value(sf_dir)))
+    corpus_dir = cached_corpus_dir(n_pages, seed=42)
+    return corpus_dir, f"{corpus_dir}/pages"
+
+
+def _kg_result(sf_dir: str):
+    from .kg_build import KGBuildConfig, build_kg
+    corpus_dir, pages_path = pages_for_sf(sf_dir)
+    with open(f"{corpus_dir}/ontology.json") as fh:
+        ontology_json = fh.read()
+    with open(f"{corpus_dir}/aliases.json") as fh:
+        alias_map = json.load(fh)
+    pages = ray.data.read_parquet(pages_path)
+    cfg = KGBuildConfig(ontology_json=ontology_json, alias_map=alias_map)
+    return build_kg(pages, cfg)
+
+
+def kg_nodes(sf_dir: str):
+    return _kg_result(sf_dir).nodes
+
+
+def kg_edges(sf_dir: str):
+    return _kg_result(sf_dir).edges
+
+
+def kg_mentions(sf_dir: str):
+    from .kg_build import KGBuildConfig, extract_mentions
+    corpus_dir, pages_path = pages_for_sf(sf_dir)
+    with open(f"{corpus_dir}/ontology.json") as fh:
+        ontology_json = fh.read()
+    pages = ray.data.read_parquet(pages_path)
+    cfg = KGBuildConfig(ontology_json=ontology_json)
+    return extract_mentions(pages, cfg)
+
+
+def html_text_pages(sf_dir: str):
+    """The byte-identical invariant stage over the html column: re-extract
+    text and compare with the shipped text column per url."""
+    from ..functions.html_text import extract_text_batch
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path,
+                                  columns=["url", "html", "text"])
+
+    def check(batch: pa.Table) -> pa.Table:
+        expected = batch.column("text")
+        batch = batch.rename_columns(["url", "html", "expected"])
+        out = extract_text_batch(batch, out_col="text")
+        match = pc.equal(out.column("text").cast(pa.string()),
+                         out.column("expected"))
+        return pa.Table.from_arrays(
+            [out.column("url"),
+             pc.utf8_length(out.column("text")).cast(pa.int64()),
+             match],
+            names=["url", "n_chars", "byte_identical"])
+
+    return pages.map_batches(check, batch_format="pyarrow")
+
+
+def kg_ontology_detect(sf_dir: str):
+    from .ontology_detect import detect_ontology
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url", "text"])
+    ont = detect_ontology(pages, sample_frac=0.5, seed=42)
+    rows = ([("entity", e.label, a.name, a.type, a.unique)
+             for e in ont.entities for a in e.attributes]
+            + [("relation", r.label, a.name, a.type, a.unique)
+               for r in ont.relations for a in r.attributes]
+            + [("relation", r.label, "", "", False)
+               for r in ont.relations if not r.attributes])
+    rows.sort()
+    return pa.table({
+        "kind": [r[0] for r in rows], "label": [r[1] for r in rows],
+        "attr": [r[2] for r in rows], "attr_type": [r[3] for r in rows],
+        "is_unique": [r[4] for r in rows]})
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracled operators over the TPC-H-ish testdata tables
+# ---------------------------------------------------------------------------
+
+ENTITY_PATTERN = r"\b(spark|table|join|merge|filter)\b"
+
+
+def extract_entities_regex(sf_dir: str):
+    """Regex mention extraction + canonicalizing groupby — the KG extract
+    dataflow in an oracle-checkable guise."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = re.compile(ENTITY_PATTERN)
+
+    def mentions(batch: pa.Table) -> pa.Table:
+        ids, ents = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for m in pat.findall(text or ""):
+                ids.append(doc_id)
+                ents.append(m)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "entity": pa.array(ents, pa.string())})
+
+    def per_doc_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["entity"])
+               .agg(n_mentions=("doc_id", "size"),
+                    docs=("doc_id", lambda s: set(s))))
+        return pa.table({
+            "entity": g.index.tolist(),
+            "n_mentions": pa.array(g["n_mentions"].tolist(), pa.int64()),
+            "doc_set": pa.array([json.dumps(sorted(x)) for x in g["docs"]],
+                                pa.string())})
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        docs: set = set()
+        for s in group["doc_set"]:
+            docs.update(json.loads(s))
+        return pd.DataFrame({
+            "entity": [group["entity"].iloc[0]],
+            "n_mentions": np.array([group["n_mentions"].sum()], dtype=np.int64),
+            "n_docs": np.array([len(docs)], dtype=np.int64)})
+
+    return (docs.map_batches(mentions, batch_format="pyarrow")
+                .map_batches(per_doc_partial, batch_format="pyarrow")
+                .groupby("entity")
+                .map_groups(finalize, batch_format="pandas"))
+
+
+def canonicalize_lww_events(sf_dir: str):
+    """Deterministic last-writer-wins per user over the events stream —
+    the node-canonicalize merge rule, SQL-checkable."""
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(batch.column("user_id"), 63),
+                              pa.int64()))
+
+    def lww(group: pd.DataFrame) -> pd.DataFrame:
+        # coarse-bucketed fold: one call per bucket, vectorized inside
+        g = group.sort_values(["ts", "event_id"])
+        last = g.groupby("user_id", as_index=False).tail(1)
+        counts = g.groupby("user_id", as_index=False).size()
+        out = last.merge(counts, on="user_id").sort_values("user_id")
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype(np.int64),
+            "last_event_type": out["event_type"],
+            "last_value_cents": np.round(out["value"] * 100).astype(np.int64),
+            "n_events": out["size"].astype(np.int64)})
+
+    return (events.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("bucket").map_groups(lww, batch_format="pandas"))
+
+
+def edge_semijoin_events(sf_dir: str):
+    """Endpoint semi-join semantics (dangling rows dropped) + grouped
+    aggregate, over events × customer."""
+    events = _read(sf_dir, "events", columns=["user_id", "value"])
+    customers = _read(sf_dir, "customer", columns=["c_custkey"])
+    keys = set()
+    for b in customers.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b.column("c_custkey").to_pylist())
+    kref = ray.put(keys)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        mask = pa.array([u in ks for u in batch.column("user_id").to_pylist()])
+        batch = batch.filter(mask)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "value_cents": _cents(batch.column("value"))})
+
+    out = (events.map_batches(prep, batch_format="pyarrow")
+                 .groupby("user_id")
+                 .aggregate(Count(alias_name="n_events"),
+                            Sum("value_cents", alias_name="total_cents")))
+    return out
+
+
+def dedup_exact_docs(sf_dir: str):
+    return exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def dedup_minhash_docs(sf_dir: str):
+    return minhash_lsh_pairs(_read(sf_dir, "documents",
+                                   columns=["doc_id", "text"]), threshold=0.5)
+
+
+def dedup_simhash_docs(sf_dir: str):
+    return simhash_pairs(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]), max_hamming=3)
+
+
+def dedup_ngram_docs(sf_dir: str):
+    return ngram_jaccard_pairs(_read(sf_dir, "documents",
+                                     columns=["doc_id", "text"]),
+                               threshold=0.5)
+
+
+def dedup_embedding_pairs(sf_dir: str):
+    return embedding_pairs(_read(sf_dir, "embeddings",
+                                 columns=["vec_id", "embedding"]),
+                           threshold=0.95)
+
+
+def _query_matrix(sf_dir: str, n: int = 4) -> np.ndarray:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    df = tbl.to_pandas().sort_values("vec_id").head(n)
+    return np.array(df["embedding"].tolist(), dtype=np.float64)
+
+
+def ann_topk_cosine(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(emb, _query_matrix(sf_dir), k=10)
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("score"), "score",
+                               pc.round(t.column("score"), 6)),
+        batch_format="pyarrow")
+
+
+def ann_ivf_topk(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(emb, _query_matrix(sf_dir), k=10, n_centroids=8, nprobe=4)
+
+
+def token_stats_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (docs.map_batches(token_stats_batch, batch_format="pyarrow")
+                .select_columns(["doc_id", "n_tokens", "n_tokens_bpe",
+                                 "n_chars_text"]))
+
+
+def quality_stats_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (docs.map_batches(quality_stats_batch, batch_format="pyarrow")
+                .select_columns(["doc_id", "n_punct", "n_upper", "n_words",
+                                 "n_stopwords", "punct_ratio"]))
+
+
+def langid_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (docs.map_batches(LangIdScorer, batch_format="pyarrow",
+                             concurrency=(1, 2))
+                .select_columns(["doc_id", "lang_pred", "lang_score"]))
+
+
+def fingerprint_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+                .select_columns(["doc_id", "fingerprint"]))
+
+
+def lang_distribution(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["lang"])
+    return docs.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def tpch_q1_pricing(sf_dir: str):
+    """Pricing-summary aggregate with per-batch partial aggregation (the
+    combiner pattern) before the small groupby shuffle."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        df = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_cents": _cents(batch.column("l_quantity")),
+            "price_cents": _cents(batch.column("l_extendedprice")),
+        }).to_pandas()
+        g = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+               .agg(sum_qty_cents=("qty_cents", "sum"),
+                    sum_price_cents=("price_cents", "sum"),
+                    n=("qty_cents", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+                         Sum("sum_price_cents", alias_name="sum_price_cents"),
+                         Sum("n", alias_name="n")))
+
+
+def top_spenders(sf_dir: str):
+    """Grouped aggregate → broadcast dimension join → sort/limit."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customers = pq.read_table(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name"])
+    name_by_key = dict(zip(customers.column("c_custkey").to_pylist(),
+                           customers.column("c_name").to_pylist()))
+    nref = ray.put(name_by_key)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "price_cents": _cents(batch.column("o_totalprice"))})
+
+    agg = (orders.map_batches(prep, batch_format="pyarrow")
+                 .groupby("o_custkey")
+                 .aggregate(Sum("price_cents", alias_name="total_cents"),
+                            Count(alias_name="n_orders")))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        names = ray.get(nref)
+        keys = batch.column("o_custkey").to_pylist()
+        return batch.append_column(
+            "c_name", pa.array([names.get(k) for k in keys], pa.string()))
+
+    out = agg.map_batches(attach, batch_format="pyarrow")
+    out = out.sort(["total_cents", "o_custkey"], descending=[True, False])
+    return out.limit(10).select_columns(
+        ["o_custkey", "c_name", "total_cents", "n_orders"])
+
+
+def events_hourly_window(sf_dir: str):
+    """Tumbling-window aggregate: batch-level partials on
+    (event_type, hour) then one small groupby (streaming-shaped workload
+    on the ordered events log)."""
+    events = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micros = batch.column("ts").cast(pa.int64())
+        hour = pc.multiply(pc.divide(micros, 3_600_000_000).cast(pa.int64()),
+                           3600)
+        df = pa.table({
+            "event_type": batch.column("event_type"),
+            "hour_epoch": hour,
+            "value_cents": _cents(batch.column("value")),
+        }).to_pandas()
+        g = (df.groupby(["event_type", "hour_epoch"], as_index=False)
+               .agg(n=("value_cents", "size"),
+                    value_cents=("value_cents", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["event_type", "hour_epoch"])
+                  .aggregate(Sum("n", alias_name="n"),
+                             Sum("value_cents", alias_name="value_cents")))
+
+
+def multimodal_decode(sf_dir: str):
+    """Fake-image decode + feature plumbing: payload sizes scale with sf
+    via the documents row count."""
+    from ..stages.multimodal import (ByteHistogramFeatures, DecodeImage,
+                                     fake_image_bytes)
+    n = max(32, _read(sf_dir, "documents", columns=["doc_id"]).count() // 4)
+    items = pa.table({
+        "item_id": pa.array(range(n), pa.int64()),
+        "content": pa.array([fake_image_bytes(16, 12, seed=i)
+                             for i in range(n)], pa.binary())})
+    ds = ray.data.from_arrow(items)
+    ds = ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=64,
+                        concurrency=(1, 2))
+    ds = ds.map_batches(ByteHistogramFeatures, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 2))
+    return ds.select_columns(["item_id", "width", "height", "decode_ok"])

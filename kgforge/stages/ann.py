@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k — the query matrix is
+  broadcast once (``ray.put``), each batch does one numpy matmul and
+  emits only its LOCAL top-k per query; a single small groupby merges
+  partial top-ks.  Shuffle volume is O(queries × k × blocks), never the
+  corpus.
+- ``ivf_topk``: IVF-style scale path — vectors are assigned to the
+  nearest of C seeded centroids (one shuffle key), queries probe the
+  ``nprobe`` nearest centroid buckets only.  Approximate; recall
+  controlled by nprobe/C.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _as_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> Dataset:
+    """Exact cosine top-k: rows ``(query_id, vec_id, score)``,
+    k rows per query, ties broken by ascending ``vec_id``."""
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(qmat)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _as_matrix(batch, vec_col)
+        if mat.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["query_id", id_col, "score"])
+        sims = _normalize(mat) @ q.T              # (n, m)
+        kk = min(k, sims.shape[0])
+        qid_o, id_o, sc_o = [], [], []
+        for j in range(sims.shape[1]):
+            col = sims[:, j]
+            # deterministic partial top-k: sort by (-score, vec_id)
+            order = np.lexsort((ids, -col))[:kk]
+            qid_o.extend([j] * len(order))
+            id_o.extend(ids[order].tolist())
+            sc_o.extend(col[order].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(qid_o, pa.int64()), pa.array(id_o, pa.int64()),
+             pa.array(sc_o, pa.float64())],
+            names=["query_id", id_col, "score"])
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", id_col],
+                              ascending=[False, True]).head(k)
+        return g.reset_index(drop=True)
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow")
+              .groupby("query_id")
+              .map_groups(merge, batch_format="pandas"))
+
+
+def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 31,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None) -> Dataset:
+    """IVF-bucketed approximate top-k.
+
+    Centroids are a seeded random rotation of the unit sphere (no
+    training pass — deterministic and cheap; a k-means refinement can be
+    slotted in without changing the dataflow).  Each vector shuffles into
+    ONE centroid bucket; each query searches its ``nprobe`` nearest
+    buckets inside ``map_groups``.
+    """
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    d = dim or qmat.shape[1]
+    rng = np.random.default_rng(seed)
+    centroids = _normalize(rng.standard_normal((n_centroids, d)))
+    q_assign = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    # bucket -> query ids probing it
+    probes: dict[int, list[int]] = {}
+    for qid, buckets in enumerate(q_assign):
+        for b in buckets:
+            probes.setdefault(int(b), []).append(qid)
+    cref = ray.put(centroids)
+    qref = ray.put(qmat)
+    pref = ray.put(probes)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _as_matrix(batch, vec_col)
+        if mat.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.binary())],
+                names=[id_col, "centroid", "vec"])
+        unit = _normalize(mat)
+        cent = np.argmax(unit @ cents.T, axis=1)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(cent.astype(np.int64), pa.int64()),
+             pa.array([v.tobytes() for v in unit], pa.binary())],
+            names=[id_col, "centroid", "vec"])
+
+    def search(group: pd.DataFrame) -> pd.DataFrame:
+        probing = ray.get(pref)
+        q = ray.get(qref)
+        bucket = int(group["centroid"].iloc[0])
+        qids = probing.get(bucket, [])
+        rows = {"query_id": [], id_col: [], "score": []}
+        if qids:
+            ids = group[id_col].to_numpy()
+            mat = np.stack([np.frombuffer(v, dtype=np.float64)
+                            for v in group["vec"]])
+            sims = mat @ q[qids].T
+            kk = min(k, len(ids))
+            for col_idx, qid in enumerate(qids):
+                col = sims[:, col_idx]
+                order = np.lexsort((ids, -col))[:kk]
+                rows["query_id"].extend([qid] * len(order))
+                rows[id_col].extend(ids[order].tolist())
+                rows["score"].extend(col[order].tolist())
+        out = pd.DataFrame(rows)
+        out["query_id"] = out["query_id"].astype(np.int64)
+        out[id_col] = out[id_col].astype(np.int64)
+        out["score"] = out["score"].astype(np.float64)
+        return out
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values(["score", id_col],
+                                  ascending=[False, True]).head(k)
+                .reset_index(drop=True))
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("centroid")
+              .map_groups(search, batch_format="pandas")
+              .groupby("query_id")
+              .map_groups(merge, batch_format="pandas"))

@@ -41,7 +41,7 @@ import pyarrow as pa
 
 import ray
 
-from ..keys import (KEY_SEP, coerce_value, hash64, node_key,
+from ..keys import (EDGE_SEP, KEY_SEP, coerce_value, hash64, node_key,
                     non_unique_attr_dict, render_properties,
                     unique_attr_dict)
 from ..ontology import Entity, Ontology
@@ -87,10 +87,16 @@ def _merge_state(into: dict, other: dict) -> dict:
     return into
 
 
-class NormalizeMentions:
-    """Stateless-per-batch (actor-pooled for setup amortization) stage:
-    raw mention rows → normalized identity rows, pre-aggregated per key
-    within the batch (the combiner)."""
+class _MentionFolder:
+    """Shared normalize+combine core: entity/relation payloads →
+    per-batch pre-aggregated identity rows.
+
+    Used by :class:`NormalizeMentions` (over checkpointed mention rows)
+    and :class:`FusedExtractNormalize` (straight from extractor payloads,
+    no intermediate table).  Key renderings are memoized per actor:
+    Zipf-skewed corpora repeat identical (label, attrs) payloads
+    constantly and rendering + alias resolution is pure per payload.
+    """
 
     def __init__(self, ontology_json: str, alias_map: Any = None):
         self.ontology = Ontology.from_json(ontology_json)
@@ -99,8 +105,120 @@ class NormalizeMentions:
         self.alias_map = alias_map
         self._entities = {e.label: e for e in self.ontology.entities}
         self._relation_labels = {r.label for r in self.ontology.relations}
+        self._ent_cache: dict = {}
+        self._ep_cache: dict = {}
+
+    # -- accumulation ------------------------------------------------------
+    def start_batch(self) -> None:
+        self._ent_acc: dict[str, list] = {}
+        self._rel_acc: dict[str, list] = {}
+
+    def add_entity(self, order: tuple, label: str, attrs: dict,
+                   cache_key=None) -> None:
+        hit = self._ent_cache.get(cache_key) if cache_key is not None else None
+        if hit is None:
+            entity = self._entities.get(label)
+            if entity is None:
+                # drop-unknown (extract_data_step.py:197-200)
+                if cache_key is not None:
+                    self._ent_cache[cache_key] = (None, None, None)
+                return
+            if isinstance(attrs, str):  # lazy parse (miss path only)
+                attrs = json.loads(attrs)
+            attrs = _resolve_aliases(label, attrs, self.alias_map)
+            uniq = unique_attr_dict(entity, attrs)
+            key = label + KEY_SEP + render_properties(uniq)
+            nonuniq = non_unique_attr_dict(entity, attrs)
+            hit = (key, json.dumps(uniq), nonuniq)
+            if cache_key is not None:
+                if len(self._ent_cache) > 200_000:
+                    self._ent_cache.clear()
+                self._ent_cache[cache_key] = hit
+        key, uniq_json, nonuniq = hit
+        if key is None:
+            return
+        cur = self._ent_acc.get(key)
+        if cur is None:
+            self._ent_acc[key] = [label, uniq_json, _state(order, nonuniq), 1]
+        else:
+            _merge_state(cur[2], _state(order, nonuniq))
+            cur[3] += 1
+
+    def add_relation(self, order: tuple, label: str, attrs: dict,
+                     src_label: str, src_attrs: dict,
+                     dst_label: str, dst_attrs: dict,
+                     src_cache_key=None, dst_cache_key=None) -> None:
+        if label not in self._relation_labels:
+            return  # drop-unknown (extract_data_step.py:228-231)
+        skey = self.endpoint_key(src_label, src_attrs, src_cache_key)
+        dkey = self.endpoint_key(dst_label, dst_attrs, dst_cache_key)
+        if skey is None or dkey is None:
+            return  # unknown endpoint label: MATCH can never hit
+        ekey = label + EDGE_SEP + skey + EDGE_SEP + dkey
+        # edge attrs pass through UNFILTERED (the reference SET r += takes
+        # args["attributes"] as-is, extract_data_step.py:250-266)
+        cur = self._rel_acc.get(ekey)
+        if cur is None:
+            self._rel_acc[ekey] = [label, skey, dkey, _state(order, attrs), 1]
+        else:
+            _merge_state(cur[3], _state(order, attrs))
+            cur[4] += 1
+
+    def endpoint_key(self, label: str, attrs: dict, cache_key=None):
+        """Endpoint identity for the edge semi-join.
+
+        The reference MATCHes endpoints on whatever attributes the payload
+        provides (``extract_data_step.py:232-248``); extraction is
+        prompted to provide the unique attributes, so we canonicalize with
+        the same schema-ordered unique-attr rendering used for node
+        identity (missing values default to ``""``, matching MERGE).
+        """
+        if cache_key is not None and cache_key in self._ep_cache:
+            return self._ep_cache[cache_key]
+        entity = self._entities.get(label)
+        if entity is None:
+            key = None
+        else:
+            if isinstance(attrs, str):  # lazy parse (miss path only)
+                attrs = json.loads(attrs)
+            attrs = _resolve_aliases(label, attrs, self.alias_map)
+            key = node_key(label, entity, attrs)
+        if cache_key is not None:
+            if len(self._ep_cache) > 200_000:
+                self._ep_cache.clear()
+            self._ep_cache[cache_key] = key
+        return key
+
+    def finish_batch(self) -> pa.Table:
+        kind, label_o, nkey, uniq_o, state_o, sk_o, dk_o, nm = \
+            [], [], [], [], [], [], [], []
+        for key, (label, uniq, state, n) in self._ent_acc.items():
+            kind.append("entity"); label_o.append(label); nkey.append(key)
+            uniq_o.append(uniq); state_o.append(json.dumps(state))
+            sk_o.append(None); dk_o.append(None); nm.append(n)
+        for ekey, (label, skey, dkey, state, n) in self._rel_acc.items():
+            kind.append("relation"); label_o.append(label); nkey.append(None)
+            uniq_o.append(None); state_o.append(json.dumps(state))
+            sk_o.append(skey); dk_o.append(dkey); nm.append(n)
+        return pa.Table.from_arrays(
+            [pa.array(kind, pa.string()), pa.array(label_o, pa.string()),
+             pa.array(nkey, pa.string()), pa.array(uniq_o, pa.string()),
+             pa.array(state_o, pa.string()), pa.array(sk_o, pa.string()),
+             pa.array(dk_o, pa.string()), pa.array(nm, pa.int64())],
+            schema=NORMALIZED_SCHEMA)
+
+
+class NormalizeMentions:
+    """Actor-pool stage over checkpointed mention rows (the resume path):
+    raw mention rows → normalized identity rows, pre-aggregated per key
+    within the batch (the combiner)."""
+
+    def __init__(self, ontology_json: str, alias_map: Any = None):
+        self._folder = _MentionFolder(ontology_json, alias_map)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        f = self._folder
+        f.start_batch()
         urls = batch.column("url").to_pylist()
         ts_col = batch.column("warc_ts")
         if pa.types.is_timestamp(ts_col.type):
@@ -114,79 +232,117 @@ class NormalizeMentions:
         src_a = batch.column("src_attrs").to_pylist()
         dst_l = batch.column("dst_label").to_pylist()
         dst_a = batch.column("dst_attrs").to_pylist()
-
-        # combiner accumulators: key -> partial row
-        ent_acc: dict[str, list] = {}
-        rel_acc: dict[str, list] = {}
-
+        url_hash: dict[str, int] = {}
         for i in range(len(urls)):
-            order = (tss[i], urls[i], seqs[i])
-            label = labels[i]
+            uh = url_hash.get(urls[i])
+            if uh is None:
+                uh = hash64(urls[i])
+                url_hash[urls[i]] = uh
+            order = (tss[i], uh, seqs[i])
             if kinds[i] == "entity":
-                entity = self._entities.get(label)
-                if entity is None:
-                    continue  # drop-unknown (extract_data_step.py:197-200)
-                attrs = _resolve_aliases(label, json.loads(attrs_l[i]),
-                                         self.alias_map)
-                uniq = unique_attr_dict(entity, attrs)
-                key = label + KEY_SEP + render_properties(uniq)
-                nonuniq = non_unique_attr_dict(entity, attrs)
-                cur = ent_acc.get(key)
-                if cur is None:
-                    ent_acc[key] = [label, json.dumps(uniq),
-                                    _state(order, nonuniq), 1]
-                else:
-                    _merge_state(cur[2], _state(order, nonuniq))
-                    cur[3] += 1
+                f.add_entity(order, labels[i], attrs_l[i],
+                             cache_key=(labels[i], attrs_l[i]))
             else:
-                if label not in self._relation_labels:
-                    continue  # drop-unknown (extract_data_step.py:228-231)
-                skey = self._endpoint_key(src_l[i], src_a[i])
-                dkey = self._endpoint_key(dst_l[i], dst_a[i])
-                if skey is None or dkey is None:
-                    continue  # unknown endpoint label: MATCH can never hit
-                ekey = label + KEY_SEP + skey + KEY_SEP + dkey
-                # edge attrs pass through UNFILTERED (the reference SET r +=
-                # takes args["attributes"] as-is, extract_data_step.py:250-266)
-                attrs = json.loads(attrs_l[i])
-                cur = rel_acc.get(ekey)
-                if cur is None:
-                    rel_acc[ekey] = [label, skey, dkey, _state(order, attrs), 1]
-                else:
-                    _merge_state(cur[3], _state(order, attrs))
-                    cur[4] += 1
+                f.add_relation(order, labels[i], json.loads(attrs_l[i]),
+                               src_l[i], src_a[i], dst_l[i], dst_a[i],
+                               src_cache_key=(src_l[i], src_a[i]),
+                               dst_cache_key=(dst_l[i], dst_a[i]))
+        return f.finish_batch()
 
-        kind, label_o, nkey, uniq_o, state_o, sk_o, dk_o, nm = \
-            [], [], [], [], [], [], [], []
-        for key, (label, uniq, state, n) in ent_acc.items():
-            kind.append("entity"); label_o.append(label); nkey.append(key)
-            uniq_o.append(uniq); state_o.append(json.dumps(state))
-            sk_o.append(None); dk_o.append(None); nm.append(n)
-        for ekey, (label, skey, dkey, state, n) in rel_acc.items():
-            kind.append("relation"); label_o.append(label); nkey.append(None)
-            uniq_o.append(None); state_o.append(json.dumps(state))
-            sk_o.append(skey); dk_o.append(dkey); nm.append(n)
-        return pa.Table.from_arrays(
-            [pa.array(kind, pa.string()), pa.array(label_o, pa.string()),
-             pa.array(nkey, pa.string()), pa.array(uniq_o, pa.string()),
-             pa.array(state_o, pa.string()), pa.array(sk_o, pa.string()),
-             pa.array(dk_o, pa.string()), pa.array(nm, pa.int64())],
-            schema=NORMALIZED_SCHEMA)
 
-    def _endpoint_key(self, label: str, attrs_json: str) -> str | None:
-        """Endpoint identity for the edge semi-join.
+class FusedExtractNormalize:
+    """Single actor-pool stage: pages batch → normalized identity rows.
 
-        The reference MATCHes endpoints on whatever attributes the payload
-        provides (``extract_data_step.py:232-248``); extraction is prompted
-        to provide the unique attributes, so we canonicalize with the same
-        schema-ordered unique-attr rendering used for node identity
-        (missing values default to ``""``, matching what MERGE stored).
-        """
-        entity = self._entities.get(label)
-        if entity is None:
-            return None
-        attrs = _resolve_aliases(label, json.loads(attrs_json), self.alias_map)
-        return node_key(label, entity, attrs)
+    Fuses extraction and normalization (the in-memory fast path): payload
+    dicts flow straight into the combiner — no intermediate mention table,
+    no JSON round-trip, one pool to size instead of two to balance.  The
+    checkpointed path keeps the two-stage form so mentions land on disk as
+    the resume unit.
+    """
+
+    def __init__(self, ontology_json: str, alias_map: Any = None,
+                 model_factory=None, max_input_chars: int = 500_000):
+        from .extract import RuleBasedExtractor
+        self._folder = _MentionFolder(ontology_json, alias_map)
+        self.model = (model_factory() if model_factory
+                      else RuleBasedExtractor())
+        self.max_input_chars = max_input_chars
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        f = self._folder
+        f.start_batch()
+        urls = batch.column("url").to_pylist()
+        ts_col = batch.column("warc_ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = ts_col.cast(pa.int64())
+        tss = ts_col.to_pylist()
+        texts = batch.column("text").to_pylist()
+        for url, ts, text in zip(urls, tss, texts):
+            if text is None or len(text) == 0:
+                continue  # empty-document filter (extract_data_step.py:67-74)
+            payload = self.model.extract(text[: self.max_input_chars])
+            if "entities" not in payload or "relations" not in payload:
+                continue  # shape check (extract_data_step.py:170-176)
+            # LWW order = (warc_ts, hash64(url), seq): the url hash keeps
+            # the serialized per-attribute state compact through the
+            # shuffle while preserving a deterministic total order
+            uh = hash64(url)
+            seq = 0
+            for ent in payload["entities"]:
+                if not isinstance(ent, dict) or "label" not in ent:
+                    continue
+                label = str(ent["label"])
+                attrs = ent.get("attributes", {}) or {}
+                f.add_entity((ts, uh, seq), label, attrs,
+                             cache_key=_dict_key(label, attrs))
+                seq += 1
+            for rel in payload["relations"]:
+                if not isinstance(rel, dict) or "label" not in rel:
+                    continue
+                src = rel.get("source") or {}
+                dst = rel.get("target") or {}
+                s_label = str(src.get("label", ""))
+                d_label = str(dst.get("label", ""))
+                s_attrs = src.get("attributes", {}) or {}
+                d_attrs = dst.get("attributes", {}) or {}
+                f.add_relation((ts, uh, seq), str(rel["label"]),
+                               rel.get("attributes", {}) or {},
+                               s_label, s_attrs, d_label, d_attrs,
+                               src_cache_key=_dict_key(s_label, s_attrs),
+                               dst_cache_key=_dict_key(d_label, d_attrs))
+                seq += 1
+        return f.finish_batch()
+
+
+def _dict_key(label: str, attrs: dict):
+    """Hashable memo key for a payload attrs dict (None if unhashable)."""
+    try:
+        return (label,) + tuple(sorted(attrs.items()))
+    except TypeError:
+        return None
+
+
+# Task-based fused path: for the light default model, stateless tasks in
+# the (already warm) default worker pool beat an actor pool — no actor
+# process spawn/import cost, elastic parallelism.  The stage state lives
+# in a per-worker-process module cache (workers are reused across tasks).
+_FUSED_STATE: dict = {}
+
+
+def fused_extract_normalize_task(batch: pa.Table, *, ontology_json: str,
+                                 alias_ref=None,
+                                 max_input_chars: int = 500_000) -> pa.Table:
+    # hash() is salted per process but stable within one — exactly the
+    # lifetime of this per-process cache
+    key = (hash(ontology_json), alias_ref[0].hex() if alias_ref else None)
+    stage = _FUSED_STATE.get(key)
+    if stage is None:
+        if len(_FUSED_STATE) > 4:
+            _FUSED_STATE.clear()
+        stage = FusedExtractNormalize(ontology_json, alias_ref,
+                                      max_input_chars=max_input_chars)
+        _FUSED_STATE[key] = stage
+    return stage(batch)
 
 
 # ---------------------------------------------------------------------------
@@ -225,22 +381,26 @@ def edge_attr_schema(ontology: Ontology) -> dict[str, str]:
                                  for r in ontology.relations])
 
 
-def _fold_group(df: pd.DataFrame, key_col: str):
+def _fold_group(df: pd.DataFrame, key_col: str, with_unique: bool):
     """Merge partial rows per key within one bucket; returns
-    {key: (label, uniq_json_or_None, src_key, dst_key, state, n)}."""
+    {key: [uniq_json_or_None, state, n]}.  Only the key, state and count
+    ride through the shuffle — label/endpoints are recovered from the key
+    (KEY_SEP-joined), keeping exchanged bytes minimal."""
     acc: dict[str, list] = {}
-    for row in df.itertuples(index=False):
-        key = getattr(row, key_col)
-        state = json.loads(row.state_json)
+    keys = df[key_col].to_numpy()
+    states = df["state_json"].to_numpy()
+    counts = df["n_mentions"].to_numpy()
+    uniqs = df["unique_json"].to_numpy() if with_unique else None
+    for i in range(len(keys)):
+        key = keys[i]
+        state = json.loads(states[i])
         cur = acc.get(key)
         if cur is None:
-            acc[key] = [row.label, getattr(row, "unique_json", None),
-                        getattr(row, "src_key", None),
-                        getattr(row, "dst_key", None),
-                        state, int(row.n_mentions)]
+            acc[key] = [uniqs[i] if with_unique else None, state,
+                        int(counts[i])]
         else:
-            _merge_state(cur[4], state)
-            cur[5] += int(row.n_mentions)
+            _merge_state(cur[1], state)
+            cur[2] += int(counts[i])
     return acc
 
 
@@ -256,12 +416,13 @@ def make_node_finalizer(ontology_json: str):
     attr_names = list(schema)
 
     def finalize(df: pd.DataFrame) -> pa.Table:
-        acc = _fold_group(df, "node_key")
+        acc = _fold_group(df, "node_key", with_unique=True)
         keys = sorted(acc)  # deterministic output order within bucket
         data: dict[str, list] = {n: [] for n in attr_names}
         labels, n_mentions, node_ids = [], [], []
         for key in keys:
-            label, uniq_json, _, _, state, n = acc[key]
+            uniq_json, state, n = acc[key]
+            label = key.split(KEY_SEP, 1)[0]
             uniq = json.loads(uniq_json)
             values = {k: v for k, (_o, v) in state.items()}
             values.update(uniq)  # unique attrs are identity — never overwritten
@@ -294,12 +455,13 @@ def make_edge_finalizer(ontology_json: str):
     endpoint semi-join (``attach_edge_ids_and_attrs``)."""
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        acc = _fold_group(df, "edge_key")
+        acc = _fold_group(df, "edge_key", with_unique=False)
         keys = sorted(acc)
         rows = {"edge_key": [], "label": [], "src_key": [], "dst_key": [],
                 "state_json": [], "n_mentions": []}
         for key in keys:
-            label, _u, skey, dkey, state, n = acc[key]
+            _u, state, n = acc[key]
+            label, skey, dkey = key.split(EDGE_SEP)
             rows["edge_key"].append(key)
             rows["label"].append(label)
             rows["src_key"].append(skey)

