@@ -170,6 +170,14 @@ class GraphStore:
                     f"'{self.output_dir}/edges/*.parquet')")
         return con.execute(sql).fetch_arrow_table()
 
+    @staticmethod
+    def stringify_result(table: pa.Table) -> str:
+        """Query-result → LLM-context string — the analog of the
+        reference's ``stringify_falkordb_response`` (``helpers.py:52-66``:
+        nested result lists stringified row-wise)."""
+        rows = [[str(v) for v in row.values()] for row in table.to_pylist()]
+        return str(rows).strip()
+
     def ask(self, question: str):
         """Reference ``kg.ask`` needs a live LLM for Cypher generation
         (``kg.py:121-168``) — unavailable here by design."""

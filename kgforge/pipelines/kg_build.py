@@ -313,6 +313,14 @@ def build_kg(pages: Dataset, cfg: KGBuildConfig,
         metrics["total_sec"] = t4 - t0
         with open(os.path.join(output_dir, "ontology.json"), "w") as fh:
             fh.write(cfg.ontology_json)
+        # lineage manifests for the final tables (same shape as the
+        # per-shard mention manifests; validates a completed run)
+        for name, count in (("nodes", node_count), ("edges",
+                                                    metrics["edges"])):
+            ckpt.write_table_manifest(os.path.join(output_dir, name),
+                                      rows=count,
+                                      extra={"stage": name,
+                                             "n_shards": cfg.n_shards})
         with open(os.path.join(output_dir, "metrics.json"), "w") as fh:
             json.dump(metrics, fh, indent=2, default=str)
     else:

@@ -104,3 +104,22 @@ def detect_ontology(pages: Dataset, sample_frac: float = 1.0,
         merged.discard_relations_without_entities()
     merged.validate_entities()
     return merged
+
+
+def fix_ontology(ontology: Ontology, model=None) -> Ontology:
+    """Final review pass over the merged ontology (reference
+    ``create_ontology_step.py:150-203`` sends it through one more LLM
+    round).  With no model, applies the deterministic parts the reference
+    prompt asks for — prune dangling relations, re-validate — and returns
+    the result; with a ``GenerativeModel``, round-trips the JSON through
+    one chat call (``FIX_ONTOLOGY``-style) and parses the reply."""
+    if model is None:
+        ontology.discard_relations_without_entities()
+        ontology.validate_entities()
+        return ontology
+    from ..functions.json_repair import extract_json
+    session = model.start_chat({"response_validation": False})
+    reply = session.send_message(
+        "Review and fix this ontology JSON; respond with JSON only:\n"
+        + json.dumps(ontology.to_json()))
+    return Ontology.from_json(json.loads(extract_json(reply.text)))

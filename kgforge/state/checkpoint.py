@@ -47,6 +47,21 @@ def write_shard_manifest(root: str, shard: int, extra: dict | None = None) -> di
     return manifest
 
 
+def write_table_manifest(table_dir: str, rows: int,
+                         extra: dict | None = None) -> dict:
+    """Run-level manifest for a final output table directory."""
+    files = sorted(os.path.basename(f)
+                   for f in glob.glob(os.path.join(table_dir, "*.parquet")))
+    manifest = {"rows": int(rows), "files": files,
+                "written_at": time.time(), **(extra or {})}
+    tmp = os.path.join(table_dir, MANIFEST_NAME + ".tmp")
+    os.makedirs(table_dir, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(table_dir, MANIFEST_NAME))
+    return manifest
+
+
 def completed_shards(root: str) -> set[int]:
     """Shards whose manifest exists and matches the files on disk."""
     done: set[int] = set()
