@@ -104,10 +104,12 @@ def _prepare_pages(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
                                         pa.array(sorted(keep)))),
             batch_format="pyarrow")
     if cfg.use_text_column and "text" in cols:
-        keep_cols = [c for c in ("url", "warc_ts", "text") if c in cols]
+        keep_cols = [c for c in ("url", "warc_ts", "text", "instruction")
+                     if c in cols]
         pages = pages.select_columns(keep_cols)
     else:
-        keep_cols = [c for c in ("url", "warc_ts", "html") if c in cols]
+        keep_cols = [c for c in ("url", "warc_ts", "html", "instruction")
+                     if c in cols]
         pages = pages.select_columns(keep_cols)
         pages = pages.map_batches(extract_text_batch, batch_format="pyarrow")
     # empty-document filter (reference extract_data_step.py:67-74)

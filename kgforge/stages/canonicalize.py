@@ -277,10 +277,14 @@ class FusedExtractNormalize:
             ts_col = ts_col.cast(pa.int64())
         tss = ts_col.to_pylist()
         texts = batch.column("text").to_pylist()
-        for url, ts, text in zip(urls, tss, texts):
+        instructions = (batch.column("instruction").to_pylist()
+                        if "instruction" in batch.column_names
+                        else [""] * len(urls))
+        for url, ts, text, instr in zip(urls, tss, texts, instructions):
             if text is None or len(text) == 0:
                 continue  # empty-document filter (extract_data_step.py:67-74)
-            payload = self.model.extract(text[: self.max_input_chars])
+            payload = self.model.extract(text[: self.max_input_chars],
+                                         instr or "")
             if "entities" not in payload or "relations" not in payload:
                 continue  # shape check (extract_data_step.py:170-176)
             # LWW order = (warc_ts, hash64(url), seq): the url hash keeps

@@ -47,9 +47,12 @@ MENTION_SCHEMA = pa.schema([
 
 class ExtractorModel(Protocol):
     """Produces the reference's extraction payload
-    (``fixtures/prompts.py:248-331`` JSON schema) for one document."""
+    (``fixtures/prompts.py:248-331`` JSON schema) for one document.
+    ``instruction`` carries the per-source LLM instruction string
+    (reference ``source.py:44-45``; flows as an optional ``instruction``
+    column on the pages table)."""
 
-    def extract(self, text: str) -> dict: ...
+    def extract(self, text: str, instruction: str = "") -> dict: ...
 
 
 # person: Capitalized words or single-capital initials ("J. Doe")
@@ -67,7 +70,7 @@ class RuleBasedExtractor:
     """Deterministic grammar extractor over the fixture corpus sentences
     (FIXTURES.md F1).  One payload per document, reference JSON shape."""
 
-    def extract(self, text: str) -> dict:
+    def extract(self, text: str, instruction: str = "") -> dict:
         entities: list[dict] = []
         relations: list[dict] = []
         for line in text.split("\n"):
@@ -123,8 +126,9 @@ class ChatModelExtractor:
         self.limiter = (RateLimiter(rate_limit_calls, rate_limit_period)
                         if rate_limit_calls else None)
 
-    def extract(self, text: str) -> dict:
+    def extract(self, text: str, instruction: str = "") -> dict:
         return chat_extract_payload(self.model, text,
+                                    source_instructions=instruction,
                                     instructions=self.instructions,
                                     limiter=self.limiter)
 
@@ -189,12 +193,16 @@ class TripleExtractor:
             ts = ts.cast(pa.int64())
         ts = ts.to_pylist()
         texts = batch.column("text").to_pylist()
+        instructions = (batch.column("instruction").to_pylist()
+                        if "instruction" in batch.column_names
+                        else [""] * len(urls))
         rows: list[tuple] = []
-        for url, t, text in zip(urls, ts, texts):
+        for url, t, text, instr in zip(urls, ts, texts, instructions):
             if text is None or len(text) == 0:
                 # empty-document filter (extract_data_step.py:67-74)
                 continue
-            payload = self.model.extract(text[: self.max_input_chars])
+            payload = self.model.extract(text[: self.max_input_chars],
+                                         instr or "")
             if "entities" not in payload or "relations" not in payload:
                 # shape check (extract_data_step.py:170-176): dead-letter
                 continue

@@ -83,7 +83,7 @@ def test_unknown_labels_dropped():
     pages = ray.data.from_arrow(corpus.pages)
 
     class NoisyExtractor:
-        def extract(self, text):
+        def extract(self, text, instruction=""):
             return {"entities": [
                         {"label": "Alien", "attributes": {"name": "zork"}},
                         {"label": "Person", "attributes": {"name": "Real One"}}],
@@ -111,7 +111,7 @@ def test_dangling_edges_dropped(small_corpus):
     pages = ray.data.from_arrow(small_corpus.pages.slice(0, 8))
 
     class DanglingExtractor:
-        def extract(self, text):
+        def extract(self, text, instruction=""):
             return {"entities": [{"label": "Person",
                                   "attributes": {"name": "Only Node"}}],
                     "relations": [

@@ -140,3 +140,44 @@ def test_cypher_validators():
                            "RETURN m", ont)
     assert errs and any("direction" in e for e in errs)
     assert validate_cypher("", ont) == ["Cypher statement is empty"]
+
+
+def test_stage_protocol_compose(small_corpus):
+    import pyarrow.compute as pc
+
+    from kgforge.pipeline import PipelineCtx, compose, stage
+    ds = ray.data.from_arrow(small_corpus.pages.slice(0, 30))
+    keep_en = stage(lambda d: d.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")),
+        batch_format="pyarrow"))
+    project = stage(lambda d: d.select_columns(["url", "text"]))
+    pipeline = compose(keep_en, project)
+    out = pipeline(ds, PipelineCtx())
+    assert out.schema().names == ["url", "text"]
+    assert out.count() <= 30
+
+
+def test_per_source_instruction_column(small_corpus):
+    """The reference's per-source instruction string (source.py:44-45)
+    flows as an `instruction` column into the extraction model."""
+    import pyarrow as pa
+
+    from kgforge.pipelines.kg_build import KGBuildConfig, build_kg
+    pages = small_corpus.pages.slice(0, 6)
+    pages = pages.append_column(
+        "instruction", pa.array(["focus on people"] * 6, pa.string()))
+
+    seen = []
+
+    class Spy:
+        def extract(self, text, instruction=""):
+            seen.append(instruction)
+            return {"entities": [{"label": "Person",
+                                  "attributes": {"name": "I " + instruction}}],
+                    "relations": []}
+
+    cfg = KGBuildConfig(ontology_json=json.dumps(ONTOLOGY_JSON),
+                        model_factory=Spy, fused_concurrency=1, n_buckets=2)
+    res = build_kg(ray.data.from_arrow(pages), cfg)
+    names = set(res.nodes.to_pandas()["name"])
+    assert names == {"I focus on people"}
