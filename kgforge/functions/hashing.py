@@ -42,14 +42,18 @@ def minhash_params(k: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray,
                       b: np.ndarray) -> np.ndarray:
-    """k-wide minhash signature (uint64). Vectorized k×|shingles|."""
+    """k-wide minhash signature (uint64), vectorized k×|shingles|.
+
+    Hash family: multiply-shift over uint64 with wraparound
+    (``h = (a*x + b) mod 2^64``) — a standard universal family that
+    stays in native uint64 numpy ops (Python-object bignum math here was
+    ~40x slower and dominated the LSH stage)."""
     k = len(a)
     if len(shingles) == 0:
         return np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (k, n) = a[:,None]*x[None,:] + b  mod p   (object->uint64 safe via %)
-    prod = (a[:, None].astype(object) * shingles[None, :].astype(object)
-            + b[:, None].astype(object)) % _MERSENNE
-    return np.min(np.array(prod, dtype=np.uint64), axis=1)
+    with np.errstate(over="ignore"):
+        prod = a[:, None] * shingles[None, :] + b[:, None]  # mod 2^64
+    return np.min(prod, axis=1)
 
 
 def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
@@ -63,20 +67,31 @@ def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
     return out
 
 
+_SIMHASH_A = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
+_SIMHASH_B = np.uint64(0xBF58476D1CE4E5B9)
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit simhash over whitespace tokens (crc32-seeded bit votes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split():
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-            "big")
-        bits = np.fromiter(((h >> i) & 1 for i in range(64)), dtype=np.int64,
-                           count=64)
-        acc += bits * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    """64-bit simhash over whitespace tokens.
+
+    Token → crc32 → splitmix-style uint64 mix (vectorized); bit votes
+    summed as a (tokens × 64) matrix — no per-token Python hashing."""
+    toks = text.split()
+    if not toks:
+        return 0
+    crcs = np.fromiter((zlib.crc32(t.encode("utf-8")) for t in toks),
+                       dtype=np.uint64, count=len(toks))
+    with np.errstate(over="ignore"):
+        h = (crcs * _SIMHASH_A + _SIMHASH_B)
+        h ^= h >> np.uint64(31)
+        h = h * _SIMHASH_B
+        h ^= h >> np.uint64(29)
+    bits = ((h[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (bits * 2 - 1).sum(axis=0)
+    out = np.uint64(0)
+    mask = votes > 0
+    out = int(np.sum((np.uint64(1) << _BIT_IDX)[mask]))
     return out
 
 
