@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1_pricing": Q.tpch_q1_pricing,
         "top_spenders": Q.top_spenders,
         "events_hourly_window": Q.events_hourly_window,
+        "events_sliding_window": Q.events_sliding_window,
+        "events_sessionize": Q.events_sessionize,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
     }
@@ -181,5 +183,40 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
             FROM events
             GROUP BY event_type, hour_epoch ORDER BY event_type, hour_epoch
+        """,
+        "events_sliding_window": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS cents_in_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE OR
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events),
+            sessions AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS sid
+              FROM flagged)
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) // 1000000 AS BIGINT)
+                       AS session_start_epoch,
+                   CAST(epoch_us(max(ts)) // 1000000 AS BIGINT)
+                       AS session_end_epoch,
+                   count(*) AS n_events
+            FROM sessions GROUP BY user_id, sid
+            ORDER BY user_id, session_start_epoch
         """,
     }

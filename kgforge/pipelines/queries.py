@@ -397,6 +397,21 @@ def events_hourly_window(sf_dir: str):
                              Sum("value_cents", alias_name="value_cents")))
 
 
+def events_sliding_window(sf_dir: str):
+    """Per-event trailing 1h window (count + cents sum) per user."""
+    from ..stages.windows import sliding_count
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "value"])
+    return sliding_count(events)
+
+
+def events_sessionize(sf_dir: str):
+    """Gap-based sessions (30 min) per user over the event log."""
+    from ..stages.windows import sessionize
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return sessionize(events)
+
+
 def multimodal_decode(sf_dir: str):
     """Fake-image decode + feature plumbing: payload sizes scale with sf
     via the documents row count."""
