@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": Q.events_hourly_window,
         "events_sliding_window": Q.events_sliding_window,
         "events_sessionize": Q.events_sessionize,
+        "distinct_users_exact": Q.distinct_users_exact,
+        "distinct_users_hll": Q.distinct_users_hll,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
     }
@@ -183,6 +185,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
             FROM events
             GROUP BY event_type, hour_epoch ORDER BY event_type, hour_epoch
+        """,
+        "distinct_users_exact": """
+            SELECT count(DISTINCT user_id) AS n_distinct_users FROM events
         """,
         "events_sliding_window": """
             SELECT event_id, user_id,

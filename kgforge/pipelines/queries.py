@@ -397,6 +397,24 @@ def events_hourly_window(sf_dir: str):
                              Sum("value_cents", alias_name="value_cents")))
 
 
+def distinct_users_exact(sf_dir: str):
+    """Exact distinct-count via per-batch partial sets (mergeable-sketch
+    shape, exact variant)."""
+    from ..stages.sketches import distinct_count_exact
+    events = _read(sf_dir, "events", columns=["user_id"])
+    n = distinct_count_exact(events, "user_id")
+    return pa.table({"n_distinct_users": pa.array([n], pa.int64())})
+
+
+def distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct estimate (rows-only check; pytest asserts
+    the ~2% accuracy envelope against the exact count)."""
+    from ..stages.sketches import hll_distinct
+    events = _read(sf_dir, "events", columns=["user_id"])
+    est = hll_distinct(events, "user_id")
+    return pa.table({"estimate": pa.array([round(est, 1)], pa.float64())})
+
+
 def events_sliding_window(sf_dir: str):
     """Per-event trailing 1h window (count + cents sum) per user."""
     from ..stages.windows import sliding_count

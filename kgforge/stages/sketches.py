@@ -1,0 +1,100 @@
+"""Mergeable-sketch aggregation shape: per-batch partial sketches → one
+tiny merge stage (the pre-aggregation pattern for distinct counts and
+quantiles at 100 TB — shuffle volume is O(batches × sketch size), never
+O(rows)).
+
+- :func:`distinct_count_exact`: per-batch key SETS (serialized), driver
+  merge — exact; right when the distinct cardinality is bounded (it is
+  for user ids / labels; for open-ended keys use the HLL below).
+- :func:`hll_distinct`: HyperLogLog (deterministic crc32-based), ~2%
+  error at 2^11 registers; registers are max-mergeable so any tree shape
+  works.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def distinct_count_exact(ds: Dataset, col: str) -> int:
+    """Exact COUNT(DISTINCT col): per-batch uniques → driver set union.
+    Partial size is bounded by the true cardinality, not row count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uniq = pc.unique(batch.column(col))
+        return pa.table({col: uniq})
+
+    seen: set = set()
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        seen.update(b.column(col).to_pylist())
+    return len(seen)
+
+
+_HLL_P = 11                      # 2^11 registers → ~2.3% relative error
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _hll_hash(values: list) -> np.ndarray:
+    crcs = np.fromiter((zlib.crc32(str(v).encode("utf-8")) for v in values),
+                       dtype=np.uint64, count=len(values))
+    with np.errstate(over="ignore"):
+        h = crcs * _MIX_A + _MIX_B
+        h ^= h >> np.uint64(31)
+        h = h * _MIX_B
+        h ^= h >> np.uint64(29)
+    return h
+
+
+def hll_partial(values: list) -> np.ndarray:
+    """Register array (uint8[m]) for one batch of values."""
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    if not values:
+        return regs
+    h = _hll_hash(values)
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = h << np.uint64(_HLL_P)
+    # rank = position (1-based) of the first 1-bit in the remaining
+    # 64-P bits; all-zero → max rank
+    ranks = np.zeros(len(h), dtype=np.int64)
+    for bit in range(64 - _HLL_P):
+        mask = (rest >> np.uint64(63 - bit)) & np.uint64(1)
+        ranks = np.where((ranks == 0) & (mask == np.uint64(1)),
+                         bit + 1, ranks)
+    ranks = np.where(ranks == 0, 64 - _HLL_P + 1, ranks)
+    np.maximum.at(regs, idx, ranks.astype(np.uint8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = float(_HLL_M)
+    est = _HLL_ALPHA * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)      # small-range correction
+    return float(est)
+
+
+def hll_distinct(ds: Dataset, col: str) -> float:
+    """Approximate COUNT(DISTINCT): one register row per batch, merged
+    with element-wise max (associative/commutative)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = hll_partial(batch.column(col).to_pylist())
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(_HLL_M, dtype=np.uint8)
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_size=1024, batch_format="pyarrow")):
+        for raw in b.column("regs").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(raw, dtype=np.uint8))
+    return hll_estimate(merged)

@@ -183,3 +183,23 @@ def test_multimodal_actor_pool_stage():
                          concurrency=2)
     df = out.to_pandas()
     assert len(df) == 20 and df["decode_ok"].all()
+
+
+def test_sketches_distinct():
+    import pyarrow as pa
+
+    from kgforge.stages.sketches import (distinct_count_exact, hll_distinct,
+                                         hll_estimate, hll_partial)
+    import numpy as np
+    vals = [i % 137 for i in range(5000)]
+    ds = ray.data.from_arrow(pa.table({"k": vals}))
+    assert distinct_count_exact(ds, "k") == 137
+    est = hll_distinct(ds, "k")
+    assert abs(est - 137) / 137 < 0.15
+    # mergeability: union of partials == partial of union
+    a = hll_partial(list(range(0, 3000)))
+    b = hll_partial(list(range(2000, 6000)))
+    merged = np.maximum(a, b)
+    whole = hll_partial(list(range(0, 6000)))
+    assert np.array_equal(merged, whole)
+    assert abs(hll_estimate(whole) - 6000) / 6000 < 0.1
