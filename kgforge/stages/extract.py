@@ -75,7 +75,12 @@ class RuleBasedExtractor:
         relations: list[dict] = []
         for line in text.split("\n"):
             line = line.strip()
-            m = ACTED_RE.match(line)
+            # cheap substring gate before the anchored regexes — most
+            # lines (boilerplate, titles) match none of the templates
+            if " starred in " in line:
+                m = ACTED_RE.match(line)
+            else:
+                m = None
             if m:
                 person, title, year, role = m.groups()
                 entities.append({"label": "Person", "attributes": {"name": person}})
@@ -87,7 +92,7 @@ class RuleBasedExtractor:
                     "target": {"label": "Movie", "attributes": {"title": title}},
                     "attributes": {"role": role}})
                 continue
-            m = DIRECTED_RE.match(line)
+            m = DIRECTED_RE.match(line) if " was directed by " in line else None
             if m:
                 title, year, person = m.groups()
                 entities.append({"label": "Movie", "attributes": {
@@ -99,13 +104,13 @@ class RuleBasedExtractor:
                     "target": {"label": "Movie", "attributes": {"title": title}},
                     "attributes": {}})
                 continue
-            m = AGE_RE.match(line)
+            m = AGE_RE.match(line) if " years old." in line else None
             if m:
                 person, age = m.groups()
                 entities.append({"label": "Person", "attributes": {
                     "name": person, "age": int(age)}})
                 continue
-            m = SEQUEL_RE.match(line)
+            m = SEQUEL_RE.match(line) if " is a sequel." in line else None
             if m:
                 title, year = m.groups()
                 entities.append({"label": "Movie", "attributes": {
