@@ -43,7 +43,7 @@ from ray.data import Dataset
 from ..functions.html_text import extract_text_batch
 from ..keys import hash64
 from ..ontology import Ontology
-from ..stages.canonicalize import (NormalizeMentions, add_bucket,
+from ..stages.canonicalize import (add_bucket,
                                    make_edge_finalizer,
                                    make_edge_typed_builder,
                                    make_node_finalizer)
@@ -122,6 +122,15 @@ def _prepare_pages(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
 
 def extract_mentions(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
     prepared = _prepare_pages(pages, cfg)
+    if cfg.model_factory is None:
+        # light default model → stateless tasks (no actor spawn/ramp)
+        from ..stages.extract import triple_extract_task
+        return prepared.map_batches(
+            triple_extract_task,
+            fn_kwargs={"ontology_json": cfg.ontology_json,
+                       "max_input_chars": cfg.max_input_chars},
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size)
     return prepared.map_batches(
         TripleExtractor,
         fn_constructor_kwargs={
@@ -140,16 +149,14 @@ def _add_shard(batch: pa.Table, n_shards: int) -> pa.Table:
 
 
 def _normalized(mentions: Dataset, cfg: KGBuildConfig) -> Dataset:
-    alias_arg: Any = cfg.alias_map
-    if alias_arg and len(json.dumps(alias_arg)) > 1_000_000:
-        alias_arg = [ray.put(alias_arg)]  # broadcast big alias dictionaries
+    from ..stages.canonicalize import normalize_mentions_task
+    alias_ref = [ray.put(cfg.alias_map)] if cfg.alias_map else None
     return mentions.map_batches(
-        NormalizeMentions,
-        fn_constructor_kwargs={"ontology_json": cfg.ontology_json,
-                               "alias_map": alias_arg},
+        normalize_mentions_task,
+        fn_kwargs={"ontology_json": cfg.ontology_json,
+                   "alias_ref": alias_ref},
         batch_format="pyarrow",
-        batch_size=cfg.normalize_batch_size,
-        concurrency=cfg.normalize_concurrency)
+        batch_size=cfg.normalize_batch_size)
 
 
 def _fused_normalized(pages: Dataset, cfg: KGBuildConfig) -> Dataset:

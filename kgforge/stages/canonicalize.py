@@ -326,11 +326,24 @@ def _dict_key(label: str, attrs: dict):
         return None
 
 
-# Task-based fused path: for the light default model, stateless tasks in
-# the (already warm) default worker pool beat an actor pool — no actor
+# Task-based paths: for light stage state, stateless tasks in the
+# (already warm) default worker pool beat an actor pool — no actor
 # process spawn/import cost, elastic parallelism.  The stage state lives
 # in a per-worker-process module cache (workers are reused across tasks).
 _FUSED_STATE: dict = {}
+_NORMALIZE_STATE: dict = {}
+
+
+def normalize_mentions_task(batch: pa.Table, *, ontology_json: str,
+                            alias_ref=None) -> pa.Table:
+    key = (hash(ontology_json), alias_ref[0].hex() if alias_ref else None)
+    stage = _NORMALIZE_STATE.get(key)
+    if stage is None:
+        if len(_NORMALIZE_STATE) > 4:
+            _NORMALIZE_STATE.clear()
+        stage = NormalizeMentions(ontology_json, alias_ref)
+        _NORMALIZE_STATE[key] = stage
+    return stage(batch)
 
 
 def fused_extract_normalize_task(batch: pa.Table, *, ontology_json: str,

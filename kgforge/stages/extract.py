@@ -170,6 +170,25 @@ def payload_to_mention_rows(url: str, warc_ts: int, payload: dict) -> list[tuple
     return rows
 
 
+# task-based variant for light models: stateless tasks reuse warm worker
+# processes; the extractor lives in a per-process module cache (see the
+# same pattern in canonicalize.fused_extract_normalize_task)
+_EXTRACT_STATE: dict = {}
+
+
+def triple_extract_task(batch: pa.Table, *, ontology_json: str | None = None,
+                        max_input_chars: int = 500_000) -> pa.Table:
+    key = hash(ontology_json)
+    ex = _EXTRACT_STATE.get(key)
+    if ex is None:
+        if len(_EXTRACT_STATE) > 4:
+            _EXTRACT_STATE.clear()
+        ex = TripleExtractor(ontology_json=ontology_json,
+                             max_input_chars=max_input_chars)
+        _EXTRACT_STATE[key] = ex
+    return ex(batch)
+
+
 class TripleExtractor:
     """Actor-pool stage: pages batch → mention rows batch.
 
