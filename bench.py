@@ -143,8 +143,6 @@ def run_scaling() -> dict:
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
     return {
         "metric": "scaling_efficiency",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
         f"sec_{lo_cpus}": lo["value"],
         f"sec_{hi_cpus}": hi["value"],
         "mentions_per_sec_lo": lo["mentions_per_sec"],

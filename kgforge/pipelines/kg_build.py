@@ -218,8 +218,11 @@ def build_edges(normalized: Dataset, nodes: Dataset, cfg: KGBuildConfig,
         sk = t.column("src_key").to_pylist()
         dk = t.column("dst_key").to_pylist()
         keys = [f"{l}\x1e{s}\x1e{d}" for l, s, d in zip(labels, sk, dk)]
-        # ship only the fold inputs — label/src/dst recovered from the key
-        t = t.select(["state_json", "n_mentions"]).append_column(
+        # edge_key is an opaque identity; label/src/dst ride alongside
+        # (values may themselves contain separator bytes, so the key is
+        # never parsed)
+        t = t.select(["label", "src_key", "dst_key", "state_json",
+                      "n_mentions"]).append_column(
             "edge_key", pa.array(keys, pa.string()))
         return add_bucket(t, "edge_key", cfg.n_buckets)
 
@@ -278,7 +281,20 @@ def build_kg(pages: Dataset, cfg: KGBuildConfig,
         # push-based sort shuffle: measurably faster than pull-based for
         # the many-small-partition exchanges the folds produce
         c.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        return _build_kg_inner(pages, cfg, output_dir, resume, metrics, t0)
+    finally:
+        # restore even on failure — these are session-wide settings and a
+        # leaked 16 MiB block size would silently reshape every later
+        # pipeline on this driver
+        for c in contexts:
+            c.target_max_block_size = prev_block_size
+            c.shuffle_strategy = prev_shuffle
 
+
+def _build_kg_inner(pages: Dataset, cfg: KGBuildConfig,
+                    output_dir: str | None, resume: bool,
+                    metrics: dict, t0: float) -> KGResult:
     if output_dir:
         mentions = _mentions_checkpointed(pages, cfg, output_dir, resume,
                                           metrics)
@@ -338,9 +354,6 @@ def build_kg(pages: Dataset, cfg: KGBuildConfig,
         t4 = time.time()
         metrics["edges_sec"] = t4 - t3
         metrics["total_sec"] = t4 - t0
-    for c in contexts:
-        c.target_max_block_size = prev_block_size
-        c.shuffle_strategy = prev_shuffle
     return KGResult(nodes, edges, metrics)
 
 
@@ -353,7 +366,9 @@ def _mentions_checkpointed(pages: Dataset, cfg: KGBuildConfig,
     are skipped entirely — their pages never reach the extractor."""
     mentions_dir = os.path.join(output_dir, "mentions")
     os.makedirs(mentions_dir, exist_ok=True)
-    done = ckpt.completed_shards(mentions_dir) if resume else set()
+    done = (ckpt.completed_shards(mentions_dir,
+                                  expect_n_shards=cfg.n_shards)
+            if resume else set())
     if not resume:
         ckpt.clear_incomplete_shards(mentions_dir, set())
     else:

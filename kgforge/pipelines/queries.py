@@ -39,7 +39,10 @@ def _read(sf_dir: str, table: str, columns=None) -> Dataset:
 
 
 def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
-    return pc.round(pc.multiply(col, 100)).cast(pa.int64())
+    # DuckDB round() is half-AWAY-FROM-ZERO; pc.round defaults to
+    # half-to-even — floor(x*100 + 0.5) matches DuckDB for the
+    # non-negative money columns used here
+    return pc.floor(pc.add(pc.multiply(col, 100), 0.5)).cast(pa.int64())
 
 
 # ---------------------------------------------------------------------------
@@ -61,7 +64,15 @@ def pages_for_sf(sf_dir: str, n_override: int | None = None) -> tuple:
     return corpus_dir, f"{corpus_dir}/pages"
 
 
+_KG_RESULT_CACHE: dict = {}
+
+
 def _kg_result(sf_dir: str):
+    # size-1 memo: kg_nodes and kg_edges are separate gate queries but
+    # share one pipeline run (the materialized result pins only the small
+    # node/edge tables)
+    if sf_dir in _KG_RESULT_CACHE:
+        return _KG_RESULT_CACHE[sf_dir]
     from .kg_build import KGBuildConfig, build_kg
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
@@ -70,7 +81,10 @@ def _kg_result(sf_dir: str):
         alias_map = json.load(fh)
     pages = ray.data.read_parquet(pages_path)
     cfg = KGBuildConfig(ontology_json=ontology_json, alias_map=alias_map)
-    return build_kg(pages, cfg)
+    res = build_kg(pages, cfg)
+    _KG_RESULT_CACHE.clear()
+    _KG_RESULT_CACHE[sf_dir] = res
+    return res
 
 
 def kg_nodes(sf_dir: str):
@@ -201,7 +215,8 @@ def canonicalize_lww_events(sf_dir: str):
         return pd.DataFrame({
             "user_id": out["user_id"].astype(np.int64),
             "last_event_type": out["event_type"],
-            "last_value_cents": np.round(out["value"] * 100).astype(np.int64),
+            "last_value_cents": np.floor(out["value"] * 100 + 0.5).astype(
+                np.int64),
             "n_events": out["size"].astype(np.int64)})
 
     return (events.map_batches(bucket, batch_format="pyarrow")

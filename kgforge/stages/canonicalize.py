@@ -319,9 +319,13 @@ class FusedExtractNormalize:
 
 
 def _dict_key(label: str, attrs: dict):
-    """Hashable memo key for a payload attrs dict (None if unhashable)."""
+    """Hashable memo key for a payload attrs dict (None if unhashable —
+    e.g. list/dict attribute values from a sloppy LLM payload; hash() is
+    probed because sorted() alone doesn't prove hashability)."""
     try:
-        return (label,) + tuple(sorted(attrs.items()))
+        key = (label,) + tuple(sorted(attrs.items()))
+        hash(key)
+        return key
     except TypeError:
         return None
 
@@ -472,13 +476,22 @@ def make_edge_finalizer(ontology_json: str):
     endpoint semi-join (``attach_edge_ids_and_attrs``)."""
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        # label/src_key/dst_key are CARRIED through the shuffle rather
+        # than parsed back out of edge_key: attribute values may contain
+        # the separator bytes (real web text has control chars), so the
+        # key is treated as an opaque identity string
         acc = _fold_group(df, "edge_key", with_unique=False)
+        first_parts: dict[str, tuple] = {}
+        for ek, label, skey, dkey in zip(df["edge_key"], df["label"],
+                                         df["src_key"], df["dst_key"]):
+            if ek not in first_parts:
+                first_parts[ek] = (label, skey, dkey)
         keys = sorted(acc)
         rows = {"edge_key": [], "label": [], "src_key": [], "dst_key": [],
                 "state_json": [], "n_mentions": []}
         for key in keys:
             _u, state, n = acc[key]
-            label, skey, dkey = key.split(EDGE_SEP)
+            label, skey, dkey = first_parts[key]
             rows["edge_key"].append(key)
             rows["label"].append(label)
             rows["src_key"].append(skey)

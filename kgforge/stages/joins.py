@@ -92,6 +92,11 @@ def semi_join_keys(left: Dataset, right_keys: Dataset, left_col: str,
         return left.map_batches(_filter, batch_format="pyarrow")
 
     if strategy == "join":
+        # PRECONDITION: right_keys must be distinct on right_col — an
+        # inner join emits one row per matching right row, so duplicate
+        # keys would duplicate left rows (the broadcast branch is a true
+        # semi-join).  The canonicalized node table satisfies this by
+        # construction.
         right = right_keys.select_columns([right_col])
         joined = left.join(right, join_type="inner",
                            num_partitions=num_partitions,

@@ -42,17 +42,21 @@ def char_ngram_embedding(text: str, dim: int = 256,
 
 
 def link_surfaces_to_canonicals(surfaces: list[str], canonicals: list[str],
-                                threshold: float = 0.7,
-                                dim: int = 256) -> dict[str, str]:
+                                threshold: float = 0.7, dim: int = 256,
+                                c_mat: np.ndarray | None = None
+                                ) -> dict[str, str]:
     """Brute-force cosine nearest-canonical per surface (the exact
     baseline; the LSH/IVF variants in ``stages/ann.py`` are the scale
     path for huge canonical dictionaries).  Ambiguity guard: a surface
     links only when its best match clears the threshold AND beats the
-    runner-up by a margin."""
+    runner-up by a margin.  Pass a precomputed ``c_mat`` (e.g. the
+    broadcast matrix in :func:`ann_alias_map`) to avoid re-embedding the
+    canonical dictionary per call."""
     if not surfaces or not canonicals:
         return {}
     s_mat = np.stack([char_ngram_embedding(s, dim) for s in surfaces])
-    c_mat = np.stack([char_ngram_embedding(c, dim) for c in canonicals])
+    if c_mat is None:
+        c_mat = np.stack([char_ngram_embedding(c, dim) for c in canonicals])
     sims = s_mat @ c_mat.T
     out: dict[str, str] = {}
     for i, surface in enumerate(surfaces):
@@ -85,7 +89,7 @@ def ann_alias_map(mentions_surfaces: Dataset, label: str, attr: str,
         mat, names = ray.get(cref)
         surfaces = batch.column(surface_col).to_pylist()
         links = link_surfaces_to_canonicals(surfaces, names,
-                                            threshold=threshold)
+                                            threshold=threshold, c_mat=mat)
         keep = [s for s in surfaces if s in links]
         return pa.table({"surface": pa.array(keep, pa.string()),
                          "canonical": pa.array([links[s] for s in keep],

@@ -44,7 +44,9 @@ def sliding_count(ds: Dataset, key_col: str = "user_id", ts_col: str = "ts",
         for _, g in group.groupby(key_col, sort=False):
             g = g.sort_values([ts_col, id_col]).reset_index(drop=True)
             ts = g[ts_col].astype("int64").to_numpy()
-            cents = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
+            # half-away-from-zero to match DuckDB round() (values >= 0)
+            cents = np.floor(g[value_col].to_numpy() * 100 + 0.5).astype(
+                np.int64)
             csum = np.concatenate([[0], np.cumsum(cents)])
             # SQL RANGE-frame semantics: the window is [ts-w, ts] by
             # VALUE, so rows tied on ts (peers) are all included — ends

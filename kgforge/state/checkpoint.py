@@ -62,19 +62,33 @@ def write_table_manifest(table_dir: str, rows: int,
     return manifest
 
 
-def completed_shards(root: str) -> set[int]:
-    """Shards whose manifest exists and matches the files on disk."""
+def completed_shards(root: str,
+                     expect_n_shards: int | None = None) -> set[int]:
+    """Shards whose manifest exists and matches the files on disk.
+
+    ``expect_n_shards`` guards resume correctness: a checkpoint written
+    with a different shard count would silently misroute pages (pages
+    hashed to out-of-range shards never recompute), so a mismatch is a
+    hard error, not a skip.
+    """
     done: set[int] = set()
     for path in glob.glob(os.path.join(root, "shard=*", MANIFEST_NAME)):
         try:
             with open(path) as fh:
                 m = json.load(fh)
+            if (expect_n_shards is not None and "n_shards" in m
+                    and int(m["n_shards"]) != expect_n_shards):
+                raise ValueError(
+                    f"checkpoint at {root} was written with "
+                    f"n_shards={m['n_shards']}, resume requested "
+                    f"{expect_n_shards}; use the original shard count or "
+                    f"start a fresh output directory")
             d = os.path.dirname(path)
             files = sorted(os.path.basename(f)
                            for f in glob.glob(os.path.join(d, "*.parquet")))
             if files == sorted(m.get("files", [])):
                 done.add(int(m["shard"]))
-        except (OSError, ValueError, KeyError):
+        except (OSError, KeyError):
             continue
     return done
 

@@ -348,12 +348,24 @@ def cached_corpus_dir(n_pages: int, seed: int = 42,
     out = os.path.join(root, f"v{CORPUS_VERSION}_n{n_pages}_s{seed}")
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
+        import shutil
+
         import ray
-        os.makedirs(out, exist_ok=True)
+        # crash-safe: generate into a temp dir and rename — a killed run
+        # must never leave a half-written dir that a rerun would append
+        # duplicate parquet files into and then mark complete
+        tmp = f"{out}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
         if n_pages >= 20_000 and ray.is_initialized():
-            write_corpus_parallel(out, n_pages, seed)
+            write_corpus_parallel(tmp, n_pages, seed)
         else:
-            write_corpus(out, n_pages, seed)
-        with open(marker, "w") as fh:
+            write_corpus(tmp, n_pages, seed)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
             fh.write("ok")
+        if not os.path.exists(out):
+            os.replace(tmp, out)
+        else:  # a concurrent generator won the race
+            shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -129,3 +129,51 @@ def test_dangling_edges_dropped(small_corpus):
     res = build_kg(pages, cfg)
     assert res.nodes.count() == 1
     assert res.edges.count() == 0
+
+
+def test_malformed_payload_values_survive(small_corpus):
+    """Review regressions: list-valued attributes (unhashable memo key)
+    and separator control bytes inside attribute values must not crash
+    the fused pipeline or corrupt edge identity."""
+    pages = ray.data.from_arrow(small_corpus.pages.slice(0, 6))
+
+    class HostileExtractor:
+        def extract(self, text, instruction=""):
+            return {"entities": [
+                        {"label": "Person",
+                         "attributes": {"name": ["not", "a", "string"]}},
+                        {"label": "Person",
+                         "attributes": {"name": "a\x1eb\x1fc"}},
+                        {"label": "Movie",
+                         "attributes": {"title": "T\x1e"}}],
+                    "relations": [
+                        {"label": "ACTED_IN",
+                         "source": {"label": "Person",
+                                    "attributes": {"name": "a\x1eb\x1fc"}},
+                         "target": {"label": "Movie",
+                                    "attributes": {"title": "T\x1e"}},
+                         "attributes": {"role": "Weird"}}]}
+
+    cfg = KGBuildConfig(ontology_json=json.dumps(ONTOLOGY_JSON),
+                        model_factory=HostileExtractor, fused_concurrency=1,
+                        n_buckets=2)
+    res = build_kg(pages, cfg)
+    nodes = res.nodes.to_pandas()
+    # list-valued name stringified by coercion; control-char names intact
+    assert "a\x1eb\x1fc" in set(nodes[nodes.label == "Person"]["name"])
+    edges = res.edges.to_pandas()
+    assert len(edges) == 1 and edges.iloc[0]["role"] == "Weird"
+
+
+def test_resume_shard_count_mismatch_rejected(tmp_path):
+    from kgforge.testing.corpus import write_corpus
+    corpus = write_corpus(str(tmp_path / "c"), n_pages=30, seed=2, n_files=2)
+    pages = ray.data.read_parquet(str(tmp_path / "c" / "pages"))
+    out = str(tmp_path / "out")
+    cfg = KGBuildConfig(ontology_json=json.dumps(ONTOLOGY_JSON),
+                        alias_map=corpus.alias_map, n_shards=4, n_buckets=2)
+    build_kg(pages, cfg, output_dir=out)
+    cfg2 = KGBuildConfig(ontology_json=json.dumps(ONTOLOGY_JSON),
+                        alias_map=corpus.alias_map, n_shards=8, n_buckets=2)
+    with pytest.raises(ValueError, match="n_shards"):
+        build_kg(pages, cfg2, output_dir=out, resume=True)
