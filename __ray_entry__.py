@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": Q.events_sessionize,
         "distinct_users_exact": Q.distinct_users_exact,
         "distinct_users_hll": Q.distinct_users_hll,
+        "curate_documents": Q.curate_documents,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
     }
@@ -188,6 +189,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_users_exact": """
             SELECT count(DISTINCT user_id) AS n_distinct_users FROM events
+        """,
+        "curate_documents": r"""
+            WITH kept AS (
+              SELECT min(doc_id) AS doc_id, count(*) AS n_dups,
+                     text
+              FROM documents GROUP BY text)
+            SELECT doc_id, n_dups,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens
+            FROM kept
+            WHERE length(regexp_extract_all(text, '\S+')) BETWEEN 10 AND 500
+              AND CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0) < 0.1
+            ORDER BY doc_id
         """,
         "events_sliding_window": """
             SELECT event_id, user_id,

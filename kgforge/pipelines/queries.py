@@ -412,6 +412,36 @@ def events_hourly_window(sf_dir: str):
                              Sum("value_cents", alias_name="value_cents")))
 
 
+def curate_documents(sf_dir: str):
+    """Training-data curation pipeline: exact dedup (keep smallest id) →
+    token-count band → punctuation-ratio cap, composed from the dedup and
+    textstats stages — the kind of filter chain a pretraining corpus runs
+    before tokenization.  Exact SQL oracle."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = exact_dedup(docs)            # doc_id, n_dups, text
+
+    def gate(batch: pa.Table) -> pa.Table:
+        stats = token_stats_batch(batch)
+        n_tok = stats.column("n_tokens")
+        n_chars = pc.utf8_length(stats.column("text")).cast(pa.int64())
+        n_punct = pc.count_substring_regex(stats.column("text"),
+                                           r"[^\w\s]").cast(pa.int64())
+        ratio = pc.divide(n_punct.cast(pa.float64()),
+                          pc.max_element_wise(n_chars.cast(pa.float64()),
+                                              1.0))
+        keep = pc.and_(pc.and_(pc.greater_equal(n_tok, 10),
+                               pc.less_equal(n_tok, 500)),
+                       pc.less(ratio, 0.1))
+        out = stats.filter(keep)
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "n_dups": out.column("n_dups"),
+            "n_tokens": out.column("n_tokens"),
+        })
+
+    return kept.map_batches(gate, batch_format="pyarrow")
+
+
 def distinct_users_exact(sf_dir: str):
     """Exact distinct-count via per-batch partial sets (mergeable-sketch
     shape, exact variant)."""
