@@ -101,8 +101,9 @@ class GraphStore:
         known = set(self._node_keys())
         if skey not in known or dkey not in known:
             raise ValueError("Edge endpoints do not exist in the graph")
+        from .keys import compose_edge_key
         # same identity as the pipeline: edge_key = label‖src_key‖dst_key
-        row = {"edge_id": hash64(f"{label}{EDGE_SEP}{skey}{EDGE_SEP}{dkey}"),
+        row = {"edge_id": hash64(compose_edge_key(label, skey, dkey)),
                "label": label, "src_id": hash64(skey), "dst_id": hash64(dkey),
                "n_mentions": 1}
         for name, typ in edge_attr_schema(self.ontology).items():

@@ -31,8 +31,30 @@ _UNESCAPED_QUOTE = re.compile(r"((?<!\\)(\"))|((?<!\\)(\'))")
 # unit separator / record separator — cannot appear in rendered literals' role
 KEY_SEP = "\x1f"
 # edge keys join (label, src node_key, dst node_key); node keys already
-# contain KEY_SEP, so edge components use the next separator up
+# contain KEY_SEP, so edge components use the next separator up.
+# Attribute VALUES can contain any byte (real web text), so node keys are
+# escaped bijectively before composing an edge key — the composed key
+# then splits unambiguously on EDGE_SEP.
 EDGE_SEP = "\x1e"
+
+
+def escape_component(s: str) -> str:
+    """Bijective escaping that removes EDGE_SEP from a key component."""
+    return s.replace("\x00", "\x00\x01").replace(EDGE_SEP, "\x00\x02")
+
+
+def unescape_component(s: str) -> str:
+    return s.replace("\x00\x02", EDGE_SEP).replace("\x00\x01", "\x00")
+
+
+def compose_edge_key(label: str, src_key: str, dst_key: str) -> str:
+    return (label + EDGE_SEP + escape_component(src_key)
+            + EDGE_SEP + escape_component(dst_key))
+
+
+def split_edge_key(edge_key: str) -> tuple[str, str, str]:
+    label, skey, dkey = edge_key.split(EDGE_SEP)
+    return label, unescape_component(skey), unescape_component(dkey)
 
 
 def cypher_literal(value: Any) -> str:

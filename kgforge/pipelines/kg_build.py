@@ -214,15 +214,16 @@ def build_edges(normalized: Dataset, nodes: Dataset, cfg: KGBuildConfig,
     rels = filter_kind(normalized, "relation")
 
     def with_edge_key(t: pa.Table) -> pa.Table:
+        from ..keys import compose_edge_key
         labels = t.column("label").to_pylist()
         sk = t.column("src_key").to_pylist()
         dk = t.column("dst_key").to_pylist()
-        keys = [f"{l}\x1e{s}\x1e{d}" for l, s, d in zip(labels, sk, dk)]
-        # edge_key is an opaque identity; label/src/dst ride alongside
-        # (values may themselves contain separator bytes, so the key is
-        # never parsed)
-        t = t.select(["label", "src_key", "dst_key", "state_json",
-                      "n_mentions"]).append_column(
+        keys = [compose_edge_key(l, s, d)
+                for l, s, d in zip(labels, sk, dk)]
+        # ship only the fold inputs — label/src/dst are recovered by
+        # split_edge_key (components are escaped, so the split is
+        # unambiguous even when attribute values contain separator bytes)
+        t = t.select(["state_json", "n_mentions"]).append_column(
             "edge_key", pa.array(keys, pa.string()))
         return add_bucket(t, "edge_key", cfg.n_buckets)
 

@@ -476,22 +476,16 @@ def make_edge_finalizer(ontology_json: str):
     endpoint semi-join (``attach_edge_ids_and_attrs``)."""
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        # label/src_key/dst_key are CARRIED through the shuffle rather
-        # than parsed back out of edge_key: attribute values may contain
-        # the separator bytes (real web text has control chars), so the
-        # key is treated as an opaque identity string
+        from ..keys import split_edge_key
         acc = _fold_group(df, "edge_key", with_unique=False)
-        first_parts: dict[str, tuple] = {}
-        for ek, label, skey, dkey in zip(df["edge_key"], df["label"],
-                                         df["src_key"], df["dst_key"]):
-            if ek not in first_parts:
-                first_parts[ek] = (label, skey, dkey)
         keys = sorted(acc)
         rows = {"edge_key": [], "label": [], "src_key": [], "dst_key": [],
                 "state_json": [], "n_mentions": []}
         for key in keys:
             _u, state, n = acc[key]
-            label, skey, dkey = first_parts[key]
+            # components were escaped at composition, so the split is
+            # unambiguous even for values containing separator bytes
+            label, skey, dkey = split_edge_key(key)
             rows["edge_key"].append(key)
             rows["label"].append(label)
             rows["src_key"].append(skey)
