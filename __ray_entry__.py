@@ -24,6 +24,51 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kgforge.pipelines import queries as Q  # noqa: E402
 
 
+def _ensure_workers_can_import() -> None:
+    """Ray workers build sys.path from the env/cwd captured at
+    ``ray.init`` — a driver initialised outside /root/repo without
+    PYTHONPATH leaves workers unable to import kgforge.  Probe once; if
+    broken, load every kgforge module and register them for by-value
+    cloudpickle so tasks ship the code instead of importing it."""
+    try:
+        import ray
+        if not ray.is_initialized():
+            return
+
+        @ray.remote(num_cpus=0)
+        def _probe() -> bool:
+            try:
+                import kgforge  # noqa: F401
+                return True
+            except ImportError:
+                return False
+
+        if ray.get(_probe.remote(), timeout=60):
+            return
+        import importlib
+        import pkgutil
+
+        import kgforge
+        for info in pkgutil.walk_packages(kgforge.__path__,
+                                          prefix="kgforge."):
+            try:
+                importlib.import_module(info.name)
+            except Exception:  # noqa: BLE001
+                pass
+        from ray import cloudpickle
+        for name, mod in list(sys.modules.items()):
+            if name == "kgforge" or name.startswith("kgforge."):
+                try:
+                    cloudpickle.register_pickle_by_value(mod)
+                except Exception:  # noqa: BLE001
+                    pass
+    except Exception:  # noqa: BLE001 — defensive: never break import
+        pass
+
+
+_ensure_workers_can_import()
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: returns the canonicalized node table."""
     return Q.kg_nodes("/root/testdata/sf0.001")

@@ -41,7 +41,7 @@ import ray
 from ray.data import Dataset
 
 from ..functions.html_text import extract_text_batch
-from ..keys import hash64
+from ..keys import compose_edge_key, hash64
 from ..ontology import Ontology
 from ..stages.canonicalize import (add_bucket,
                                    make_edge_finalizer,
@@ -214,7 +214,6 @@ def build_edges(normalized: Dataset, nodes: Dataset, cfg: KGBuildConfig,
     rels = filter_kind(normalized, "relation")
 
     def with_edge_key(t: pa.Table) -> pa.Table:
-        from ..keys import compose_edge_key
         labels = t.column("label").to_pylist()
         sk = t.column("src_key").to_pylist()
         dk = t.column("dst_key").to_pylist()

@@ -43,8 +43,11 @@ import ray
 
 from ..keys import (EDGE_SEP, KEY_SEP, coerce_value, hash64, node_key,
                     non_unique_attr_dict, render_properties,
-                    unique_attr_dict)
+                    split_edge_key, unique_attr_dict)
 from ..ontology import Entity, Ontology
+# top-level (not runtime) import so worker tasks never need kgforge on
+# sys.path when the by-value cloudpickle fallback is active
+from .extract import RuleBasedExtractor  # noqa: E402
 
 NORMALIZED_SCHEMA = pa.schema([
     ("kind", pa.string()),
@@ -262,7 +265,6 @@ class FusedExtractNormalize:
 
     def __init__(self, ontology_json: str, alias_map: Any = None,
                  model_factory=None, max_input_chars: int = 500_000):
-        from .extract import RuleBasedExtractor
         self._folder = _MentionFolder(ontology_json, alias_map)
         self.model = (model_factory() if model_factory
                       else RuleBasedExtractor())
@@ -476,7 +478,6 @@ def make_edge_finalizer(ontology_json: str):
     endpoint semi-join (``attach_edge_ids_and_attrs``)."""
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        from ..keys import split_edge_key
         acc = _fold_group(df, "edge_key", with_unique=False)
         keys = sorted(acc)
         rows = {"edge_key": [], "label": [], "src_key": [], "dst_key": [],
