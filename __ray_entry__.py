@@ -148,7 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "edge_semijoin_events": """
             SELECT e.user_id,
                    count(*) AS n_events,
-                   sum(CAST(round(e.value * 100) AS BIGINT)) AS total_cents
+                   CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
             FROM events e
             JOIN (SELECT DISTINCT c_custkey FROM customer) c
               ON e.user_id = c.c_custkey
@@ -206,9 +207,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                       AS sum_price_cents,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
                    count(*) AS n
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -217,8 +219,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_spenders": """
             SELECT o.o_custkey, c.c_name,
-                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
-                       AS total_cents,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
                    count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY o.o_custkey, c.c_name
@@ -228,7 +230,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                    count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
             FROM events
             GROUP BY event_type, hour_epoch ORDER BY event_type, hour_epoch
         """,

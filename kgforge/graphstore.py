@@ -62,7 +62,17 @@ class GraphStore:
                 raise ValueError(f"Attribute {attr.name} must be a boolean")
 
     def add_node(self, label: str, attributes: dict) -> int:
-        """Validated manual node insert (reference ``kg.py:189-237``)."""
+        """Validated manual node upsert (reference ``kg.py:189-237``).
+
+        Mirrors the reference's idempotent ``MERGE (n) SET n += {...}``:
+        a key already pending in this session is updated in place
+        (provided attributes overwrite); a key already materialized on
+        disk is a MERGE match — no duplicate row is appended (attribute
+        updates to already-materialized nodes are not rewritten into the
+        parquet; rebuild or use the pipeline for bulk updates).  Unique
+        attribute columns are populated from the ``""``-defaulted unique
+        dict so manual rows agree with the pipeline sink's values.
+        """
         entity = self.ontology.get_entity_with_label(label)
         if entity is None:
             raise ValueError(f"Entity {label} not found in ontology")
@@ -70,13 +80,24 @@ class GraphStore:
         uniq = {a.name: attributes.get(a.name, "")
                 for a in entity.attributes if a.unique}
         key = label + KEY_SEP + render_properties(uniq)
-        row = {"node_id": hash64(key), "node_key": key, "label": label,
+        node_id = hash64(key)
+        values = dict(attributes)
+        values.update(uniq)  # "" defaults, same as the pipeline finalizer
+        for pending in self._extra_nodes:
+            if pending["node_key"] == key:  # session upsert: SET +=
+                for name, typ in node_attr_schema(self.ontology).items():
+                    if name in values:
+                        pending[name] = coerce_value(values[name], typ)
+                return node_id
+        if key in set(self._node_keys()):
+            return node_id  # MERGE match against materialized table
+        row = {"node_id": node_id, "node_key": key, "label": label,
                "n_mentions": 1}
         for name, typ in node_attr_schema(self.ontology).items():
-            row[name] = (coerce_value(attributes[name], typ)
-                         if name in attributes else None)
+            row[name] = (coerce_value(values[name], typ)
+                         if name in values else None)
         self._extra_nodes.append(row)
-        return row["node_id"]
+        return node_id
 
     def add_edge(self, label: str, src_label: str, src_attrs: dict,
                  dst_label: str, dst_attrs: dict,

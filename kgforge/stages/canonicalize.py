@@ -41,8 +41,8 @@ import pyarrow as pa
 
 import ray
 
-from ..keys import (EDGE_SEP, KEY_SEP, coerce_value, hash64, node_key,
-                    non_unique_attr_dict, render_properties,
+from ..keys import (KEY_SEP, coerce_value, compose_edge_key, hash64,
+                    node_key, non_unique_attr_dict, render_properties,
                     split_edge_key, unique_attr_dict)
 from ..ontology import Entity, Ontology
 # top-level (not runtime) import so worker tasks never need kgforge on
@@ -83,9 +83,18 @@ def _state(order: tuple, attrs: dict) -> dict:
 
 
 def _merge_state(into: dict, other: dict) -> dict:
+    """Per-attribute LWW merge on the (warc_ts, url_hash, seq) order
+    tuple.  Exact order ties (possible when the corpus repeats a
+    url+warc_ts row) are broken on the serialized value so the merge is
+    fully associative/commutative regardless of block layout."""
     for k, (order, val) in other.items():
         cur = into.get(k)
-        if cur is None or tuple(order) >= tuple(cur[0]):
+        if cur is None:
+            into[k] = [order, val]
+            continue
+        o_new, o_cur = tuple(order), tuple(cur[0])
+        if o_new > o_cur or (o_new == o_cur
+                             and json.dumps(val) > json.dumps(cur[1])):
             into[k] = [order, val]
     return into
 
@@ -157,7 +166,10 @@ class _MentionFolder:
         dkey = self.endpoint_key(dst_label, dst_attrs, dst_cache_key)
         if skey is None or dkey is None:
             return  # unknown endpoint label: MATCH can never hit
-        ekey = label + EDGE_SEP + skey + EDGE_SEP + dkey
+        # escaped composition: node keys can contain EDGE_SEP bytes (real
+        # web-text attribute values), so the combiner key must use the
+        # same collision-free identity as the shuffle path (kg_build)
+        ekey = compose_edge_key(label, skey, dkey)
         # edge attrs pass through UNFILTERED (the reference SET r += takes
         # args["attributes"] as-is, extract_data_step.py:250-266)
         cur = self._rel_acc.get(ekey)
@@ -298,21 +310,29 @@ class FusedExtractNormalize:
                 if not isinstance(ent, dict) or "label" not in ent:
                     continue
                 label = str(ent["label"])
-                attrs = ent.get("attributes", {}) or {}
+                attrs = ent.get("attributes") or {}
+                if not isinstance(attrs, dict):
+                    continue  # bad per-item payload: skip, don't crash
                 f.add_entity((ts, uh, seq), label, attrs,
                              cache_key=_dict_key(label, attrs))
                 seq += 1
             for rel in payload["relations"]:
                 if not isinstance(rel, dict) or "label" not in rel:
                     continue
-                src = rel.get("source") or {}
-                dst = rel.get("target") or {}
+                src = rel.get("source")
+                dst = rel.get("target")
+                src = src if isinstance(src, dict) else {}
+                dst = dst if isinstance(dst, dict) else {}
                 s_label = str(src.get("label", ""))
                 d_label = str(dst.get("label", ""))
-                s_attrs = src.get("attributes", {}) or {}
-                d_attrs = dst.get("attributes", {}) or {}
+                r_attrs = rel.get("attributes") or {}
+                s_attrs = src.get("attributes") or {}
+                d_attrs = dst.get("attributes") or {}
+                if not (isinstance(r_attrs, dict) and isinstance(s_attrs, dict)
+                        and isinstance(d_attrs, dict)):
+                    continue  # bad per-item payload: skip, don't crash
                 f.add_relation((ts, uh, seq), str(rel["label"]),
-                               rel.get("attributes", {}) or {},
+                               r_attrs,
                                s_label, s_attrs, d_label, d_attrs,
                                src_cache_key=_dict_key(s_label, s_attrs),
                                dst_cache_key=_dict_key(d_label, d_attrs))

@@ -146,26 +146,42 @@ def payload_to_mention_rows(url: str, warc_ts: int, payload: dict) -> list[tuple
     which defines deterministic last-writer-wins attribute merge order
     downstream.
     """
+    def _attrs(obj: dict, key: str = "attributes") -> dict | None:
+        # reference swallows bad per-item payloads (extract_data_step.py
+        # ~180-189, per-item try/except-continue); a null or non-dict
+        # "attributes" must not crash the task — treat null as {} and any
+        # other non-dict as a skip signal.
+        val = obj.get(key) or {}
+        return val if isinstance(val, dict) else None
+
     rows = []
     seq = 0
     for ent in payload.get("entities", []):
         if not isinstance(ent, dict) or "label" not in ent:
             continue
+        attrs = _attrs(ent)
+        if attrs is None:
+            continue
         rows.append((url, warc_ts, seq, "entity", str(ent["label"]),
-                     json.dumps(ent.get("attributes", {}), sort_keys=False),
+                     json.dumps(attrs, sort_keys=False),
                      None, None, None, None))
         seq += 1
     for rel in payload.get("relations", []):
         if not isinstance(rel, dict) or "label" not in rel:
             continue
-        src = rel.get("source") or {}
-        dst = rel.get("target") or {}
+        src = rel.get("source")
+        dst = rel.get("target")
+        src = src if isinstance(src, dict) else {}
+        dst = dst if isinstance(dst, dict) else {}
+        attrs, src_attrs, dst_attrs = _attrs(rel), _attrs(src), _attrs(dst)
+        if attrs is None or src_attrs is None or dst_attrs is None:
+            continue
         rows.append((url, warc_ts, seq, "relation", str(rel["label"]),
-                     json.dumps(rel.get("attributes", {}) or {}),
+                     json.dumps(attrs),
                      str(src.get("label", "")),
-                     json.dumps(src.get("attributes", {}) or {}),
+                     json.dumps(src_attrs),
                      str(dst.get("label", "")),
-                     json.dumps(dst.get("attributes", {}) or {})))
+                     json.dumps(dst_attrs)))
         seq += 1
     return rows
 

@@ -20,6 +20,11 @@ import pyarrow.dataset as pads
 MANIFEST_NAME = "_manifest.json"
 
 
+class ShardCountMismatch(ValueError):
+    """Resume requested with a different shard count than the checkpoint
+    was written with — a hard error (pages would silently misroute)."""
+
+
 def shard_dir(root: str, shard: int) -> str:
     return os.path.join(root, f"shard={shard}")
 
@@ -78,7 +83,7 @@ def completed_shards(root: str,
                 m = json.load(fh)
             if (expect_n_shards is not None and "n_shards" in m
                     and int(m["n_shards"]) != expect_n_shards):
-                raise ValueError(
+                raise ShardCountMismatch(
                     f"checkpoint at {root} was written with "
                     f"n_shards={m['n_shards']}, resume requested "
                     f"{expect_n_shards}; use the original shard count or "
@@ -88,7 +93,12 @@ def completed_shards(root: str,
                            for f in glob.glob(os.path.join(d, "*.parquet")))
             if files == sorted(m.get("files", [])):
                 done.add(int(m["shard"]))
-        except (OSError, KeyError):
+        except ShardCountMismatch:
+            raise
+        except (OSError, KeyError, ValueError):
+            # a truncated/corrupt manifest (json.JSONDecodeError is a
+            # ValueError) or a non-int "shard" field means the shard is
+            # incomplete — recompute it, don't crash the resume
             continue
     return done
 
