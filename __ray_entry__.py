@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_docs": Q.dedup_simhash_docs,
         "dedup_ngram_docs": Q.dedup_ngram_docs,
         "dedup_embedding_pairs": Q.dedup_embedding_pairs,
+        "dedup_embedding_lsh": Q.dedup_embedding_lsh,
         # similarity search
         "ann_topk_cosine": Q.ann_topk_cosine,
         "ann_ivf_topk": Q.ann_ivf_topk,
@@ -118,6 +119,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _STOPWORDS_SQL = "'" + "','".join(sorted(
     ["the", "and", "of", "a", "to", "in", "is", "it", "that", "for"])) + "'"
+
+_ANN_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 4)
+    SELECT q.query_id, e.vec_id,
+           round(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS score
+    FROM embeddings e CROSS JOIN q
+    QUALIFY row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_cosine_similarity(
+            CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                 e.vec_id) <= 10
+    ORDER BY query_id, score DESC, vec_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -161,20 +178,55 @@ def oracle_sql() -> dict[str, str]:
                    text
             FROM documents GROUP BY text ORDER BY doc_id
         """,
-        "ann_topk_cosine": """
-            WITH q AS (SELECT vec_id AS query_id,
-                              CAST(embedding AS DOUBLE[]) AS qe
-                       FROM embeddings WHERE vec_id < 4)
-            SELECT q.query_id, e.vec_id,
-                   round(list_cosine_similarity(
-                       CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS score
-            FROM embeddings e CROSS JOIN q
-            QUALIFY row_number() OVER (
-                PARTITION BY q.query_id
-                ORDER BY list_cosine_similarity(
-                    CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
-                         e.vec_id) <= 10
-            ORDER BY query_id, score DESC, vec_id
+        "ann_topk_cosine": _ANN_TOPK_SQL,
+        # IVF runs in its exact configuration for the gate (nprobe =
+        # n_centroids probes every bucket), so the brute-force oracle
+        # applies; approximate-recall is measured separately.
+        "ann_ivf_topk": _ANN_TOPK_SQL,
+        "dedup_ngram_docs": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(range(1, len(toks) - 1), i ->
+                               toks[i] || ' ' || toks[i+1] || ' ' ||
+                               toks[i+2]) END AS grams
+              FROM d WHERE len(toks) > 0),
+            s AS (SELECT doc_id, unnest(list_distinct(grams)) AS sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, jaccard
+            FROM (SELECT p.id_a, p.id_b,
+                         CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+                             AS jaccard
+                  FROM pairs p JOIN sz sa ON p.id_a = sa.doc_id
+                               JOIN sz sb ON p.id_b = sb.doc_id)
+            WHERE jaccard >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        # planted near-duplicates (testdata ships none above cosine 0.51):
+        # identical float64 elementwise mix as queries._augmented_embeddings
+        "dedup_embedding_pairs": """
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                          FROM embeddings),
+            planted AS (
+              SELECT 10000000 + a.vec_id AS vec_id,
+                     list_transform(range(1, len(a.v) + 1), k ->
+                         0.95 * a.v[k] + 0.05 * b.v[k]) AS v
+              FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+              WHERE a.vec_id < 12),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+            ORDER BY id_a, id_b
         """,
         "token_stats_docs": r"""
             SELECT doc_id,

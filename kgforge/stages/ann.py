@@ -21,8 +21,33 @@ import ray
 from ray.data import Dataset
 
 
+def vectors_to_matrix(batch: pa.Table, vec_col: str,
+                      dtype=np.float64) -> np.ndarray:
+    """``list<float>`` / ``fixed_size_list`` column → ``(n, d)`` matrix
+    without a Python list round-trip: reshape the flattened Arrow values
+    buffer (zero-copy up to the final dtype cast).  Ragged rows raise —
+    embedding columns are fixed-dimension by contract."""
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(vals.reshape(n, d), dtype=dtype)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if widths.size and not np.all(widths == widths[0]):
+        raise ValueError(f"ragged vector column {vec_col!r}")
+    d = int(widths[0]) if widths.size else 0
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(vals.reshape(n, d), dtype=dtype)
+
+
 def _as_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    return np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+    return vectors_to_matrix(batch, vec_col)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:

@@ -1,35 +1,44 @@
 """Deduplication operators for web-scale training-data curation.
 
-All follow the same scale shape: per-batch vectorized signature
-computation (``map_batches``) → explode to bucket rows → ONE
-``groupby`` shuffle over bucket keys → within-bucket verification in
-``map_groups``.  No stage materializes the corpus; candidate
-verification happens on signatures carried through the shuffle, never by
-re-fetching documents.
+Scale shape (round-2 re-plumb): signatures are computed ONCE per doc and
+kept in a narrow side table; the LSH band shuffle ships only
+``(id, band_id, band_hash)`` rows (~20 B/doc/band — round 1 shipped the
+full signature in every band row, an O(bands × sig_bytes) exchange);
+candidate pairs come out of the band groupby, get deduplicated, and only
+THEN are signatures/shingle-sets/vectors joined back for the candidate
+ids.  All in-bucket work is vectorized (numpy matrices), never
+``iterrows``/``combinations``.
 
 - ``exact_dedup``: content-hash groupby, keep smallest id (deterministic).
-- ``minhash_lsh_pairs``: word-shingle minhash, banded LSH buckets,
+- ``minhash_lsh_pairs``: word-shingle minhash, banded LSH candidates,
   signature-estimated Jaccard verification.
-- ``simhash_pairs``: 64-bit simhash, 16-bit band blocking, Hamming
-  verification.
-- ``ngram_jaccard_pairs``: exact n-gram Jaccard verification on LSH
-  candidates (shingle sets carried only for candidates' buckets).
-- ``embedding_pairs``: random-hyperplane LSH over an embedding column,
-  within-bucket cosine verification.
+- ``simhash_pairs``: 64-bit simhash, 16-bit band blocking (pigeonhole-
+  complete for Hamming<=3), vectorized Hamming verification.  The 8-byte
+  simhash rides the band shuffle directly (4 bands × 8 B is already
+  candidate-shaped — no join needed).
+- ``ngram_jaccard_pairs``: EXACT n-gram Jaccard; candidates from a
+  shared-shingle inverted index (complete for any threshold > 0), with
+  an optional hot-shingle document-frequency cutoff for corpora where
+  stop-shingles would blow up the candidate set.
+- ``embedding_pairs``: random-hyperplane LSH candidates over an
+  embedding column, exact-cosine verification on joined unit vectors.
+- ``embedding_pairs_exact``: exact all-pairs cosine via a broadcast
+  matrix — the oracle baseline (bounded by matrix-in-memory; the LSH
+  path is the 100-TB route).
 """
 
 from __future__ import annotations
 
-import hashlib
-from itertools import combinations
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 from ray.data import Dataset
 
 from ..functions import hashing as H
+from .ann import vectors_to_matrix
 
 N_COARSE_BUCKETS = 64
 
@@ -40,9 +49,212 @@ def _coarse_bucket(tbl: pa.Table, key_col: str,
     bucket (O(n) groups, sized to the cluster), and the exact-key pairing
     runs vectorized inside each bucket — per-tiny-group ``map_groups``
     scheduling is the scale killer this avoids."""
-    vals = tbl.column(key_col).to_pylist()
-    return tbl.append_column(
-        "bucket", pa.array([int(v) % n for v in vals], pa.int64()))
+    col = tbl.column(key_col).cast(pa.uint64())
+    bucket = pc.bit_wise_and(col, pa.scalar(n - 1, pa.uint64()))
+    return tbl.append_column("bucket", bucket.cast(pa.int64()))
+
+
+def _pairs_df(ids_a: np.ndarray, ids_b: np.ndarray,
+              extra: dict | None = None) -> pd.DataFrame:
+    out = pd.DataFrame({"id_a": ids_a.astype(np.int64),
+                        "id_b": ids_b.astype(np.int64)})
+    for name, vals in (extra or {}).items():
+        out[name] = vals
+    return out
+
+
+def _emit_bucket_pairs(group: pd.DataFrame, id_col: str,
+                       key_cols: list[str],
+                       max_group: int | None = None) -> pd.DataFrame:
+    """All C(m,2) id pairs within each exact LSH bucket of the coarse
+    group, vectorized (sorted ids, ``np.triu_indices``).  Only buckets
+    with >= 2 members are visited (the Python group loop over the long
+    singleton tail was the round-1 hot spot); pairs are deduped within
+    the coarse group, with residual cross-band duplicates collapsing in
+    the verification bucket."""
+    dup = group.duplicated(subset=key_cols, keep=False)
+    group = group[dup]
+    out_a, out_b = [], []
+    for _, sub in group.groupby(key_cols, sort=False):
+        ids = np.unique(sub[id_col].to_numpy())
+        m = len(ids)
+        if m < 2 or (max_group is not None and m > max_group):
+            continue
+        ia, ib = np.triu_indices(m, k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return _pairs_df(np.empty(0, np.int64), np.empty(0, np.int64))
+    pairs = _pairs_df(np.concatenate(out_a), np.concatenate(out_b))
+    return pairs.drop_duplicates(subset=["id_a", "id_b"])
+
+
+def _empty_pairs(metric_col: str, metric_type: pa.DataType) -> Dataset:
+    return ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        metric_col: pa.array([], metric_type)}))
+
+
+def _pbucket_of(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + b.astype(np.uint64)) % np.uint64(N_COARSE_BUCKETS)
+    return h.astype(np.int64)
+
+
+def _join_pair_payloads(cands: Dataset, payloads: Dataset, id_col: str,
+                        payload_col: str,
+                        max_driver_pairs: int = 5_000_000) -> Dataset | None:
+    """Candidate pairs × per-doc payload table → two rows per pair, each
+    carrying one side's payload — the candidate-first core: the heavy
+    payload (signature / shingle set / vector) only ever moves for ids
+    that actually appear in a candidate pair.
+
+    Fast path: the (globally deduplicated) candidate pairs are streamed
+    to the driver — bounded by the near-duplicate count, ≪ corpus by the
+    premise of dedup — and broadcast as an id → pairs map; one
+    ``map_batches`` over the payload table then emits each candidate
+    payload replicated to its pairs' verification buckets.  ONE shuffle
+    (the verify groupby) after candidate emission.
+
+    Above ``max_driver_pairs`` the pairs stay distributed: exploded pair
+    sides and ``pc.is_in``-filtered payloads are co-located by a
+    tag-union bucket groupby instead (two shuffles).  ``Dataset.join``
+    is deliberately avoided on this path: its hash aggregator builds
+    schema-less empty partitions for sparse keys (ray 2.49
+    join.py:106-118 finalize) and sparse is the normal case here.
+
+    Returns ``None`` when there are no candidates."""
+    cands = cands.materialize()
+    chunks_a, chunks_b = [], []
+    total = 0
+    overflow = False
+    for t in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        chunks_a.append(t.column("id_a").to_numpy(zero_copy_only=False))
+        chunks_b.append(t.column("id_b").to_numpy(zero_copy_only=False))
+        total += t.num_rows
+        if total > max_driver_pairs:
+            overflow = True
+            break
+    if overflow:
+        return _join_pair_payloads_shuffle(cands, payloads, id_col,
+                                           payload_col)
+    if total == 0:
+        return None
+    pairs = np.unique(np.stack([np.concatenate(chunks_a),
+                                np.concatenate(chunks_b)], axis=1), axis=0)
+    pair_map: dict[int, list] = {}
+    buckets = _pbucket_of(pairs[:, 0], pairs[:, 1])
+    for (a, b), pb in zip(pairs.tolist(), buckets.tolist()):
+        pair_map.setdefault(a, []).append((a, b, pb))
+        pair_map.setdefault(b, []).append((a, b, pb))
+    ref = ray.put(pair_map)
+    idref = ray.put(pa.array(np.unique(pairs), pa.int64()))
+
+    def replicate(t: pa.Table) -> pa.Table:
+        from .joins import _broadcast_cache, _broadcast_value_array
+        # vectorized prefilter: the Python replication loop below only
+        # ever sees candidate ids, not the whole corpus
+        arr = _broadcast_value_array(idref)
+        t = t.filter(pc.fill_null(pc.is_in(t.column(id_col),
+                                           value_set=arr), False))
+        pm = _broadcast_cache(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pays = t.column(payload_col).to_pylist()
+        jid_o, a_o, b_o, pb_o, pay_o = [], [], [], [], []
+        for i, pay in zip(ids, pays):
+            for a, b, pb in pm.get(int(i), ()):
+                jid_o.append(int(i))
+                a_o.append(a)
+                b_o.append(b)
+                pb_o.append(pb)
+                pay_o.append(pay)
+        return pa.table({
+            "jid": pa.array(jid_o, pa.int64()),
+            "id_a": pa.array(a_o, pa.int64()),
+            "id_b": pa.array(b_o, pa.int64()),
+            "payload": pa.array(pay_o, pa.binary()),
+            "pbucket": pa.array(pb_o, pa.int64())})
+
+    return payloads.map_batches(replicate, batch_format="pyarrow")
+
+
+def _join_pair_payloads_shuffle(cands: Dataset, payloads: Dataset,
+                                id_col: str, payload_col: str) -> Dataset:
+    """Distributed co-location fallback (see ``_join_pair_payloads``)."""
+
+    def payload_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "jid": t.column(id_col).cast(pa.int64()),
+            "id_a": pa.nulls(n, pa.int64()),
+            "id_b": pa.nulls(n, pa.int64()),
+            "payload": t.column(payload_col),
+            "is_payload": pa.array([True] * n, pa.bool_())})
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        a, b = t.column("id_a").cast(pa.int64()), t.column("id_b").cast(
+            pa.int64())
+        parts = []
+        for jid in (a, b):
+            n = len(jid)
+            parts.append(pa.table({
+                "jid": jid, "id_a": a, "id_b": b,
+                "payload": pa.nulls(n, pa.binary()),
+                "is_payload": pa.array([False] * n, pa.bool_())}))
+        return pa.concat_tables(parts)
+
+    tagged = (payloads.map_batches(payload_rows, batch_format="pyarrow")
+              .union(cands.map_batches(side_rows, batch_format="pyarrow")))
+
+    def id_bucket(t: pa.Table) -> pa.Table:
+        j = t.column("jid").cast(pa.uint64())
+        bucket = pc.bit_wise_and(j, pa.scalar(N_COARSE_BUCKETS - 1,
+                                              pa.uint64()))
+        return t.append_column("bucket", bucket.cast(pa.int64()))
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        pay = group[group["is_payload"]]
+        pay = pay.drop_duplicates(subset=["jid"]).set_index("jid")["payload"]
+        sides = group[~group["is_payload"]]
+        out = pd.DataFrame({
+            "jid": sides["jid"].astype(np.int64),
+            "id_a": sides["id_a"].astype(np.int64),
+            "id_b": sides["id_b"].astype(np.int64),
+            "payload": sides["jid"].map(pay)})
+        # a candidate id can miss its payload only if the payload table
+        # skipped the doc (e.g. empty shingle set) — drop those pairs
+        return out[out["payload"].notna()]
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        return t.append_column("pbucket",
+                               pa.array(_pbucket_of(a, b), pa.int64()))
+
+    return (tagged.map_batches(id_bucket, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(attach, batch_format="pandas")
+                  .map_batches(pair_bucket, batch_format="pyarrow"))
+
+
+def _paired_payloads(group: pd.DataFrame, payload_col: str = "payload"):
+    """Sort a verification bucket so each candidate pair is two adjacent
+    rows (id_a side first), and split the payload column into the A and B
+    row sequences.  Duplicate pair emissions (the same pair surfacing
+    from several LSH bands — deduplicating them here, where the pair's
+    rows are already co-located, saves a dedicated global pair-dedup
+    shuffle) collapse via drop_duplicates; pairs with only one surviving
+    side (payload-less partner dropped upstream) are discarded."""
+    g = group.sort_values(["id_a", "id_b", "jid"], kind="mergesort")
+    g = g.drop_duplicates(subset=["id_a", "id_b", "jid"])
+    counts = g.groupby(["id_a", "id_b"], sort=False)["jid"].transform("size")
+    g = g[counts == 2]
+    pay = g[payload_col].to_numpy()
+    ids_a = g["id_a"].to_numpy()[0::2]
+    ids_b = g["id_b"].to_numpy()[0::2]
+    return pay[0::2], pay[1::2], ids_a, ids_b
 
 
 # ---------------------------------------------------------------------------
@@ -54,7 +266,12 @@ def exact_dedup(ds: Dataset, id_col: str = "doc_id",
                 text_col: str = "text") -> Dataset:
     """One row per distinct text: the smallest id wins (deterministic),
     plus the duplicate count.  Shuffle key = md5(text) — uniform even
-    when text lengths are skewed."""
+    when text lengths are skewed.
+
+    Scale note: the kept text rides the shuffle because the output
+    contract includes it; a 100-TB corpus would emit
+    ``(doc_id, n_dups, text_hash)`` here and re-join text for the kept
+    ids only."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [H.text_md5(t or "") for t in batch.column(text_col).to_pylist()]
@@ -82,7 +299,7 @@ def exact_dedup(ds: Dataset, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
-# minhash + LSH
+# minhash + LSH (candidate-first)
 # ---------------------------------------------------------------------------
 
 
@@ -93,62 +310,63 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
     """Near-duplicate pairs ``(id_a < id_b, est_jaccard)`` with
     signature-estimated Jaccard >= threshold.
 
-    Pipeline: signature per doc (vectorized) → explode to
-    ``(band_id, band_hash, id, signature)`` rows → groupby bucket →
-    pairwise signature agreement within bucket → global pair dedup.
-    """
+    Candidate-first dataflow: signatures are computed once per doc and
+    pinned; the band shuffle carries ``(id, band_id, band_hash)`` only;
+    unique candidate pairs then join the signature table and agreement is
+    computed as a stacked (pairs × k) numpy comparison."""
     a, b = H.minhash_params(num_hashes, seed)
 
     def sign(batch: pa.Table) -> pa.Table:
-        ids_out, bands_out, bhash_out, sigs_out = [], [], [], []
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        for i, t in zip(ids, texts):
-            sig = H.minhash_signature(H.shingle_hashes(t or "", shingle_n), a, b)
+        sigs = [H.minhash_signature(H.shingle_hashes(t or "", shingle_n),
+                                    a, b).tobytes() for t in texts]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "sig": pa.array(sigs, pa.binary())})
+
+    # signatures are consumed twice (band explode + candidate join):
+    # materialize pins ~sig_bytes/doc, ~1% of corpus mass
+    sigs = ds.map_batches(sign, batch_format="pyarrow").materialize()
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        id_o, band_o, bh_o = [], [], []
+        for i, s in zip(ids, batch.column("sig").to_pylist()):
+            sig = np.frombuffer(s, dtype=np.uint64)
             for band_id, bh in enumerate(H.band_hashes(sig, n_bands)):
-                ids_out.append(i)
-                bands_out.append(band_id)
-                bhash_out.append(bh)
-                sigs_out.append(sig.tobytes())
-        tbl = pa.Table.from_arrays(
-            [pa.array(ids_out, pa.int64()), pa.array(bands_out, pa.int32()),
-             pa.array(bhash_out, pa.uint64()), pa.array(sigs_out, pa.binary())],
-            names=[id_col, "band_id", "band_hash", "sig"])
+                id_o.append(int(i))
+                band_o.append(band_id)
+                bh_o.append(bh)
+        tbl = pa.table({id_col: pa.array(id_o, pa.int64()),
+                        "band_id": pa.array(band_o, pa.int32()),
+                        "band_hash": pa.array(bh_o, pa.uint64())})
         return _coarse_bucket(tbl, "band_hash")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # one map_groups call per COARSE bucket; exact LSH buckets are a
-        # pandas groupby inside (avoids per-tiny-group scheduling overhead)
-        rows = {"id_a": [], "id_b": [], "est_jaccard": []}
-        for _, sub in group.groupby(["band_id", "band_hash"], sort=False):
-            if len(sub) < 2:
-                continue
-            uniq = sub.drop_duplicates(subset=[id_col])
-            items = [(int(r[id_col]),
-                      np.frombuffer(r["sig"], dtype=np.uint64))
-                     for _, r in uniq.iterrows()]
-            for (ia, sa), (ib, sb) in combinations(items, 2):
-                est = float(np.mean(sa == sb))
-                if est >= threshold:
-                    lo, hi = (ia, ib) if ia < ib else (ib, ia)
-                    rows["id_a"].append(lo)
-                    rows["id_b"].append(hi)
-                    rows["est_jaccard"].append(est)
-        out = pd.DataFrame(rows)
-        out["id_a"] = out["id_a"].astype(np.int64)
-        out["id_b"] = out["id_b"].astype(np.int64)
-        out["est_jaccard"] = out["est_jaccard"].astype(np.float64)
-        return out.drop_duplicates(subset=["id_a", "id_b"])
+    cands = (sigs.map_batches(explode_bands, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(lambda g: _emit_bucket_pairs(
+                     g, id_col, ["band_id", "band_hash"]),
+                     batch_format="pandas"))
+    joined = _join_pair_payloads(cands, sigs, id_col, "sig")
+    if joined is None:
+        return _empty_pairs("est_jaccard", pa.float64())
 
-    pairs = (ds.map_batches(sign, batch_format="pyarrow")
-               .groupby("bucket")
-               .map_groups(bucket_pairs, batch_format="pandas"))
-    # a pair can surface from several bands — global dedup, keep max est
-    return (pairs.groupby(["id_a", "id_b"])
-                 .max("est_jaccard")
-                 .map_batches(lambda t: t.rename_columns(
-                     ["id_a", "id_b", "est_jaccard"]),
-                     batch_format="pyarrow"))
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        pay_a, pay_b, ids_a, ids_b = _paired_payloads(group)
+        if not len(ids_a):
+            return _pairs_df(ids_a, ids_b,
+                             {"est_jaccard": np.empty(0, np.float64)})
+        mat_a = np.frombuffer(b"".join(pay_a), dtype=np.uint64).reshape(
+            len(pay_a), num_hashes)
+        mat_b = np.frombuffer(b"".join(pay_b), dtype=np.uint64).reshape(
+            len(pay_b), num_hashes)
+        est = (mat_a == mat_b).mean(axis=1)
+        m = est >= threshold
+        return _pairs_df(ids_a[m], ids_b[m],
+                         {"est_jaccard": est[m].astype(np.float64)})
+
+    return (joined.groupby("pbucket")
+                  .map_groups(verify, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
@@ -159,8 +377,9 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
 def simhash_pairs(ds: Dataset, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3) -> Dataset:
     """Near-duplicate pairs by 64-bit simhash: block on four 16-bit bands
-    (any pair within Hamming<=3 of each other shares at least one band by
-    pigeonhole), verify Hamming distance within blocks."""
+    (any pair within Hamming<=3 shares at least one band by pigeonhole),
+    verify Hamming distance vectorized within blocks.  The signature is
+    8 bytes — it rides the band shuffle directly (no candidate join)."""
 
     def sign(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -180,25 +399,26 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id",
         return _coarse_bucket(tbl, "band_key")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = {"id_a": [], "id_b": [], "hamming": []}
+        out_a, out_b, out_h = [], [], []
         for _, sub in group.groupby(["band_id", "band_key"], sort=False):
             if len(sub) < 2:
                 continue
-            uniq = sub.drop_duplicates(subset=[id_col])
-            items = [(int(r[id_col]), int(r["simhash"]))
-                     for _, r in uniq.iterrows()]
-            for (ia, sa), (ib, sb) in combinations(items, 2):
-                d = H.hamming64(sa, sb)
-                if d <= max_hamming:
-                    lo, hi = (ia, ib) if ia < ib else (ib, ia)
-                    rows["id_a"].append(lo)
-                    rows["id_b"].append(hi)
-                    rows["hamming"].append(d)
-        out = pd.DataFrame(rows)
-        for c, t in (("id_a", np.int64), ("id_b", np.int64),
-                     ("hamming", np.int64)):
-            out[c] = out[c].astype(t)
-        return out.drop_duplicates(subset=["id_a", "id_b"])
+            uniq = sub.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            ids = uniq[id_col].to_numpy()
+            sims = uniq["simhash"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            x = sims[ia] ^ sims[ib]
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1).astype(np.int64)
+            m = ham <= max_hamming
+            out_a.append(ids[ia[m]])
+            out_b.append(ids[ib[m]])
+            out_h.append(ham[m])
+        if not out_a:
+            return _pairs_df(np.empty(0, np.int64), np.empty(0, np.int64),
+                             {"hamming": np.empty(0, np.int64)})
+        return _pairs_df(np.concatenate(out_a), np.concatenate(out_b),
+                         {"hamming": np.concatenate(out_h)})
 
     pairs = (ds.map_batches(sign, batch_format="pyarrow")
                .groupby("bucket")
@@ -210,66 +430,77 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
-# exact n-gram jaccard on LSH candidates
+# exact n-gram jaccard
 # ---------------------------------------------------------------------------
 
 
 def ngram_jaccard_pairs(ds: Dataset, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 3,
-                        threshold: float = 0.5, n_bands: int = 8,
-                        num_hashes: int = 32, seed: int = 99) -> Dataset:
-    """Exact word-n-gram Jaccard >= threshold, with LSH candidate
-    generation; shingle sets ride through the bucket shuffle so
-    verification never re-reads documents."""
-    a, b = H.minhash_params(num_hashes, seed)
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> Dataset:
+    """EXACT word-n-gram Jaccard >= threshold over all document pairs.
 
-    def sign(batch: pa.Table) -> pa.Table:
-        id_o, band_o, key_o, sh_o = [], [], [], []
+    Candidates come from a shared-shingle inverted index: any pair with
+    Jaccard > 0 shares a shingle, so recall is 1.0 by construction (no
+    LSH probability gap) and the result is SQL-oracle-comparable.
+    Shingle SETS never ride the band shuffle — the inverted index ships
+    ``(shingle_hash, id)`` rows; sets are joined back for candidate ids
+    only.
+
+    ``max_shingle_df`` caps the per-shingle posting list (skip hotter
+    shingles during candidate generation).  At 100-TB scale stop-shingles
+    make the exact index quadratic — set a cutoff there and accept the
+    (documented) recall loss for pairs that ONLY share ultra-common
+    shingles; with threshold >= 0.5 such pairs are vanishingly rare.
+    Docs with an empty shingle set (no tokens) are skipped — empty-text
+    duplicates belong to ``exact_dedup``."""
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
+        out_i, out_s = [], []
         for i, t in zip(ids, texts):
             sh = H.shingle_hashes(t or "", shingle_n)
-            sig = H.minhash_signature(sh, a, b)
-            for band_id, bh in enumerate(H.band_hashes(sig, n_bands)):
-                id_o.append(i)
-                band_o.append(band_id)
-                key_o.append(bh)
-                sh_o.append(sh.tobytes())
-        tbl = pa.Table.from_arrays(
-            [pa.array(id_o, pa.int64()), pa.array(band_o, pa.int32()),
-             pa.array(key_o, pa.uint64()), pa.array(sh_o, pa.binary())],
-            names=[id_col, "band_id", "band_hash", "shingles"])
-        return _coarse_bucket(tbl, "band_hash")
+            if sh.size == 0:
+                continue
+            out_i.append(i)
+            out_s.append(sh.tobytes())
+        return pa.table({id_col: pa.array(out_i, pa.int64()),
+                         "shingles": pa.array(out_s, pa.binary())})
+
+    sets = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
+
+    def explode_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        id_o, sh_o = [], []
+        for i, s in zip(ids, batch.column("shingles").to_pylist()):
+            sh = np.frombuffer(s, dtype=np.uint64)
+            id_o.extend([int(i)] * len(sh))
+            sh_o.extend(sh.tolist())
+        tbl = pa.table({id_col: pa.array(id_o, pa.int64()),
+                        "sh": pa.array(sh_o, pa.uint64())})
+        return _coarse_bucket(tbl, "sh")
+
+    cands = (sets.map_batches(explode_shingles, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(lambda g: _emit_bucket_pairs(
+                     g, id_col, ["sh"], max_group=max_shingle_df),
+                     batch_format="pandas"))
+    joined = _join_pair_payloads(cands, sets, id_col, "shingles")
+    if joined is None:
+        return _empty_pairs("jaccard", pa.float64())
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = {"id_a": [], "id_b": [], "jaccard": []}
-        for _, sub in group.groupby(["band_id", "band_hash"], sort=False):
-            if len(sub) < 2:
-                continue
-            uniq = sub.drop_duplicates(subset=[id_col])
-            items = [(int(r[id_col]),
-                      np.frombuffer(r["shingles"], dtype=np.uint64))
-                     for _, r in uniq.iterrows()]
-            for (ia, sa), (ib, sb) in combinations(items, 2):
-                j = H.jaccard(sa, sb)
-                if j >= threshold:
-                    lo, hi = (ia, ib) if ia < ib else (ib, ia)
-                    rows["id_a"].append(lo)
-                    rows["id_b"].append(hi)
-                    rows["jaccard"].append(j)
-        out = pd.DataFrame(rows)
-        out["id_a"] = out["id_a"].astype(np.int64)
-        out["id_b"] = out["id_b"].astype(np.int64)
-        out["jaccard"] = out["jaccard"].astype(np.float64)
-        return out.drop_duplicates(subset=["id_a", "id_b"])
+        pay_a, pay_b, ids_a, ids_b = _paired_payloads(group)
+        jac = np.empty(len(ids_a), dtype=np.float64)
+        for i in range(len(ids_a)):  # candidates only — tiny vs corpus
+            jac[i] = H.jaccard(np.frombuffer(pay_a[i], dtype=np.uint64),
+                               np.frombuffer(pay_b[i], dtype=np.uint64))
+        m = jac >= threshold
+        return _pairs_df(ids_a[m], ids_b[m], {"jaccard": jac[m]})
 
-    pairs = (ds.map_batches(sign, batch_format="pyarrow")
-               .groupby("bucket")
-               .map_groups(verify, batch_format="pandas"))
-    return (pairs.groupby(["id_a", "id_b"])
-                 .max("jaccard")
-                 .map_batches(lambda t: t.rename_columns(
-                     ["id_a", "id_b", "jaccard"]), batch_format="pyarrow"))
+    return (joined.groupby("pbucket")
+                  .map_groups(verify, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
@@ -277,71 +508,124 @@ def ngram_jaccard_pairs(ds: Dataset, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def _unit_rows(batch: pa.Table, id_col: str, vec_col: str):
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = vectors_to_matrix(batch, vec_col)
+    if mat.size == 0:
+        return ids[:0], mat
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
 def embedding_pairs(ds: Dataset, id_col: str = "vec_id",
                     vec_col: str = "embedding", threshold: float = 0.9,
-                    n_planes: int = 8, seed: int = 7,
-                    dim: int | None = None) -> Dataset:
-    """Cosine near-duplicate pairs over a ``list<float>`` column.
+                    n_planes: int = 8, seed: int = 7) -> Dataset:
+    """Cosine near-duplicate pairs over a ``list<float>`` column —
+    the 100-TB LSH path (approximate recall; measured against
+    ``embedding_pairs_exact`` in tests).
 
-    Random-hyperplane LSH (seeded) buckets candidates; exact cosine is
-    verified within buckets.  Multi-probe (flip one bit) keeps recall up
-    without widening the shuffle much.
-    """
+    Random-hyperplane LSH with one-bit multiprobe buckets candidate ids;
+    the bucket shuffle ships ``(id, bucket)`` only (round 1 shipped the
+    full unit vector in all 9 probe rows); unit vectors are joined back
+    for candidate pairs and exact cosine verified vectorized."""
 
-    def sign(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        if mat.ndim != 2 or mat.size == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64()),
-                 pa.array([], pa.binary())],
-                names=[id_col, "bucket", "vec"])
+    def unit(batch: pa.Table) -> pa.Table:
+        ids, u = _unit_rows(batch, id_col, vec_col)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "vec": pa.array([r.tobytes() for r in u],
+                                         pa.binary())})
+
+    units = ds.map_batches(unit, batch_format="pyarrow").materialize()
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = np.vstack([np.frombuffer(v, dtype=np.float64)
+                         for v in batch.column("vec").to_pylist()]) \
+            if batch.num_rows else np.empty((0, 0))
+        if mat.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
         d = mat.shape[1]
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((d, n_planes))
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
-        bits = (unit @ planes) > 0
+        bits = (mat @ planes) > 0
         codes = bits @ (1 << np.arange(n_planes))
-        id_o, bkt_o, vec_o = [], [], []
-        for row, (i, code) in enumerate(zip(ids, codes)):
+        id_o, code_o = [], []
+        for i, code in zip(ids, codes):
             probes = {int(code)} | {int(code) ^ (1 << p)
                                     for p in range(n_planes)}
-            for pcode in probes:
-                id_o.append(i)
-                bkt_o.append(pcode)
-                vec_o.append(unit[row].tobytes())
-        return pa.Table.from_arrays(
-            [pa.array(id_o, pa.int64()), pa.array(bkt_o, pa.int64()),
-             pa.array(vec_o, pa.binary())],
-            names=[id_col, "bucket", "vec"])
+            id_o.extend([int(i)] * len(probes))
+            code_o.extend(probes)
+        tbl = pa.table({id_col: pa.array(id_o, pa.int64()),
+                        "code": pa.array(code_o, pa.int64())})
+        return _coarse_bucket(tbl, "code")
+
+    cands = (units.map_batches(bucketize, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(lambda g: _emit_bucket_pairs(g, id_col,
+                                                           ["code"]),
+                              batch_format="pandas"))
+    joined = _join_pair_payloads(cands, units, id_col, "vec")
+    if joined is None:
+        return _empty_pairs("cosine", pa.float64())
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = {"id_a": [], "id_b": [], "cosine": []}
-        if len(group) > 1:
-            uniq = group.drop_duplicates(subset=[id_col])
-            ids = uniq[id_col].to_numpy()
-            mat = np.stack([np.frombuffer(v, dtype=np.float64)
-                            for v in uniq["vec"]])
-            sims = mat @ mat.T
-            ia, ib = np.triu_indices(len(ids), k=1)
-            mask = sims[ia, ib] >= threshold
-            for x, y, s in zip(ia[mask], ib[mask], sims[ia, ib][mask]):
-                lo, hi = sorted((int(ids[x]), int(ids[y])))
-                rows["id_a"].append(lo)
-                rows["id_b"].append(hi)
-                rows["cosine"].append(float(s))
-        out = pd.DataFrame(rows)
-        out["id_a"] = out["id_a"].astype(np.int64)
-        out["id_b"] = out["id_b"].astype(np.int64)
-        out["cosine"] = out["cosine"].astype(np.float64)
-        return out
+        pay_a, pay_b, ids_a, ids_b = _paired_payloads(group)
+        if not len(ids_a):
+            return _pairs_df(ids_a, ids_b,
+                             {"cosine": np.empty(0, np.float64)})
+        mat_a = np.vstack([np.frombuffer(v, np.float64) for v in pay_a])
+        mat_b = np.vstack([np.frombuffer(v, np.float64) for v in pay_b])
+        cos = np.einsum("ij,ij->i", mat_a, mat_b)
+        m = cos >= threshold
+        return _pairs_df(ids_a[m], ids_b[m], {"cosine": cos[m]})
 
-    pairs = (ds.map_batches(sign, batch_format="pyarrow")
-               .groupby("bucket")
-               .map_groups(verify, batch_format="pandas"))
-    return (pairs.groupby(["id_a", "id_b"])
-                 .max("cosine")
-                 .map_batches(lambda t: t.rename_columns(
-                     ["id_a", "id_b", "cosine"]), batch_format="pyarrow"))
+    return (joined.groupby("pbucket")
+                  .map_groups(verify, batch_format="pandas"))
+
+
+def embedding_pairs_exact(ds: Dataset, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.9) -> Dataset:
+    """EXACT all-pairs cosine >= threshold.
+
+    The full unit matrix is collected once on the driver (streamed,
+    bounded: n × d × 8 bytes — ~5 GB at 10M × 64-dim; beyond that use
+    ``embedding_pairs``) and broadcast; each block then computes
+    block × corpus similarities in one matmul and emits only its
+    above-threshold pairs with ``id_a < id_b``.  No shuffle at all."""
+    ids_all: list[np.ndarray] = []
+    mats: list[np.ndarray] = []
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        i, u = _unit_rows(batch, id_col, vec_col)
+        if len(i):
+            ids_all.append(i)
+            mats.append(u)
+    if not mats:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    all_ids = np.concatenate(ids_all)
+    full = np.vstack(mats)
+    ref = ray.put((all_ids, full))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        other_ids, other = ray.get(ref)
+        ids, u = _unit_rows(batch, id_col, vec_col)
+        if not len(ids):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = u @ other.T                      # (block, corpus)
+        keep = sims >= threshold
+        # id_a < id_b both orients the pair and kills self/dup matches
+        keep &= ids[:, None] < other_ids[None, :]
+        bi, oj = np.nonzero(keep)
+        return pa.table({
+            "id_a": pa.array(ids[bi], pa.int64()),
+            "id_b": pa.array(other_ids[oj], pa.int64()),
+            "cosine": pa.array(sims[bi, oj], pa.float64())})
+
+    return ds.map_batches(block_pairs, batch_format="pyarrow")

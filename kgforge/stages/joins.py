@@ -36,6 +36,21 @@ def _broadcast_cache(ref):
     return _BCAST_CACHE[key]
 
 
+def _broadcast_value_array(ref) -> pa.Array:
+    """Broadcast key set → ``pa.Array`` value set for ``pc.is_in``,
+    built ONCE per worker process (the per-row Python membership loop it
+    replaces was the hot spot on the flagship edge path)."""
+    key = ("arr", ref.hex())
+    if key not in _BCAST_CACHE:
+        if len(_BCAST_CACHE) >= 8:
+            _BCAST_CACHE.clear()
+        vals = ray.get(ref)
+        if isinstance(vals, (set, frozenset)):
+            vals = list(vals)
+        _BCAST_CACHE[key] = pa.array(vals)
+    return _BCAST_CACHE[key]
+
+
 def collect_key_set(ds: Dataset, col: str) -> set:
     """Driver-side streaming collect of one key column into a set."""
     keys: set = set()
@@ -51,13 +66,13 @@ def filter_keys_in_broadcast(left: Dataset, key_set_ref,
     — the endpoint existence check for src and dst in ONE pass."""
 
     def _filter(batch: pa.Table) -> pa.Table:
-        key_set = _broadcast_cache(key_set_ref)
-        n = batch.num_rows
-        mask = [True] * n
+        value_set = _broadcast_value_array(key_set_ref)
+        mask = None
         for col in cols:
-            vals = batch.column(col).to_pylist()
-            mask = [m and (v in key_set) for m, v in zip(mask, vals)]
-        return batch.filter(pa.array(mask))
+            hit = pc.is_in(batch.column(col), value_set=value_set)
+            hit = pc.fill_null(hit, False)
+            mask = hit if mask is None else pc.and_(mask, hit)
+        return batch.filter(mask)
 
     return left.map_batches(_filter, batch_format="pyarrow")
 
@@ -82,35 +97,82 @@ def semi_join_keys(left: Dataset, right_keys: Dataset, left_col: str,
         def _filter(batch: pa.Table) -> pa.Table:
             # stateless task (no actor pool — a pool could starve sibling
             # operators on small clusters); the broadcast set is fetched
-            # zero-copy-ish from the local object store and cached per
-            # worker process.
-            key_set = _broadcast_cache(ref)
-            mask = pa.array([k in key_set
-                             for k in batch.column(left_col).to_pylist()])
+            # from the local object store and converted to a pc.is_in
+            # value array once per worker process.
+            value_set = _broadcast_value_array(ref)
+            mask = pc.fill_null(
+                pc.is_in(batch.column(left_col), value_set=value_set), False)
             return batch.filter(mask)
 
         return left.map_batches(_filter, batch_format="pyarrow")
 
     if strategy == "join":
-        # PRECONDITION: right_keys must be distinct on right_col — an
-        # inner join emits one row per matching right row, so duplicate
-        # keys would duplicate left rows (the broadcast branch is a true
-        # semi-join).  The canonicalized node table satisfies this by
-        # construction.
-        right = right_keys.select_columns([right_col])
-        joined = left.join(right, join_type="inner",
-                           num_partitions=num_partitions,
-                           on=(left_col,), right_on=(right_col,),
-                           left_suffix="", right_suffix="_r")
-        drop = [c for c in joined.schema().names
-                if c == right_col or c == f"{right_col}_r"]
-        # guard: joining on same-named columns keeps only the left one
-        drop = [c for c in drop if c != left_col]
-        if drop:
-            joined = joined.drop_columns(drop)
-        return joined
+        return _semi_join_shuffle(left, right_keys, left_col, right_col,
+                                  n_buckets=num_partitions)
 
     raise ValueError(f"unknown semi-join strategy {strategy!r}")
+
+
+def _semi_join_shuffle(left: Dataset, right_keys: Dataset, left_col: str,
+                       right_col: str, n_buckets: int = 32) -> Dataset:
+    """Hash-partitioned semi-join as ONE task-based sort shuffle.
+
+    Both sides are tagged into a common schema (right keys occupy the
+    ``left_col`` slot, every other column null) and co-located by a key
+    bucket groupby; each bucket then keeps the left rows whose key
+    appears among its right keys (vectorized ``isin``).  True semi-join
+    semantics — duplicate right keys cannot duplicate left rows.
+
+    ``Dataset.join`` (ray 2.49) is deliberately NOT used here: its hash
+    aggregator pool is actor-based — two chained join operators under a
+    small CPU budget can starve each other and deadlock the streaming
+    executor (observed at num_cpus=8 on the src+dst edge semi-join
+    chain), and empty partitions finalize as schema-less tables that
+    crash pyarrow's join."""
+    import zlib
+
+    def _arrow_type(t) -> pa.DataType:
+        # pandas-block datasets report numpy dtypes; object == string here
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            return pa.string()
+
+    schema = left.schema()
+    names = list(schema.names)
+    types = {n: _arrow_type(t) for n, t in zip(schema.names, schema.types)}
+
+    def _bucket_col(keys: pa.ChunkedArray) -> pa.Array:
+        vals = keys.to_pylist()
+        return pa.array([zlib.crc32(v.encode("utf-8")) % n_buckets
+                         if v is not None else 0 for v in vals], pa.int64())
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        t = t.append_column("_is_key", pa.array([False] * t.num_rows))
+        return t.append_column("_bucket", _bucket_col(t.column(left_col)))
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        k = t.column(right_col).cast(types[left_col])
+        cols = {n: (k if n == left_col else pa.nulls(len(k), types[n]))
+                for n in names}
+        out = pa.table(cols).append_column("_is_key",
+                                           pa.array([True] * len(k)))
+        return out.append_column("_bucket", _bucket_col(k))
+
+    tagged = (left.map_batches(left_rows, batch_format="pyarrow")
+              .union(right_keys.select_columns([right_col])
+                     .map_batches(right_rows, batch_format="pyarrow")))
+
+    def keep_matching(group, _names=tuple(names)):
+        keys = set(group.loc[group["_is_key"], left_col])
+        out = group.loc[~group["_is_key"]
+                        & group[left_col].isin(keys), list(_names)]
+        return out
+
+    return tagged.groupby("_bucket").map_groups(keep_matching,
+                                                batch_format="pandas")
 
 
 def filter_kind(ds: Dataset, kind: str) -> Dataset:

@@ -107,6 +107,34 @@ def test_embedding_pairs(emb_ds):
     assert (10, 20) in got
 
 
+def test_embedding_pairs_exact_vs_numpy(emb_ds):
+    from kgforge.stages.dedup import embedding_pairs_exact
+    ds, mat = emb_ds
+    out = embedding_pairs_exact(ds, threshold=0.9).to_pandas()
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    ia, ib = np.triu_indices(len(mat), k=1)
+    want = {(int(a), int(b)) for a, b in zip(ia, ib)
+            if sims[a, b] >= 0.9}
+    got = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+    assert got == want
+
+
+def test_embedding_lsh_recall_vs_exact(emb_ds):
+    """The LSH scale path must find every exact pair on this fixture
+    (8 planes + 1-bit multiprobe at cosine 0.99 — near-parallel vectors
+    share a code or a 1-bit neighbor) and must never report a pair below
+    threshold (exact verification)."""
+    from kgforge.stages.dedup import embedding_pairs_exact
+    ds, mat = emb_ds
+    exact = embedding_pairs_exact(ds, threshold=0.99).to_pandas()
+    lsh = embedding_pairs(ds, threshold=0.99).to_pandas()
+    e = {(a, b) for a, b in zip(exact["id_a"], exact["id_b"])}
+    l = {(a, b) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    assert l <= e          # precision 1.0 (exact verification)
+    assert len(l) >= len(e)  # recall 1.0 on the planted fixture
+
+
 def test_brute_force_topk(emb_ds):
     ds, mat = emb_ds
     queries = mat[:2]
