@@ -139,6 +139,108 @@ _ANN_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Flagship KG pipeline oracles.  The kg_nodes/kg_edges queries
+        # export a per-mention normalized long-format parquet to the
+        # fixed gate path (kgforge/pipelines/oracle_export.py documents
+        # the verification boundary: per-record key rendering is engine
+        # code pinned by unit tests; ALL distributed merge semantics —
+        # LWW folds, dedup, mention counts, endpoint semi-join — are
+        # re-derived here by DuckDB from raw mention rows).
+        "kg_nodes": """
+            WITH m AS (SELECT * FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')),
+            marks AS (
+              SELECT node_key, any_value(label) AS label,
+                     any_value(node_id) AS node_id,
+                     any_value(u_name) AS name,
+                     any_value(u_title) AS title,
+                     count(*) AS n_mentions
+              FROM m WHERE attr = '' GROUP BY node_key),
+            lww AS (
+              SELECT node_key, attr, vn, vb
+              FROM m WHERE attr <> ''
+              QUALIFY row_number() OVER (
+                  PARTITION BY node_key, attr
+                  ORDER BY ts DESC, url_hash DESC, seq DESC,
+                           vjson DESC) = 1),
+            piv AS (
+              SELECT node_key,
+                     max(CASE WHEN attr = 'age' THEN vn END) AS age,
+                     max(CASE WHEN attr = 'release_year' THEN vn END)
+                         AS release_year,
+                     max(CASE WHEN attr = 'is_sequel' THEN vb END)
+                         AS is_sequel
+              FROM lww GROUP BY node_key)
+            SELECT marks.node_id, marks.node_key, marks.label, marks.name,
+                   piv.age, marks.title, piv.release_year, piv.is_sequel,
+                   marks.n_mentions
+            FROM marks LEFT JOIN piv USING (node_key)
+            ORDER BY node_key
+        """,
+        "kg_edges": """
+            WITH m AS (SELECT * FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=relation/*.parquet')),
+            nk AS (SELECT DISTINCT node_key FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')),
+            marks AS (
+              SELECT label, src_key, dst_key,
+                     any_value(edge_id) AS edge_id,
+                     any_value(src_id) AS src_id,
+                     any_value(dst_id) AS dst_id,
+                     count(*) AS n_mentions
+              FROM m WHERE attr = '' GROUP BY label, src_key, dst_key),
+            lww AS (
+              SELECT label, src_key, dst_key, vs AS role
+              FROM m WHERE attr = 'role'
+              QUALIFY row_number() OVER (
+                  PARTITION BY label, src_key, dst_key
+                  ORDER BY ts DESC, url_hash DESC, seq DESC,
+                           vjson DESC) = 1)
+            SELECT marks.edge_id, marks.label, marks.src_id, marks.dst_id,
+                   lww.role, marks.n_mentions
+            FROM marks
+            JOIN nk s ON marks.src_key = s.node_key
+            JOIN nk d ON marks.dst_key = d.node_key
+            LEFT JOIN lww USING (label, src_key, dst_key)
+            ORDER BY marks.edge_id
+        """,
+        # byte-identity invariant: the Ray side re-extracts text from
+        # html and flags per-url identity; the oracle asserts every
+        # exported page row matches with the same char count
+        "html_text_pages": """
+            SELECT url, CAST(length(text) AS BIGINT) AS n_chars,
+                   TRUE AS byte_identical
+            FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')
+            ORDER BY url
+        """,
+        # golden expectation: detection must recover exactly the planted
+        # corpus ontology (kgforge/testing/corpus.py ONTOLOGY_JSON) at
+        # any sf — expressed as a SQL literal
+        "kg_ontology_detect": """
+            SELECT * FROM (VALUES
+              ('entity', 'Movie', 'is_sequel', 'boolean', false),
+              ('entity', 'Movie', 'release_year', 'number', false),
+              ('entity', 'Movie', 'title', 'string', true),
+              ('entity', 'Person', 'age', 'number', false),
+              ('entity', 'Person', 'name', 'string', true),
+              ('relation', 'ACTED_IN', 'role', 'string', false),
+              ('relation', 'DIRECTED', '', '', false))
+              AS t(kind, label, attr, attr_type, is_unique)
+            ORDER BY kind, label, attr
+        """,
+        # fake-image decode plumbing: every planted FKIM payload is
+        # 16x12 and must decode; row count scales with documents
+        "multimodal_decode": """
+            SELECT item_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(12 AS INTEGER) AS height,
+                   TRUE AS decode_ok
+            FROM (SELECT CAST(row_number() OVER () - 1 AS BIGINT)
+                      AS item_id FROM documents)
+            WHERE item_id < (SELECT greatest(32, count(*) // 4)
+                             FROM documents)
+            ORDER BY item_id
+        """,
         "extract_entities_regex": r"""
             WITH m AS (
               SELECT doc_id,

@@ -66,6 +66,31 @@ def pages_for_sf(sf_dir: str, n_override: int | None = None) -> tuple:
 
 
 _KG_RESULT_CACHE: dict = {}
+_GATE_EXPORTED: set = set()
+
+
+def _ensure_gate_artifact(sf_dir: str) -> None:
+    """Write the per-mention oracle artifact (and pages) for this sf to
+    the fixed gate path, once per process per sf.  The kg_nodes/kg_edges
+    /html_text_pages oracle SQL reads these files — the driver runs each
+    Ray query before its oracle, so the artifact is in place."""
+    if sf_dir in _GATE_EXPORTED:
+        return
+    from .kg_build import KGBuildConfig, extract_mentions
+    from .oracle_export import export_gate_mentions, export_gate_pages
+    corpus_dir, pages_path = pages_for_sf(sf_dir)
+    with open(f"{corpus_dir}/ontology.json") as fh:
+        ontology_json = fh.read()
+    with open(f"{corpus_dir}/aliases.json") as fh:
+        alias_map = json.load(fh)
+    pages = ray.data.read_parquet(pages_path)
+    mentions = extract_mentions(pages, KGBuildConfig(
+        ontology_json=ontology_json))
+    export_gate_mentions(mentions, ontology_json, alias_map)
+    export_gate_pages(ray.data.read_parquet(pages_path,
+                                            columns=["url", "text"]))
+    _GATE_EXPORTED.clear()
+    _GATE_EXPORTED.add(sf_dir)
 
 
 def _kg_result(sf_dir: str):
@@ -89,10 +114,16 @@ def _kg_result(sf_dir: str):
 
 
 def kg_nodes(sf_dir: str):
+    """Flagship node table — SQL-oracled via the per-mention artifact
+    (LWW merge expressed as a DuckDB window query; see oracle_export)."""
+    _ensure_gate_artifact(sf_dir)
     return _kg_result(sf_dir).nodes
 
 
 def kg_edges(sf_dir: str):
+    """Flagship edge table — SQL-oracled via the per-mention artifact
+    (dedup + endpoint semi-join expressed in DuckDB)."""
+    _ensure_gate_artifact(sf_dir)
     return _kg_result(sf_dir).edges
 
 
@@ -108,8 +139,11 @@ def kg_mentions(sf_dir: str):
 
 def html_text_pages(sf_dir: str):
     """The byte-identical invariant stage over the html column: re-extract
-    text and compare with the shipped text column per url."""
+    text and compare with the shipped text column per url.  SQL-oracled:
+    the oracle reads the exported (url, text) pages and asserts every row
+    re-extracted byte-identically with the same char count."""
     from ..functions.html_text import extract_text_batch
+    _ensure_gate_artifact(sf_dir)
     _, pages_path = pages_for_sf(sf_dir)
     pages = ray.data.read_parquet(pages_path,
                                   columns=["url", "html", "text"])
@@ -380,10 +414,21 @@ def quality_stats_docs(sf_dir: str):
                                  "n_stopwords", "punct_ratio"]))
 
 
+_LANGID_SINGLETON: list = []
+
+
+def _langid_task(batch: pa.Table) -> pa.Table:
+    # stateless task form: the scorer's profile tables build once per
+    # worker process (an actor pool for this light state starves sibling
+    # operators on small clusters — VERDICT r1)
+    if not _LANGID_SINGLETON:
+        _LANGID_SINGLETON.append(LangIdScorer())
+    return _LANGID_SINGLETON[0](batch)
+
+
 def langid_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return (docs.map_batches(LangIdScorer, batch_format="pyarrow",
-                             concurrency=(1, 2))
+    return (docs.map_batches(_langid_task, batch_format="pyarrow")
                 .select_columns(["doc_id", "lang_pred", "lang_score"]))
 
 
@@ -547,16 +592,22 @@ def events_sessionize(sf_dir: str):
 
 
 def multimodal_decode(sf_dir: str):
-    """Fake-image decode + feature plumbing: payload sizes scale with sf
-    via the documents row count."""
+    """Fake-image decode + feature plumbing (SQL-oracled: planted FKIM
+    payloads are 16x12 and must all decode).  Items are generated
+    distributed — ``ray.data.range`` + map, not a driver-side list."""
     from ..stages.multimodal import (ByteHistogramFeatures, DecodeImage,
                                      fake_image_bytes)
     n = max(32, _read(sf_dir, "documents", columns=["doc_id"]).count() // 4)
-    items = pa.table({
-        "item_id": pa.array(range(n), pa.int64()),
-        "content": pa.array([fake_image_bytes(16, 12, seed=i)
-                             for i in range(n)], pa.binary())})
-    ds = ray.data.from_arrow(items)
+
+    def gen(batch: dict) -> pa.Table:
+        ids = [int(i) for i in batch["id"]]
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "content": pa.array([fake_image_bytes(16, 12, seed=i)
+                                 for i in ids], pa.binary())})
+
+    ds = (ray.data.range(n, override_num_blocks=max(2, n // 64))
+          .map_batches(gen, batch_format="numpy"))
     ds = ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=64,
                         concurrency=(1, 2))
     ds = ds.map_batches(ByteHistogramFeatures, batch_format="pyarrow",

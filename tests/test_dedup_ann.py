@@ -213,6 +213,20 @@ def test_multimodal_actor_pool_stage():
     assert len(df) == 20 and df["decode_ok"].all()
 
 
+def test_frame_sample_stub():
+    """Video frame-sampling plumbing: one row per sampled frame index,
+    deterministic layout, runs as a Ray Data stage."""
+    from kgforge.stages.multimodal import frame_sample_stub
+    items = pa.table({"item_id": [7, 8]})
+    out = (ray.data.from_arrow(items)
+           .map_batches(frame_sample_stub, batch_format="pyarrow")
+           .to_pandas())
+    assert list(out.columns) == ["item_id", "frame_idx"]
+    assert sorted(set(out["item_id"])) == [7, 8]
+    per_item = out[out["item_id"] == 7]["frame_idx"].tolist()
+    assert per_item == [0, 10, 20]
+
+
 def test_sketches_distinct():
     import pyarrow as pa
 
