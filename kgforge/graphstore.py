@@ -134,9 +134,10 @@ class GraphStore:
         return row["edge_id"]
 
     def _node_keys(self) -> list[str]:
+        import glob
         keys = [r["node_key"] for r in self._extra_nodes]
         nodes_dir = os.path.join(self.output_dir, "nodes")
-        if os.path.isdir(nodes_dir):
+        if glob.glob(os.path.join(nodes_dir, "*.parquet")):
             tbl = pq.ParquetDataset(nodes_dir).read(columns=["node_key"])
             keys.extend(tbl.column("node_key").to_pylist())
         return keys
@@ -200,10 +201,25 @@ class GraphStore:
         rows = [[str(v) for v in row.values()] for row in table.to_pylist()]
         return str(rows).strip()
 
-    def ask(self, question: str):
-        """Reference ``kg.ask`` needs a live LLM for Cypher generation
-        (``kg.py:121-168``) — unavailable here by design."""
-        raise NotImplementedError(
-            "ask() requires an LLM backend for query generation; use "
-            "query(sql) over the nodes/edges views, or plug a "
-            "GenerativeModel into kgforge.models and generate externally")
+    def ask(self, question: str, model_config=None, executor=None,
+            translate=None):
+        """Reference ``kg.ask`` (``kg.py:121-168``): with a
+        ``KnowledgeGraphModelConfig`` (any ``GenerativeModel`` backend —
+        no live LLM ships in this sandbox, but ``StaticReplayModel``
+        drives the full path in tests), runs the Cypher-gen retry loop +
+        QA via :mod:`kgforge.querypath`.  Without one, raises — use
+        ``query(sql)`` directly."""
+        if model_config is None:
+            raise NotImplementedError(
+                "ask() requires a model_config with a GenerativeModel "
+                "backend for query generation; use query(sql) over the "
+                "nodes/edges views, or pass a KnowledgeGraphModelConfig")
+        from .querypath import ChatSession, graphstore_sql_executor
+        if executor is None:
+            if translate is None:
+                raise ValueError("pass executor=... or translate=... to "
+                                 "run generated Cypher against the store")
+            executor = graphstore_sql_executor(self, translate)
+        session = ChatSession(model_config, self.ontology, executor,
+                              stringify=self.stringify_result)
+        return session.send_message(question)

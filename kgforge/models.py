@@ -185,3 +185,20 @@ class StaticReplayModel:
 
     def start_chat(self, args: dict | None = None) -> _ReplaySession:
         return _ReplaySession(self._responses)
+
+    # JSON codec in the reference's per-backend shape
+    # (models/model.py:105-113 from_json/to_json dispatch)
+    def to_json(self) -> dict:
+        return {"kind": "StaticReplayModel",
+                "responses": [
+                    [needle, [{"text": r.text,
+                               "finish_reason": r.finish_reason}
+                              for r in replies]]
+                    for needle, replies in self._responses]}
+
+    @staticmethod
+    def from_json(data: dict) -> "StaticReplayModel":
+        return StaticReplayModel([
+            (needle, [GenerationResponse(r["text"], r["finish_reason"])
+                      for r in replies])
+            for needle, replies in data["responses"]])
