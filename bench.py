@@ -29,9 +29,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "ann_topk_cosine",
-             "token_stats_docs", "tpch_q1_pricing", "events_hourly_window",
-             "extract_entities_regex", "canonicalize_lww_events"]
+SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
+             "dedup_embedding_pairs", "dedup_embedding_lsh",
+             "ann_topk_cosine", "token_stats_docs", "tpch_q1_pricing",
+             "events_hourly_window", "extract_entities_regex",
+             "canonicalize_lww_events"]
+
+
+def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,
+                n_centroids: int = 8) -> float:
+    """Measured recall of the APPROXIMATE IVF setting vs brute force
+    (the gate runs IVF exactly; this reports the scale-path tradeoff)."""
+    import ray
+    from kgforge.pipelines import queries as Q
+    from kgforge.stages.ann import brute_force_topk, ivf_topk
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    qm = Q._query_matrix(sf_dir)
+    exact = brute_force_topk(emb, qm, k=k).to_pandas()
+    approx = ivf_topk(emb, qm, k=k, n_centroids=n_centroids,
+                      nprobe=nprobe).to_pandas()
+    hits = total = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    return round(hits / total, 3) if total else 1.0
 
 
 def run_bench() -> dict:
@@ -105,6 +129,8 @@ def run_bench() -> dict:
         "stages": {k: round(v, 2) for k, v in res.metrics.items()
                    if isinstance(v, float)},
     }
+    if secondary:
+        out["ivf_recall_nprobe2_of_8"] = _ivf_recall(SF_DIR, nprobe=2)
     ray.shutdown()
     return out
 
@@ -137,19 +163,31 @@ def run_scaling() -> dict:
     # nodes each bring their own); both pairs are reported in BASELINE.md
     lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", str(lo_cpus * 4)))
-    lo = one(lo_cpus)
-    hi = one(hi_cpus)
+    # median of GRAFT_SCALE_REPS runs per leg: single-leg efficiency
+    # carried ±0.05 run-to-run variance on this shared VM (VERDICT r1)
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+    lo_runs = [one(lo_cpus) for _ in range(reps)]
+    hi_runs = [one(hi_cpus) for _ in range(reps)]
+
+    def med(runs: list[dict]) -> float:
+        vals = sorted(r["value"] for r in runs)
+        return vals[len(vals) // 2]
+
+    lo_sec, hi_sec = med(lo_runs), med(hi_runs)
     # throughput scaling efficiency: (T_lo / T_hi) / (hi/lo); 1.0 = linear
-    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    eff = (lo_sec / hi_sec) / (hi_cpus / lo_cpus)
     return {
         "metric": "scaling_efficiency",
-        f"sec_{lo_cpus}": lo["value"],
-        f"sec_{hi_cpus}": hi["value"],
-        "mentions_per_sec_lo": lo["mentions_per_sec"],
-        "mentions_per_sec_hi": hi["mentions_per_sec"],
+        f"sec_{lo_cpus}": lo_sec,
+        f"sec_{hi_cpus}": hi_sec,
+        f"runs_{lo_cpus}": [r["value"] for r in lo_runs],
+        f"runs_{hi_cpus}": [r["value"] for r in hi_runs],
+        "mentions_per_sec_lo": lo_runs[0]["mentions_per_sec"],
+        "mentions_per_sec_hi": hi_runs[0]["mentions_per_sec"],
         "num_cpus": [lo_cpus, hi_cpus],
-        "sf": lo["sf"],
-        "n_pages": lo["n_pages"],
+        "sf": lo_runs[0]["sf"],
+        "n_pages": lo_runs[0]["n_pages"],
+        "reps": reps,
         "scaling_efficiency": round(eff, 3),
     }
 

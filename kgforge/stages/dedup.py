@@ -440,67 +440,114 @@ def ngram_jaccard_pairs(ds: Dataset, id_col: str = "doc_id",
                         max_shingle_df: int | None = None) -> Dataset:
     """EXACT word-n-gram Jaccard >= threshold over all document pairs.
 
-    Candidates come from a shared-shingle inverted index: any pair with
-    Jaccard > 0 shares a shingle, so recall is 1.0 by construction (no
-    LSH probability gap) and the result is SQL-oracle-comparable.
-    Shingle SETS never ride the band shuffle — the inverted index ships
-    ``(shingle_hash, id)`` rows; sets are joined back for candidate ids
-    only.
+    Count-based exact algorithm (no shingle sets ever move, no per-pair
+    set intersections): exact Jaccard is a pure function of the shared-
+    shingle count and the two set sizes — ``J = I / (|A| + |B| - I)``.
 
-    ``max_shingle_df`` caps the per-shingle posting list (skip hotter
-    shingles during candidate generation).  At 100-TB scale stop-shingles
-    make the exact index quadratic — set a cutoff there and accept the
-    (documented) recall loss for pairs that ONLY share ultra-common
-    shingles; with threshold >= 0.5 such pairs are vanishingly rare.
-    Docs with an empty shingle set (no tokens) are skipped — empty-text
-    duplicates belong to ``exact_dedup``."""
+    1. One pass computes each doc's shingle-set SIZE (one int/doc).
+    2. The inverted index ships ``(shingle_hash, id)`` rows; within each
+       coarse bucket, per-shingle postings emit pair rows which are
+       partially COUNT-aggregated in the same ``map_groups`` call (the
+       combiner) — so the only full-corpus exchange carries 24-byte rows.
+    3. One small groupby sums the partial counts into exact ``I`` per
+       pair; sizes are attached from a broadcast ``{id: |S|}`` map and
+       the Jaccard filter is a vectorized expression.
 
-    def shingle_sets(batch: pa.Table) -> pa.Table:
+    Recall is 1.0 by construction: any pair with J > 0 shares a shingle.
+    ``max_shingle_df`` optionally skips hotter-than-cutoff shingles at
+    candidate time (at 100-TB scale stop-shingles make any exact index
+    quadratic; pairs above a 0.5 threshold that ONLY share ultra-common
+    shingles are vanishingly rare — documented approximation, default
+    off).  The sizes broadcast is 8 B/doc; beyond ~10^9 docs swap it for
+    a pair-bucket join.  Docs with an empty shingle set are skipped —
+    empty-text duplicates belong to ``exact_dedup``."""
+
+    def sizes_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out_i, out_s = [], []
+        out_i, out_n = [], []
         for i, t in zip(ids, texts):
-            sh = H.shingle_hashes(t or "", shingle_n)
-            if sh.size == 0:
-                continue
-            out_i.append(i)
-            out_s.append(sh.tobytes())
+            n = H.shingle_hashes(t or "", shingle_n).size
+            if n:
+                out_i.append(i)
+                out_n.append(n)
         return pa.table({id_col: pa.array(out_i, pa.int64()),
-                         "shingles": pa.array(out_s, pa.binary())})
+                         "n_shingles": pa.array(out_n, pa.int64())})
 
-    sets = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
+    size_map: dict[int, int] = {}
+    for b in (ds.map_batches(sizes_batch, batch_format="pyarrow")
+              .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        size_map.update(zip(b.column(id_col).to_pylist(),
+                            b.column("n_shingles").to_pylist()))
+    if not size_map:
+        return _empty_pairs("jaccard", pa.float64())
+    sref = ray.put(size_map)
 
     def explode_shingles(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
         id_o, sh_o = [], []
-        for i, s in zip(ids, batch.column("shingles").to_pylist()):
-            sh = np.frombuffer(s, dtype=np.uint64)
-            id_o.extend([int(i)] * len(sh))
+        for i, t in zip(ids, texts):
+            sh = H.shingle_hashes(t or "", shingle_n)
+            id_o.extend([int(i)] * sh.size)
             sh_o.extend(sh.tolist())
         tbl = pa.table({id_col: pa.array(id_o, pa.int64()),
                         "sh": pa.array(sh_o, pa.uint64())})
         return _coarse_bucket(tbl, "sh")
 
-    cands = (sets.map_batches(explode_shingles, batch_format="pyarrow")
-                 .groupby("bucket")
-                 .map_groups(lambda g: _emit_bucket_pairs(
-                     g, id_col, ["sh"], max_group=max_shingle_df),
-                     batch_format="pandas"))
-    joined = _join_pair_payloads(cands, sets, id_col, "shingles")
-    if joined is None:
-        return _empty_pairs("jaccard", pa.float64())
+    def partial_pair_counts(group: pd.DataFrame) -> pd.DataFrame:
+        # per-shingle postings → pair emissions → in-bucket partial count
+        # (the combiner: one row per pair per coarse bucket)
+        dup = group.duplicated(subset=["sh"], keep=False)
+        group = group[dup]
+        out_a, out_b = [], []
+        for _, sub in group.groupby("sh", sort=False):
+            ids = np.unique(sub[id_col].to_numpy())
+            m = len(ids)
+            if m < 2 or (max_shingle_df is not None and m > max_shingle_df):
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64),
+                                 "i_partial": np.empty(0, np.int64),
+                                 "pbucket": np.empty(0, np.int64)})
+        df = pd.DataFrame({"id_a": np.concatenate(out_a),
+                           "id_b": np.concatenate(out_b)})
+        g = df.groupby(["id_a", "id_b"], as_index=False).size()
+        g = g.rename(columns={"size": "i_partial"})
+        g["i_partial"] = g["i_partial"].astype(np.int64)
+        # coarse bucket for the FINAL count fold: a per-(id_a,id_b)
+        # Ray aggregate would pay per-tiny-group overhead for ~1M pairs
+        g["pbucket"] = _pbucket_of(g["id_a"].to_numpy(),
+                                   g["id_b"].to_numpy())
+        return g
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        pay_a, pay_b, ids_a, ids_b = _paired_payloads(group)
-        jac = np.empty(len(ids_a), dtype=np.float64)
-        for i in range(len(ids_a)):  # candidates only — tiny vs corpus
-            jac[i] = H.jaccard(np.frombuffer(pay_a[i], dtype=np.uint64),
-                               np.frombuffer(pay_b[i], dtype=np.uint64))
+    def final_counts(group: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _broadcast_cache
+        sizes = _broadcast_cache(sref)
+        g = (group.groupby(["id_a", "id_b"], as_index=False)["i_partial"]
+             .sum())
+        a = g["id_a"].to_numpy()
+        b = g["id_b"].to_numpy()
+        inter = g["i_partial"].to_numpy().astype(np.float64)
+        na = np.fromiter((sizes[i] for i in a), dtype=np.float64,
+                         count=len(a))
+        nb = np.fromiter((sizes[i] for i in b), dtype=np.float64,
+                         count=len(b))
+        jac = inter / (na + nb - inter)
         m = jac >= threshold
-        return _pairs_df(ids_a[m], ids_b[m], {"jaccard": jac[m]})
+        return pd.DataFrame({"id_a": a[m].astype(np.int64),
+                             "id_b": b[m].astype(np.int64),
+                             "jaccard": jac[m].astype(np.float64)})
 
-    return (joined.groupby("pbucket")
-                  .map_groups(verify, batch_format="pandas"))
+    return (ds.map_batches(explode_shingles, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(partial_pair_counts, batch_format="pandas")
+              .groupby("pbucket")
+              .map_groups(final_counts, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
@@ -520,15 +567,19 @@ def _unit_rows(batch: pa.Table, id_col: str, vec_col: str):
 
 def embedding_pairs(ds: Dataset, id_col: str = "vec_id",
                     vec_col: str = "embedding", threshold: float = 0.9,
-                    n_planes: int = 8, seed: int = 7) -> Dataset:
+                    n_planes: int = 12, seed: int = 7) -> Dataset:
     """Cosine near-duplicate pairs over a ``list<float>`` column —
     the 100-TB LSH path (approximate recall; measured against
     ``embedding_pairs_exact`` in tests).
 
     Random-hyperplane LSH with one-bit multiprobe buckets candidate ids;
     the bucket shuffle ships ``(id, bucket)`` only (round 1 shipped the
-    full unit vector in all 9 probe rows); unit vectors are joined back
-    for candidate pairs and exact cosine verified vectorized."""
+    full unit vector in every probe row); unit vectors are joined back
+    for candidate pairs and exact cosine verified vectorized.  12 planes
+    keep random-vector collisions (and thus candidate volume) low while
+    1-bit multiprobe holds recall ~0.99+ for pairs above cosine 0.99 —
+    measured against ``embedding_pairs_exact`` in tests and reported for
+    the planted testdata pairs in BENCH."""
 
     def unit(batch: pa.Table) -> pa.Table:
         ids, u = _unit_rows(batch, id_col, vec_col)
