@@ -120,6 +120,114 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _STOPWORDS_SQL = "'" + "','".join(sorted(
     ["the", "and", "of", "a", "to", "in", "is", "it", "that", "for"])) + "'"
 
+_PERSON_RE = r"(?:[A-Z][a-z]+|[A-Z]\.)(?: (?:[A-Z][a-z]+|[A-Z]\.))*"
+
+# the deterministic grammar extractor re-derived as SQL regexes over the
+# exported pages (kgforge/stages/extract.py RuleBasedExtractor); seq
+# reproduces payload order: entities (sentence order, intra-sentence
+# sub-order) then relations (extract.py payload_to_mention_rows)
+_KG_MENTIONS_SQL = r"""
+WITH pages AS (
+  SELECT url, warc_ts_us, text
+  FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')),
+lines AS (
+  SELECT url, warc_ts_us AS ts,
+         trim(unnest(split(text, chr(10)))) AS line,
+         generate_subscripts(split(text, chr(10)), 1) AS ord
+  FROM pages),
+acted AS (
+  SELECT url, ts, ord,
+         regexp_extract(line, '@ACTED@', 1) AS person,
+         regexp_extract(line, '@ACTED@', 2) AS title,
+         regexp_extract(line, '@ACTED@', 3) AS year,
+         regexp_extract(line, '@ACTED@', 4) AS role
+  FROM lines WHERE regexp_matches(line, '@ACTED@')),
+directed AS (
+  SELECT url, ts, ord,
+         regexp_extract(line, '@DIRECTED@', 3) AS person,
+         regexp_extract(line, '@DIRECTED@', 1) AS title,
+         regexp_extract(line, '@DIRECTED@', 2) AS year
+  FROM lines WHERE regexp_matches(line, '@DIRECTED@')),
+aged AS (
+  SELECT url, ts, ord,
+         regexp_extract(line, '@AGED@', 1) AS person,
+         regexp_extract(line, '@AGED@', 2) AS age
+  FROM lines WHERE regexp_matches(line, '@AGED@')),
+sequel AS (
+  SELECT url, ts, ord,
+         regexp_extract(line, '@SEQUEL@', 1) AS title,
+         regexp_extract(line, '@SEQUEL@', 2) AS year
+  FROM lines WHERE regexp_matches(line, '@SEQUEL@')),
+ents AS (
+  SELECT url, ts, ord, 0 AS sub, 'Person' AS label,
+         '{"name": "' || person || '"}' AS attrs FROM acted
+  UNION ALL
+  SELECT url, ts, ord, 1, 'Movie',
+         '{"title": "' || title || '", "release_year": ' || year || '}'
+  FROM acted
+  UNION ALL
+  SELECT url, ts, ord, 0, 'Movie',
+         '{"title": "' || title || '", "release_year": ' || year || '}'
+  FROM directed
+  UNION ALL
+  SELECT url, ts, ord, 1, 'Person',
+         '{"name": "' || person || '"}' FROM directed
+  UNION ALL
+  SELECT url, ts, ord, 0, 'Person',
+         '{"name": "' || person || '", "age": ' || age || '}' FROM aged
+  UNION ALL
+  SELECT url, ts, ord, 0, 'Movie',
+         '{"title": "' || title || '", "release_year": ' || year
+             || ', "is_sequel": true}'
+  FROM sequel),
+ents_seq AS (
+  SELECT url, ts, label, attrs,
+         CAST(row_number() OVER (PARTITION BY url ORDER BY ord, sub) - 1
+              AS INTEGER) AS seq
+  FROM ents),
+nents AS (SELECT url, count(*) AS c FROM ents GROUP BY url),
+rels AS (
+  SELECT url, ts, ord, 'ACTED_IN' AS label,
+         '{"role": "' || role || '"}' AS attrs,
+         'Person' AS src_label,
+         '{"name": "' || person || '"}' AS src_attrs,
+         'Movie' AS dst_label,
+         '{"title": "' || title || '"}' AS dst_attrs
+  FROM acted
+  UNION ALL
+  SELECT url, ts, ord, 'DIRECTED', '{}',
+         'Person', '{"name": "' || person || '"}',
+         'Movie', '{"title": "' || title || '"}'
+  FROM directed),
+rels_seq AS (
+  SELECT r.url, r.ts, r.label, r.attrs, r.src_label, r.src_attrs,
+         r.dst_label, r.dst_attrs,
+         CAST(n.c + row_number() OVER (PARTITION BY r.url ORDER BY r.ord)
+              - 1 AS INTEGER) AS seq
+  FROM rels r JOIN nents n ON r.url = n.url)
+SELECT url, ts AS warc_ts, seq, 'entity' AS kind, label, attrs,
+       CAST(NULL AS VARCHAR) AS src_label,
+       CAST(NULL AS VARCHAR) AS src_attrs,
+       CAST(NULL AS VARCHAR) AS dst_label,
+       CAST(NULL AS VARCHAR) AS dst_attrs
+FROM ents_seq
+UNION ALL
+SELECT url, ts, seq, 'relation', label, attrs, src_label, src_attrs,
+       dst_label, dst_attrs
+FROM rels_seq
+ORDER BY url, seq
+""".replace(
+    "@ACTED@",
+    r"^(" + _PERSON_RE + r") starred in (.+?) \((\d{4})\) as ([A-Za-z]+)\.$",
+).replace(
+    "@DIRECTED@",
+    r"^(.+?) \((\d{4})\) was directed by (" + _PERSON_RE + r")\.$",
+).replace(
+    "@AGED@", r"^(" + _PERSON_RE + r") is (\d+) years old\.$",
+).replace(
+    "@SEQUEL@", r"^(.+?) \((\d{4})\) is a sequel\.$",
+)
+
 _ANN_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS query_id,
                       CAST(embedding AS DOUBLE[]) AS qe
@@ -204,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lww USING (label, src_key, dst_key)
             ORDER BY marks.edge_id
         """,
+        "kg_mentions": _KG_MENTIONS_SQL,
         # byte-identity invariant: the Ray side re-extracts text from
         # html and flags per-url identity; the oracle asserts every
         # exported page row matches with the same char count
@@ -358,6 +467,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_distribution": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # stopword-profile language ID: per-language stopword hit counts,
+        # winner = alphabetically-first argmax (matching the scorer's
+        # first-strictly-greater scan), 'und' when no stopword hits
+        "langid_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z'']+') AS ws
+              FROM documents),
+            sc AS (
+              SELECT doc_id, len(ws) AS n,
+                CAST(len(list_filter(ws, w -> w IN ('der','die','das','und',
+                    'ist','ein','eine','zu','den','mit'))) AS BIGINT) AS s_de,
+                CAST(len(list_filter(ws, w -> w IN ('the','and','of','a',
+                    'to','in','is','it','that','for'))) AS BIGINT) AS s_en,
+                CAST(len(list_filter(ws, w -> w IN ('el','la','los','las',
+                    'y','es','un','una','de','para'))) AS BIGINT) AS s_es,
+                CAST(len(list_filter(ws, w -> w IN ('le','la','les','et',
+                    'est','un','une','des','du','pour'))) AS BIGINT) AS s_fr
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   CAST(greatest(s_de, s_en, s_es, s_fr) AS DOUBLE)
+                       / greatest(n, 1) AS lang_score
+            FROM sc ORDER BY doc_id
         """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

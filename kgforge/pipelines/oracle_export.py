@@ -187,10 +187,20 @@ def export_gate_mentions(mentions: Dataset, ontology_json: str,
 
 
 def export_gate_pages(pages: Dataset, out_dir: str = GATE_DIR) -> str:
-    """Write (url, text) of the synthesized page corpus for the
-    ``html_text_pages`` byte-identity oracle."""
+    """Write (url, warc_ts_us, text) of the synthesized page corpus for
+    the ``html_text_pages`` byte-identity oracle and the ``kg_mentions``
+    regex-extraction oracle."""
     d = os.path.join(out_dir, "pages")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
-    pages.select_columns(["url", "text"]).write_parquet(d)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column("warc_ts")
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({"url": t.column("url"),
+                         "warc_ts_us": ts,
+                         "text": t.column("text")})
+
+    pages.map_batches(prep, batch_format="pyarrow").write_parquet(d)
     return d

@@ -87,8 +87,8 @@ def _ensure_gate_artifact(sf_dir: str) -> None:
     mentions = extract_mentions(pages, KGBuildConfig(
         ontology_json=ontology_json))
     export_gate_mentions(mentions, ontology_json, alias_map)
-    export_gate_pages(ray.data.read_parquet(pages_path,
-                                            columns=["url", "text"]))
+    export_gate_pages(ray.data.read_parquet(
+        pages_path, columns=["url", "warc_ts", "text"]))
     _GATE_EXPORTED.clear()
     _GATE_EXPORTED.add(sf_dir)
 
@@ -128,6 +128,10 @@ def kg_edges(sf_dir: str):
 
 
 def kg_mentions(sf_dir: str):
+    """Raw extracted mention table — SQL-oracled: the deterministic
+    grammar extractor is re-derived in DuckDB as regexes over the
+    exported pages (url, warc_ts_us, text)."""
+    _ensure_gate_artifact(sf_dir)
     from .kg_build import KGBuildConfig, extract_mentions
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
