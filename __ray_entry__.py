@@ -112,6 +112,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_exact": Q.distinct_users_exact,
         "distinct_users_hll": Q.distinct_users_hll,
         "curate_documents": Q.curate_documents,
+        # relational / curation extensions (round 2)
+        "events_orders_asof": Q.events_orders_asof,
+        "token_frequencies_docs": Q.token_frequencies_docs,
+        "split_documents": Q.split_documents,
+        "events_value_quantiles": Q.events_value_quantiles,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
     }
@@ -543,6 +548,42 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
                   / greatest(CAST(length(text) AS DOUBLE), 1.0) < 0.1
             ORDER BY doc_id
+        """,
+        "events_orders_asof": """
+            SELECT e.event_id, e.user_id,
+                   (SELECT CAST(round(o.o_totalprice * 100) AS BIGINT)
+                    FROM orders o
+                    WHERE o.o_custkey = e.user_id
+                      AND o.o_orderdate <= e.ts
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                    LIMIT 1) AS last_order_cents
+            FROM events e ORDER BY e.event_id
+        """,
+        "token_frequencies_docs": r"""
+            WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                           AS token
+                       FROM documents)
+            SELECT token, count(*) AS n
+            FROM t GROUP BY token
+            ORDER BY n DESC, token LIMIT 100
+        """,
+        "split_documents": r"""
+            SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END
+                       AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(length(regexp_extract_all(text, '\S+')))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1 ORDER BY split
+        """,
+        "events_value_quantiles": """
+            SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events
+            UNION ALL
+            SELECT 0.5, quantile_disc(value, 0.5) FROM events
+            UNION ALL
+            SELECT 0.9, quantile_disc(value, 0.9) FROM events
+            UNION ALL
+            SELECT 0.99, quantile_disc(value, 0.99) FROM events
+            ORDER BY q
         """,
         "events_sliding_window": """
             SELECT event_id, user_id,

@@ -595,6 +595,69 @@ def events_sessionize(sf_dir: str):
     return sessionize(events)
 
 
+def events_orders_asof(sf_dir: str):
+    """As-of join: each event picks the customer's LATEST order at or
+    before the event timestamp (ties on date break on o_orderkey) —
+    the temporal-dimension attach a feature pipeline runs."""
+    from ..stages.relational import as_of_join
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    out = as_of_join(events, orders, key="user_id", left_ts="ts",
+                     right_ts="o_orderdate", right_vals=["o_totalprice"],
+                     right_key="o_custkey", right_order="o_orderkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        price = t.column("o_totalprice_asof")
+        cents = pc.floor(pc.add(pc.multiply(price, 100), 0.5)).cast(
+            pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "last_order_cents": cents})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def token_frequencies_docs(sf_dir: str):
+    """Global top-100 token frequencies (wordcount with a per-batch
+    combiner and ONE bucket fold)."""
+    from ..stages.relational import token_frequencies
+    return token_frequencies(_read(sf_dir, "documents",
+                                   columns=["doc_id", "text"]), k=100)
+
+
+def split_documents(sf_dir: str):
+    """Deterministic hash train/test split + per-split aggregate."""
+    from ..stages.relational import hash_split
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tagged = hash_split(docs, "doc_id", n_buckets=10, train_buckets=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        stats = token_stats_batch(t)
+        df = pa.table({"split": stats.column("split"),
+                       "n_tokens": stats.column("n_tokens")}).to_pandas()
+        g = (df.groupby("split", as_index=False)
+               .agg(n_docs=("n_tokens", "size"),
+                    n_tokens=("n_tokens", "sum")))
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_tokens"] = g["n_tokens"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (tagged.map_batches(partial, batch_format="pyarrow")
+                  .groupby("split")
+                  .aggregate(Sum("n_docs", alias_name="n_docs"),
+                             Sum("n_tokens", alias_name="n_tokens")))
+
+
+def events_value_quantiles(sf_dir: str):
+    """Distributed EXACT discrete quantiles of events.value (sort +
+    rank-split; sketch is the 100-TB path, this is its oracle)."""
+    from ..stages.relational import exact_quantiles
+    events = _read(sf_dir, "events", columns=["value"])
+    return exact_quantiles(events, "value", [0.25, 0.5, 0.9, 0.99])
+
+
 def multimodal_decode(sf_dir: str):
     """Fake-image decode + feature plumbing (SQL-oracled: planted FKIM
     payloads are 16x12 and must all decode).  Items are generated
