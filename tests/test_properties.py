@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) for the pure kernels the
+distributed machinery leans on.  These are the algebraic facts the
+shuffle correctness arguments cite:
+
+- the LWW merge state is associative + commutative (so two-phase /
+  tree-shaped combining equals the sequential reference fold),
+- edge-key composition is bijective even when attribute values contain
+  the separator bytes,
+- count-based Jaccard equals set-based Jaccard,
+- the chunking quirk and type coercion are total functions.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kgforge.functions import hashing as H  # noqa: E402
+from kgforge.keys import (coerce_value, compose_edge_key,  # noqa: E402
+                          cypher_literal, split_edge_key)
+from kgforge.sources.loaders import chunk_rows  # noqa: E402
+from kgforge.stages.canonicalize import _merge_state, _state  # noqa: E402
+
+SETTINGS = settings(max_examples=200, deadline=None)
+
+_order = st.tuples(st.integers(0, 10), st.integers(0, 3), st.integers(0, 3))
+_val = st.one_of(st.integers(-5, 5), st.text(max_size=4), st.booleans(),
+                 st.none())
+_attrs = st.dictionaries(st.sampled_from(["a", "b", "c"]), _val, max_size=3)
+_mention = st.tuples(_order, _attrs)
+
+
+def _fold(mentions) -> dict:
+    acc: dict = {}
+    for order, attrs in mentions:
+        _merge_state(acc, _state(order, attrs))
+    return acc
+
+
+def _canon(state: dict) -> dict:
+    return {k: [list(o), v] for k, (o, v) in state.items()}
+
+
+@SETTINGS
+@given(st.lists(_mention, max_size=8), st.lists(_mention, max_size=8))
+def test_merge_state_commutative(xs, ys):
+    a = _merge_state(_fold(xs), _fold(ys))
+    b = _merge_state(_fold(ys), _fold(xs))
+    assert _canon(a) == _canon(b)
+
+
+@SETTINGS
+@given(st.lists(_mention, max_size=6), st.lists(_mention, max_size=6),
+       st.lists(_mention, max_size=6))
+def test_merge_state_associative(xs, ys, zs):
+    left = _merge_state(_merge_state(_fold(xs), _fold(ys)), _fold(zs))
+    right = _merge_state(_fold(xs), _merge_state(_fold(ys), _fold(zs)))
+    assert _canon(left) == _canon(right)
+
+
+@SETTINGS
+@given(st.lists(_mention, min_size=1, max_size=10),
+       st.integers(1, 5))
+def test_merge_state_partition_invariant(mentions, cut):
+    """Any split of the mention stream folds to the same state as the
+    sequential fold — the exact property the combiner + bucketed final
+    fold relies on."""
+    cut = cut % len(mentions)
+    seq = _fold(mentions)
+    split = _merge_state(_fold(mentions[:cut]), _fold(mentions[cut:]))
+    assert _canon(seq) == _canon(split)
+
+
+@SETTINGS
+@given(st.text(max_size=20), st.text(max_size=20), st.text(max_size=10))
+def test_edge_key_round_trip(src, dst, label):
+    """Bijective even when node keys contain EDGE_SEP / NUL bytes."""
+    label = label.replace("\x1e", "_")  # labels are sanitized upstream
+    key = compose_edge_key(label, src, dst)
+    assert split_edge_key(key) == (label, src, dst)
+
+
+@SETTINGS
+@given(st.lists(st.integers(0, 50), max_size=40, unique=True),
+       st.lists(st.integers(0, 50), max_size=40, unique=True))
+def test_count_based_jaccard_equals_set_based(a, b):
+    """J = I/(|A|+|B|-I) (the ngram_jaccard_pairs formula) equals the
+    set-based H.jaccard on the same inputs."""
+    aa = np.unique(np.array(a, dtype=np.uint64))
+    bb = np.unique(np.array(b, dtype=np.uint64))
+    inter = np.intersect1d(aa, bb).size
+    union = len(aa) + len(bb) - inter
+    count_based = inter / union if union else 1.0
+    assert count_based == H.jaccard(aa, bb)
+
+
+@SETTINGS
+@given(st.lists(st.text(max_size=5), max_size=30), st.integers(1, 7),
+       st.booleans())
+def test_chunk_rows_quirk(rows, per, keep_tail):
+    docs = chunk_rows(rows, per, drop_partial_chunk=not keep_tail)
+    if not keep_tail:
+        # reference floor-division quirk: remainder silently dropped
+        assert len(docs) == len(rows) // per
+    else:
+        joined = "\n".join(rows)
+        assert "\n".join(docs) == joined or not rows
+
+
+@SETTINGS
+@given(_val, st.sampled_from(["string", "number", "boolean"]))
+def test_coerce_value_total(value, typ):
+    """Coercion never raises on scalar payload values and lands in the
+    declared column type (or None)."""
+    out = coerce_value(value, typ)
+    if out is not None:
+        assert isinstance(out, {"string": str, "number": float,
+                                "boolean": bool}[typ])
+
+
+@SETTINGS
+@given(st.text(max_size=30))
+def test_cypher_literal_none_quirk_and_type(s):
+    lit = cypher_literal(s)
+    assert lit == '""' or lit.startswith('"')
+    assert cypher_literal("None") == '""'  # reference helpers.py:31-47
+
+
+@SETTINGS
+@given(st.lists(st.integers(0, 1_000_000), min_size=0, max_size=200))
+def test_minhash_band_candidates_superset_of_identical_sets(vals):
+    """Two identical shingle sets always share every band — LSH recall
+    is 1.0 for exact duplicates by construction."""
+    sh = np.unique(np.array(vals, dtype=np.uint64))
+    a_, b_ = H.minhash_params(16, seed=3)
+    sig = H.minhash_signature(sh, a_, b_)
+    assert H.band_hashes(sig, 4) == H.band_hashes(sig.copy(), 4)
+
+
+@SETTINGS
+@given(st.text(max_size=60), st.text(max_size=60))
+def test_simhash_identical_text_zero_hamming(a, b):
+    ha, hb = H.simhash64(a), H.simhash64(b)
+    assert H.hamming64(ha, ha) == 0
+    assert 0 <= H.hamming64(ha, hb) <= 64
