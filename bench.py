@@ -33,7 +33,8 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "dedup_embedding_pairs", "dedup_embedding_lsh",
              "ann_topk_cosine", "token_stats_docs", "tpch_q1_pricing",
              "events_hourly_window", "extract_entities_regex",
-             "canonicalize_lww_events"]
+             "canonicalize_lww_events", "events_orders_asof",
+             "token_frequencies_docs", "events_value_quantiles"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,
@@ -131,6 +132,7 @@ def run_bench() -> dict:
     }
     if secondary:
         out["ivf_recall_nprobe2_of_8"] = _ivf_recall(SF_DIR, nprobe=2)
+        out["ivf_recall_nprobe4_of_8"] = _ivf_recall(SF_DIR, nprobe=4)
     ray.shutdown()
     return out
 

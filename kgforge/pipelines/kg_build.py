@@ -73,9 +73,12 @@ class KGBuildConfig:
     # pool sized to ~70% of cluster CPUs (autoscaling ramps too slowly for
     # short runs; a full-size pool would starve the read/fold tasks)
     fused_concurrency: Any = None
-    # big fused batches ⇒ few, large output blocks: downstream per-block
-    # scheduling overhead (not compute) dominated the folds at 586 blocks
-    fused_batch_size: int = 8192
+    # None ⇒ adaptive: ~2 batches per CPU clamped to [2048, 8192].  Too
+    # big starves parallelism at small corpora (8192 over 50k pages ran
+    # 6 tasks on 32 CPUs — 28% headline loss); too small makes per-block
+    # scheduling, not compute, dominate the downstream folds (the
+    # round-1 586-tiny-blocks lesson) and weakens the in-batch combiner.
+    fused_batch_size: int | None = None
     n_buckets: int = 32                   # canonicalize reduce partitions
     # block-size ceiling during the fold shuffles: the sort planner sizes
     # its parallelism to data_bytes / target_block_size, and the
@@ -159,9 +162,21 @@ def _normalized(mentions: Dataset, cfg: KGBuildConfig) -> Dataset:
         batch_size=cfg.normalize_batch_size)
 
 
+def _resolve_fused_batch_size(pages: Dataset, cfg: KGBuildConfig) -> int:
+    if cfg.fused_batch_size is not None:
+        return cfg.fused_batch_size
+    try:
+        n = pages.count()  # parquet metadata — no data read
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        return min(8192, max(2048, -(-n // (2 * cpus))))
+    except Exception:  # noqa: BLE001 — fall back to the safe ceiling
+        return 8192
+
+
 def _fused_normalized(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
     from ..stages.canonicalize import (FusedExtractNormalize,
                                        fused_extract_normalize_task)
+    batch_size = _resolve_fused_batch_size(pages, cfg)
     prepared = _prepare_pages(pages, cfg)
     if cfg.model_factory is None:
         # light default model → stateless tasks in the warm default worker
@@ -174,7 +189,7 @@ def _fused_normalized(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
                        "alias_ref": alias_ref,
                        "max_input_chars": cfg.max_input_chars},
             batch_format="pyarrow",
-            batch_size=cfg.fused_batch_size)
+            batch_size=batch_size)
     # heavy models (LLM clients, big gazetteers) get a real actor pool
     conc = cfg.fused_concurrency
     if conc is None:
@@ -190,7 +205,7 @@ def _fused_normalized(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
                                "model_factory": cfg.model_factory,
                                "max_input_chars": cfg.max_input_chars},
         batch_format="pyarrow",
-        batch_size=cfg.fused_batch_size,
+        batch_size=batch_size,
         concurrency=conc)
 
 
