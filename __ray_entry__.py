@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_frequencies_docs": Q.token_frequencies_docs,
         "split_documents": Q.split_documents,
         "events_value_quantiles": Q.events_value_quantiles,
+        "events_value_quantiles_sketch": Q.events_value_quantiles_sketch,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
     }

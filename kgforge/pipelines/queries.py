@@ -658,6 +658,16 @@ def events_value_quantiles(sf_dir: str):
     return exact_quantiles(events, "value", [0.25, 0.5, 0.9, 0.99])
 
 
+def events_value_quantiles_sketch(sf_dir: str):
+    """Mergeable-sketch quantiles (rows-only gate; the rank-error
+    envelope vs the exact query is pinned in pytest)."""
+    from ..stages.sketches import approx_quantiles
+    events = _read(sf_dir, "events", columns=["value"])
+    out = approx_quantiles(events, "value", [0.25, 0.5, 0.9, 0.99])
+    return out.set_column(out.schema.get_field_index("value"), "value",
+                          pc.round(out.column("value"), 4))
+
+
 def multimodal_decode(sf_dir: str):
     """Fake-image decode + feature plumbing (SQL-oracled: planted FKIM
     payloads are 16x12 and must all decode).  Items are generated

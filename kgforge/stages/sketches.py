@@ -98,3 +98,96 @@ def hll_distinct(ds: Dataset, col: str) -> float:
         for raw in b.column("regs").to_pylist():
             merged = np.maximum(merged, np.frombuffer(raw, dtype=np.uint8))
     return hll_estimate(merged)
+
+
+class QuantileSketch:
+    """Mergeable compressed-CDF quantile sketch.
+
+    State: sorted ``(value, weight)`` pairs capped at ``k`` entries.
+    Compaction keeps the exact min/max and samples the weighted CDF at
+    ``k`` evenly spaced cumulative ranks, so per-compaction rank error
+    is ≤ total_weight / k and merge order only affects results within
+    that envelope.  This is the 100-TB path for quantiles — shuffle
+    volume O(batches × k) — measured against the EXACT distributed
+    ``relational.exact_quantiles`` baseline in tests (the same
+    exact-vs-sketch pairing as brute-force vs IVF ANN)."""
+
+    def __init__(self, k: int = 1024):
+        self.k = k
+        self.values = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+
+    def add_batch(self, vals: np.ndarray) -> "QuantileSketch":
+        vals = np.asarray(vals, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if vals.size:
+            order = np.argsort(vals, kind="mergesort")
+            self._merge_sorted(vals[order], np.ones(vals.size))
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        self._merge_sorted(other.values, other.weights)
+        return self
+
+    def _merge_sorted(self, vals: np.ndarray, wts: np.ndarray) -> None:
+        v = np.concatenate([self.values, vals])
+        w = np.concatenate([self.weights, wts])
+        order = np.argsort(v, kind="mergesort")
+        v, w = v[order], w[order]
+        if v.size > self.k:
+            v, w = self._compact(v, w)
+        self.values, self.weights = v, w
+
+    def _compact(self, v: np.ndarray, w: np.ndarray):
+        total = w.sum()
+        cum = np.cumsum(w)
+        # sample the CDF at k evenly spaced ranks, pinning both extremes
+        targets = np.linspace(0, total, self.k)
+        idx = np.searchsorted(cum, targets, side="left")
+        idx = np.unique(np.clip(idx, 0, v.size - 1))
+        nv = v[idx]
+        ncum = cum[idx]
+        nw = np.diff(np.concatenate([[0.0], ncum]))
+        return nv, nw
+
+    def query(self, q: float) -> float | None:
+        if self.values.size == 0:
+            return None
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights)
+        rank = max(0.0, min(total, q * total))
+        i = int(np.searchsorted(cum, rank, side="left"))
+        return float(self.values[min(i, self.values.size - 1)])
+
+    def to_bytes(self) -> bytes:
+        return (np.int64(self.values.size).tobytes()
+                + self.values.tobytes() + self.weights.tobytes())
+
+    @staticmethod
+    def from_bytes(raw: bytes, k: int = 1024) -> "QuantileSketch":
+        n = int(np.frombuffer(raw[:8], dtype=np.int64)[0])
+        s = QuantileSketch(k)
+        s.values = np.frombuffer(raw[8:8 + 8 * n], dtype=np.float64).copy()
+        s.weights = np.frombuffer(raw[8 + 8 * n:8 + 16 * n],
+                                  dtype=np.float64).copy()
+        return s
+
+
+def approx_quantiles(ds: Dataset, col: str, qs: list[float],
+                     k: int = 1024) -> pa.Table:
+    """Distributed approximate quantiles: one sketch row per batch,
+    merged on the driver (O(batches × k) bytes ever move)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k).add_batch(
+            batch.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    merged = QuantileSketch(k)
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_size=1024, batch_format="pyarrow")):
+        for raw in b.column("sk").to_pylist():
+            merged.merge(QuantileSketch.from_bytes(raw, k))
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array([merged.query(q) for q in qs],
+                                       pa.float64())})

@@ -213,6 +213,50 @@ def test_multimodal_actor_pool_stage():
     assert len(df) == 20 and df["decode_ok"].all()
 
 
+def test_quantile_sketch_envelope():
+    """Sketch quantiles stay within the documented rank-error envelope
+    of the exact answer, for any merge split."""
+    from kgforge.stages.sketches import QuantileSketch
+    rng = np.random.default_rng(5)
+    data = rng.exponential(10.0, size=20_000)
+    exact_sorted = np.sort(data)
+
+    def rank_of(v: float) -> float:
+        return np.searchsorted(exact_sorted, v, side="right") / len(data)
+
+    # two different merge shapes must agree within envelope
+    k = 512
+    whole = QuantileSketch(k).add_batch(data)
+    parts = QuantileSketch(k)
+    for chunk in np.array_split(data, 37):
+        parts.merge(QuantileSketch(k).add_batch(chunk))
+    for q in (0.1, 0.25, 0.5, 0.9, 0.99):
+        for sk in (whole, parts):
+            got = sk.query(q)
+            assert abs(rank_of(got) - q) < 0.05, (q, got, rank_of(got))
+    # serialization round-trip
+    rt = QuantileSketch.from_bytes(parts.to_bytes(), k)
+    assert rt.query(0.5) == parts.query(0.5)
+
+
+def test_sketch_vs_exact_quantiles_on_testdata():
+    """The sketch query tracks the exact distributed quantiles on the
+    driver testdata within the rank-error envelope."""
+    from kgforge.pipelines import queries as Q
+    sf = "/root/testdata/sf0.001"
+    exact = Q.events_value_quantiles(sf).to_pandas().set_index("q")["value"]
+    approx = (Q.events_value_quantiles_sketch(sf).to_pandas()
+              .set_index("q")["value"])
+    import pyarrow.parquet as pq
+    vals = np.sort(pq.read_table(f"{sf}/events.parquet",
+                                 columns=["value"])
+                   .column("value").to_numpy(zero_copy_only=False))
+    for q in exact.index:
+        rank_err = abs(np.searchsorted(vals, approx[q], side="right")
+                       / len(vals) - q)
+        assert rank_err < 0.05, (q, exact[q], approx[q], rank_err)
+
+
 def test_frame_sample_stub():
     """Video frame-sampling plumbing: one row per sampled frame index,
     deterministic layout, runs as a Ray Data stage."""
