@@ -171,11 +171,11 @@ def run_scaling() -> dict:
     lo_runs = [one(lo_cpus) for _ in range(reps)]
     hi_runs = [one(hi_cpus) for _ in range(reps)]
 
-    def med(runs: list[dict]) -> float:
-        vals = sorted(r["value"] for r in runs)
-        return vals[len(vals) // 2]
+    def med_run(runs: list[dict]) -> dict:
+        return sorted(runs, key=lambda r: r["value"])[len(runs) // 2]
 
-    lo_sec, hi_sec = med(lo_runs), med(hi_runs)
+    lo_med, hi_med = med_run(lo_runs), med_run(hi_runs)
+    lo_sec, hi_sec = lo_med["value"], hi_med["value"]
     # throughput scaling efficiency: (T_lo / T_hi) / (hi/lo); 1.0 = linear
     eff = (lo_sec / hi_sec) / (hi_cpus / lo_cpus)
     return {
@@ -184,8 +184,9 @@ def run_scaling() -> dict:
         f"sec_{hi_cpus}": hi_sec,
         f"runs_{lo_cpus}": [r["value"] for r in lo_runs],
         f"runs_{hi_cpus}": [r["value"] for r in hi_runs],
-        "mentions_per_sec_lo": lo_runs[0]["mentions_per_sec"],
-        "mentions_per_sec_hi": hi_runs[0]["mentions_per_sec"],
+        # throughput from the SAME median runs as the latencies
+        "mentions_per_sec_lo": lo_med["mentions_per_sec"],
+        "mentions_per_sec_hi": hi_med["mentions_per_sec"],
         "num_cpus": [lo_cpus, hi_cpus],
         "sf": lo_runs[0]["sf"],
         "n_pages": lo_runs[0]["n_pages"],

@@ -40,6 +40,11 @@ class GraphStore:
         self.ontology = ontology
         self._extra_nodes: list[dict] = []
         self._extra_edges: list[dict] = []
+        # materialized-key caches: loaded from parquet ONCE per store and
+        # updated incrementally — per-insert re-reads made manual bulk
+        # ingestion O(inserts × table size)
+        self._node_key_cache: set[str] | None = None
+        self._edge_id_cache: set[int] | None = None
 
     # -- validation (reference kg.py:271-296) ------------------------------
     def _validate_attributes(self, attributes: list, payload: dict) -> None:
@@ -89,7 +94,7 @@ class GraphStore:
                     if name in values:
                         pending[name] = coerce_value(values[name], typ)
                 return node_id
-        if key in set(self._node_keys()):
+        if key in self._known_node_keys():
             return node_id  # MERGE match against materialized table
         row = {"node_id": node_id, "node_key": key, "label": label,
                "n_mentions": 1}
@@ -97,6 +102,7 @@ class GraphStore:
             row[name] = (coerce_value(values[name], typ)
                          if name in values else None)
         self._extra_nodes.append(row)
+        self._known_node_keys().add(key)
         return node_id
 
     def add_edge(self, label: str, src_label: str, src_attrs: dict,
@@ -119,28 +125,57 @@ class GraphStore:
         dkey = dst_label + KEY_SEP + render_properties(
             {a.name: dst_attrs.get(a.name, "") for a in d_ent.attributes
              if a.unique})
-        known = set(self._node_keys())
+        known = self._known_node_keys()
         if skey not in known or dkey not in known:
             raise ValueError("Edge endpoints do not exist in the graph")
         from .keys import compose_edge_key
         # same identity as the pipeline: edge_key = label‖src_key‖dst_key
-        row = {"edge_id": hash64(compose_edge_key(label, skey, dkey)),
+        edge_id = hash64(compose_edge_key(label, skey, dkey))
+        # idempotent MERGE like add_node: a pending edge with the same
+        # identity is updated (SET r +=); a materialized one is a match
+        for pending in self._extra_edges:
+            if pending["edge_id"] == edge_id:
+                for name, typ in edge_attr_schema(self.ontology).items():
+                    if name in attributes:
+                        pending[name] = coerce_value(attributes[name], typ)
+                return edge_id
+        if edge_id in self._known_edge_ids():
+            return edge_id
+        row = {"edge_id": edge_id,
                "label": label, "src_id": hash64(skey), "dst_id": hash64(dkey),
                "n_mentions": 1}
         for name, typ in edge_attr_schema(self.ontology).items():
             row[name] = (coerce_value(attributes[name], typ)
                          if name in attributes else None)
         self._extra_edges.append(row)
-        return row["edge_id"]
+        self._known_edge_ids().add(edge_id)
+        return edge_id
+
+    def _known_node_keys(self) -> set[str]:
+        if self._node_key_cache is None:
+            self._node_key_cache = set(
+                self._read_column("nodes", "node_key"))
+            self._node_key_cache.update(r["node_key"]
+                                        for r in self._extra_nodes)
+        return self._node_key_cache
+
+    def _known_edge_ids(self) -> set[int]:
+        if self._edge_id_cache is None:
+            self._edge_id_cache = set(self._read_column("edges", "edge_id"))
+            self._edge_id_cache.update(r["edge_id"]
+                                       for r in self._extra_edges)
+        return self._edge_id_cache
+
+    def _read_column(self, table: str, col: str) -> list:
+        import glob
+        d = os.path.join(self.output_dir, table)
+        if glob.glob(os.path.join(d, "*.parquet")):
+            return pq.ParquetDataset(d).read(columns=[col]) \
+                .column(col).to_pylist()
+        return []
 
     def _node_keys(self) -> list[str]:
-        import glob
-        keys = [r["node_key"] for r in self._extra_nodes]
-        nodes_dir = os.path.join(self.output_dir, "nodes")
-        if glob.glob(os.path.join(nodes_dir, "*.parquet")):
-            tbl = pq.ParquetDataset(nodes_dir).read(columns=["node_key"])
-            keys.extend(tbl.column("node_key").to_pylist())
-        return keys
+        return list(self._known_node_keys())
 
     def flush(self) -> None:
         """Append manual inserts as an extra parquet part per table (a

@@ -184,9 +184,17 @@ class OrchestratorDecision:
     def from_json(data: dict | str) -> "OrchestratorDecision":
         if isinstance(data, str):
             data = json.loads(data)
+        code = data.get("code")
+        if code not in (OrchestratorDecisionCode.END,
+                        OrchestratorDecisionCode.CONTINUE,
+                        OrchestratorDecisionCode.UPDATE_STEP):
+            # model emitted junk: the safe terminal state is END (the
+            # runner then summarizes whatever ran) rather than crashing
+            # the whole orchestration on a malformed decision
+            return OrchestratorDecision(OrchestratorDecisionCode.END)
         new_step = (PlanStep.from_json(data["new_step"])
                     if data.get("new_step") else None)
-        return OrchestratorDecision(data["code"], new_step)
+        return OrchestratorDecision(code, new_step)
 
 
 class KGAgent:
@@ -264,6 +272,8 @@ class OrchestratorRunner:
             return self._run_loop(steps[1:])
         if decision.code == OrchestratorDecisionCode.UPDATE_STEP:
             step = decision.new_step
+            if step is None:       # update without a step: treat as END
+                return self._handle_end()
             self.runner_log.append((step, step.run(self, self._config)))
             return self._run_loop([])
         raise ValueError(f"unknown decision code {decision.code}")

@@ -186,10 +186,14 @@ def _join_pair_payloads_shuffle(cands: Dataset, payloads: Dataset,
 
     def payload_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        # 0-filled (NOT null) id slots: nulls would make pandas promote
+        # the id columns to float64 in the attach map_groups, silently
+        # corrupting 64-bit ids above 2^53
+        zero = pa.array([0] * n, pa.int64())
         return pa.table({
             "jid": t.column(id_col).cast(pa.int64()),
-            "id_a": pa.nulls(n, pa.int64()),
-            "id_b": pa.nulls(n, pa.int64()),
+            "id_a": zero,
+            "id_b": zero,
             "payload": t.column(payload_col),
             "is_payload": pa.array([True] * n, pa.bool_())})
 

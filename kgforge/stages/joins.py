@@ -26,6 +26,30 @@ from ray.data import Dataset
 _BCAST_CACHE: dict[str, object] = {}
 
 
+def arrow_type_of(t) -> pa.DataType:
+    """Schema type → arrow type (pandas-block datasets report numpy
+    dtypes; object means string in this codebase)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+        return pa.string()
+
+
+def key_bucket(col, n: int) -> pa.Array:
+    """Deterministic bucket id per key: vectorized masked-modulo for
+    integer keys, crc32 per row for strings (nulls → bucket 0)."""
+    import zlib
+    if pa.types.is_integer(col.type):
+        filled = pc.fill_null(col.cast(pa.int64()), 0)
+        vals = filled.to_numpy(zero_copy_only=False).astype("uint64")
+        return pa.array((vals % n).astype("int64"), pa.int64())
+    return pa.array([zlib.crc32(str(v).encode("utf-8")) % n
+                     if v is not None else 0 for v in col.to_pylist()],
+                    pa.int64())
+
+
 def _broadcast_cache(ref):
     """Resolve a broadcast ObjectRef once per worker process (bounded)."""
     key = ref.hex()
@@ -67,6 +91,8 @@ def filter_keys_in_broadcast(left: Dataset, key_set_ref,
 
     def _filter(batch: pa.Table) -> pa.Table:
         value_set = _broadcast_value_array(key_set_ref)
+        if len(value_set) == 0:   # null-typed empty array breaks is_in
+            return batch.slice(0, 0)
         mask = None
         for col in cols:
             hit = pc.is_in(batch.column(col), value_set=value_set)
@@ -100,6 +126,8 @@ def semi_join_keys(left: Dataset, right_keys: Dataset, left_col: str,
             # from the local object store and converted to a pc.is_in
             # value array once per worker process.
             value_set = _broadcast_value_array(ref)
+            if len(value_set) == 0:
+                return batch.slice(0, 0)
             mask = pc.fill_null(
                 pc.is_in(batch.column(left_col), value_set=value_set), False)
             return batch.filter(mask)
@@ -129,25 +157,14 @@ def _semi_join_shuffle(left: Dataset, right_keys: Dataset, left_col: str,
     executor (observed at num_cpus=8 on the src+dst edge semi-join
     chain), and empty partitions finalize as schema-less tables that
     crash pyarrow's join."""
-    import zlib
-
-    def _arrow_type(t) -> pa.DataType:
-        # pandas-block datasets report numpy dtypes; object == string here
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError, ValueError):
-            return pa.string()
-
     schema = left.schema()
     names = list(schema.names)
-    types = {n: _arrow_type(t) for n, t in zip(schema.names, schema.types)}
+    types = {n: arrow_type_of(t) for n, t in zip(schema.names, schema.types)}
 
-    def _bucket_col(keys: pa.ChunkedArray) -> pa.Array:
-        vals = keys.to_pylist()
-        return pa.array([zlib.crc32(v.encode("utf-8")) % n_buckets
-                         if v is not None else 0 for v in vals], pa.int64())
+    def _bucket_col(keys) -> pa.Array:
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return key_bucket(keys, n_buckets)
 
     def left_rows(t: pa.Table) -> pa.Table:
         t = t.append_column("_is_key", pa.array([False] * t.num_rows))

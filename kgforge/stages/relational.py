@@ -19,17 +19,15 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
+from .joins import arrow_type_of, key_bucket
+
 N_BUCKETS = 64
 
 
-def _key_bucket(col: pa.ChunkedArray, n: int = N_BUCKETS) -> pa.Array:
-    """Vectorized bucket for int keys; crc32 per row for strings."""
-    if pa.types.is_integer(col.type):
-        b = pc.bit_wise_and(col.cast(pa.uint64()),
-                            pa.scalar(n - 1, pa.uint64()))
-        return b.cast(pa.int64())
-    return pa.array([zlib.crc32(str(v).encode()) % n
-                     for v in col.to_pylist()], pa.int64())
+def _key_bucket(col, n: int = N_BUCKETS) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return key_bucket(col, n)
 
 
 def as_of_join(left: Dataset, right: Dataset, key: str, left_ts: str,
@@ -52,20 +50,16 @@ def as_of_join(left: Dataset, right: Dataset, key: str, left_ts: str,
     l_schema = left.schema()
     l_names = list(l_schema.names)
 
-    def _arrow_type(t) -> pa.DataType:
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError, ValueError):
-            return pa.string()
-
-    l_types = {n: _arrow_type(t)
+    l_types = {n: arrow_type_of(t)
                for n, t in zip(l_schema.names, l_schema.types)}
 
     def ts_us(col: pa.ChunkedArray) -> pa.ChunkedArray:
-        return col.cast(pa.int64()) if pa.types.is_timestamp(col.type) \
-            else col.cast(pa.int64())
+        # normalize BOTH sides to microseconds: a date32 column cast
+        # straight to int64 would be a DAY count silently compared
+        # against microsecond timestamps
+        if pa.types.is_date(col.type) or pa.types.is_timestamp(col.type):
+            return col.cast(pa.timestamp("us")).cast(pa.int64())
+        return col.cast(pa.int64())
 
     def left_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -98,7 +92,13 @@ def as_of_join(left: Dataset, right: Dataset, key: str, left_ts: str,
               .union(right.map_batches(right_rows, batch_format="pyarrow")))
 
     def attach(group: pd.DataFrame) -> pa.Table:
-        rights = group[group["_is_right"]].sort_values(["_k", "_ts", "_ord"])
+        # sort is stable AND the trailing value columns participate, so
+        # exact (key, ts, ord) duplicates still resolve deterministically
+        # from data alone, not block arrival order
+        sort_cols = (["_k", "_ts", "_ord"]
+                     + [f"_r_{v}" for v in right_vals])
+        rights = group[group["_is_right"]].sort_values(sort_cols,
+                                                       kind="mergesort")
         lefts = group[~group["_is_right"]]
         by_key = {k: (sub["_ts"].to_numpy(),
                       {v: sub[f"_r_{v}"].to_numpy() for v in right_vals})
@@ -197,12 +197,15 @@ def exact_quantiles(ds: Dataset, col: str,
     KLL/t-digest sketch; this is the exact baseline the sketch is
     measured against (same relationship as brute-force vs IVF ANN)."""
     import math
+    ds = ds.select_columns([col]).map_batches(
+        lambda t: t.filter(t.column(col).is_valid()),
+        batch_format="pyarrow")   # quantile_disc ignores NULLs
     n = ds.count()
     if n == 0:
         return pa.table({"q": pa.array(qs, pa.float64()),
                          "value": pa.array([None] * len(qs), pa.float64())})
     ranks = [min(n - 1, max(0, math.ceil(q * n) - 1)) for q in qs]
-    s = ds.select_columns([col]).sort(col).materialize()
+    s = ds.sort(col).materialize()
     uniq = sorted(set(ranks))
     parts = s.split_at_indices(uniq)
     # parts[i+1] starts at global sorted index uniq[i], so the element

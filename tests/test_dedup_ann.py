@@ -213,6 +213,51 @@ def test_multimodal_actor_pool_stage():
     assert len(df) == 20 and df["decode_ok"].all()
 
 
+def test_shuffle_fallback_preserves_big_ids():
+    """The >max_driver_pairs distributed co-location path must not
+    corrupt 64-bit ids (null id slots once promoted the column to
+    float64, rounding ids above 2^53)."""
+    import functools
+
+    from kgforge.stages import dedup as D
+    big = 2**60 + 1          # not representable in float64
+    tbl = pa.table({"doc_id": pa.array([big, big + 2, 7], pa.int64()),
+                    "text": ["same words here"] * 2 + ["different"]})
+    ds = ray.data.from_arrow(tbl)
+    orig = D._join_pair_payloads
+    D._join_pair_payloads = functools.partial(orig, max_driver_pairs=0)
+    try:
+        pairs = D.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    finally:
+        D._join_pair_payloads = orig
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(big, big + 2)}
+
+
+def test_as_of_join_date32_right_side():
+    """A DATE right timestamp must normalize to microseconds, not day
+    counts (day counts would make every right row 'before' every
+    event)."""
+    import datetime
+
+    from kgforge.stages.relational import as_of_join
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([1, 2], pa.int64()),
+        "k": pa.array([5, 5], pa.int64()),
+        "ts": pa.array([datetime.datetime(2024, 1, 10),
+                        datetime.datetime(2024, 3, 10)],
+                       pa.timestamp("us"))}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([5, 5], pa.int64()),
+        "d": pa.array([datetime.date(2024, 1, 5),
+                       datetime.date(2024, 2, 5)], pa.date32()),
+        "v": pa.array([100.0, 200.0], pa.float64())}))
+    out = (as_of_join(left, right, key="k", left_ts="ts", right_ts="d",
+                      right_vals=["v"]).to_pandas()
+           .set_index("lid")["v_asof"])
+    assert out[1] == 100.0     # only the Jan 5 order is at-or-before
+    assert out[2] == 200.0
+
+
 def test_quantile_sketch_envelope():
     """Sketch quantiles stay within the documented rank-error envelope
     of the exact answer, for any merge split."""

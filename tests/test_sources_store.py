@@ -111,12 +111,20 @@ def test_graphstore_manual_api(tmp_path, small_corpus):
     assert store3.add_edge("ACTED_IN", "Person", {"name": "Manual Person"},
                            "Movie", {"title": "Manual Movie"},
                            {"role": "Lead"}) > 0
+    # edge upsert is idempotent (MERGE semantics): repeating the insert
+    # updates in place instead of appending a duplicate row
+    assert store3.add_edge("ACTED_IN", "Person", {"name": "Manual Person"},
+                           "Movie", {"title": "Manual Movie"},
+                           {"role": "Understudy"}) > 0
     store3.flush()
     tbl = store3.query("SELECT count(*) AS n FROM nodes WHERE "
                        "name = 'Manual Person'")
     assert tbl.column("n").to_pylist() == [1]
-    tbl = store3.query("SELECT role FROM edges WHERE role = 'Lead'")
+    tbl = store3.query("SELECT role FROM edges WHERE role = 'Understudy'")
     assert tbl.num_rows == 1
+    tbl = store3.query("SELECT count(*) AS n FROM edges "
+                       "WHERE role IN ('Lead', 'Understudy')")
+    assert tbl.column("n").to_pylist() == [1]
     with pytest.raises(NotImplementedError):
         store3.ask("who acted?")
     assert nid != eid
