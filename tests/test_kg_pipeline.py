@@ -51,6 +51,19 @@ def test_pipeline_from_html(small_corpus):
     assert base.edges.count() == via_html.edges.count()
 
 
+def test_keep_lang_filters_pages(small_corpus, built):
+    """The optional language filter drops non-matching pages before
+    extraction, so mention mass can only shrink (the corpus plants ~5%
+    de/fr pages)."""
+    only_en = _run(small_corpus, keep_lang=["en"])
+    assert only_en.metrics["mentions"] < built.metrics["mentions"]
+    assert only_en.metrics["mentions"] > 0
+    # filtering to a language the corpus doesn't contain yields nothing
+    none = _run(small_corpus, keep_lang=["zz"])
+    assert none.metrics["mentions"] == 0
+    assert none.nodes.count() == 0 and none.edges.count() == 0
+
+
 def test_entity_linking_folds_aliases(small_corpus, built):
     """Alias surface forms ('J. Doe', 'Doe') must canonicalize into the
     full-name node — so no node may carry a linkable alias as its name."""
