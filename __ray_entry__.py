@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_docs": Q.dedup_ngram_docs,
         "dedup_embedding_pairs": Q.dedup_embedding_pairs,
         "dedup_embedding_lsh": Q.dedup_embedding_lsh,
+        "dedup_cluster_docs": Q.dedup_cluster_docs,
         # similarity search
         "ann_topk_cosine": Q.ann_topk_cosine,
         "ann_ivf_topk": Q.ann_ivf_topk,
@@ -426,6 +427,42 @@ def oracle_sql() -> dict[str, str]:
                                JOIN sz sb ON p.id_b = sb.doc_id)
             WHERE jaccard >= 0.5
             ORDER BY id_a, id_b
+        """,
+        # connected components of the exact-Jaccard pair graph: cluster
+        # id = min id reachable (recursive reachability CTE; components
+        # are tiny, so the O(component^2) reach set is cheap)
+        "dedup_cluster_docs": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(range(1, len(toks) - 1), i ->
+                               toks[i] || ' ' || toks[i+1] || ' ' ||
+                               toks[i+2]) END AS grams
+              FROM d WHERE len(toks) > 0),
+            s AS (SELECT doc_id, unnest(list_distinct(grams)) AS sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            p0 AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM p0 JOIN sz sa ON p0.id_a = sa.doc_id
+                      JOIN sz sb ON p0.id_b = sb.doc_id
+              WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT doc_id, doc_id AS r FROM documents
+              UNION
+              SELECT reach.doc_id, e.v
+              FROM reach JOIN edges e ON reach.r = e.u)
+            SELECT doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY doc_id ORDER BY doc_id
         """,
         # planted near-duplicates (testdata ships none above cosine 0.51):
         # identical float64 elementwise mix as queries._augmented_embeddings

@@ -363,6 +363,17 @@ def dedup_embedding_pairs(sf_dir: str):
         batch_format="pyarrow")
 
 
+def dedup_cluster_docs(sf_dir: str):
+    """Near-dup cluster assignment over the exact ngram pair graph —
+    every doc tagged with its component's smallest id (SQL-oracled via
+    a recursive reachability CTE)."""
+    from ..stages.dedup import dedup_clusters
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_clusters(_read(sf_dir, "documents", columns=["doc_id"]),
+                          pairs)
+
+
 def dedup_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH scale path over the same augmented input
     (rows-only gate; recall vs the exact query is pinned in

@@ -684,3 +684,58 @@ def embedding_pairs_exact(ds: Dataset, id_col: str = "vec_id",
             "cosine": pa.array(sims[bi, oj], pa.float64())})
 
     return ds.map_batches(block_pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate cluster assignment
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(docs: Dataset, pairs: Dataset,
+                   id_col: str = "doc_id") -> Dataset:
+    """Connected components over the near-duplicate pair graph: every
+    doc gets ``cluster_id`` = the smallest id in its component (itself
+    when unpaired) — the final step of a near-dedup pipeline (keep one
+    representative per cluster).
+
+    The pair set is union-found on the driver — bounded by the
+    near-duplicate count, the same documented bound as the candidate
+    join — and the root mapping is broadcast; tagging the corpus is one
+    vectorized ``map_batches`` (sorted-array ``searchsorted`` lookup,
+    no shuffle)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:      # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for t in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b in zip(t.column("id_a").to_pylist(),
+                        t.column("id_b").to_pylist()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    roots = {x: find(x) for x in list(parent)}
+    keys = np.array(sorted(roots), dtype=np.int64)
+    vals = np.array([roots[k] for k in keys], dtype=np.int64)
+    ref = ray.put((keys, vals))
+
+    def tag(t: pa.Table) -> pa.Table:
+        from .joins import _broadcast_cache
+        k, v = _broadcast_cache(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cluster = ids.copy()
+        if k.size:
+            idx = np.searchsorted(k, ids)
+            idx = np.clip(idx, 0, k.size - 1)
+            hit = k[idx] == ids
+            cluster[hit] = v[idx[hit]]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cluster_id": pa.array(cluster, pa.int64())})
+
+    return docs.map_batches(tag, batch_format="pyarrow")
