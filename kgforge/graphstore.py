@@ -42,9 +42,18 @@ class GraphStore:
         self._extra_edges: list[dict] = []
         # materialized-key caches: loaded from parquet ONCE per store and
         # updated incrementally — per-insert re-reads made manual bulk
-        # ingestion O(inserts × table size)
+        # ingestion O(inserts × table size).  SINGLE-WRITER assumption:
+        # rows written to output_dir by another process after first use
+        # are invisible until refresh() (same contract as any cached
+        # handle over files)
         self._node_key_cache: set[str] | None = None
         self._edge_id_cache: set[int] | None = None
+
+    def refresh(self) -> None:
+        """Drop the materialized-key caches (call after another writer —
+        e.g. a pipeline run — appends to this store's output_dir)."""
+        self._node_key_cache = None
+        self._edge_id_cache = None
 
     # -- validation (reference kg.py:271-296) ------------------------------
     def _validate_attributes(self, attributes: list, payload: dict) -> None:

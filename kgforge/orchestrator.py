@@ -192,8 +192,12 @@ class OrchestratorDecision:
             # runner then summarizes whatever ran) rather than crashing
             # the whole orchestration on a malformed decision
             return OrchestratorDecision(OrchestratorDecisionCode.END)
-        new_step = (PlanStep.from_json(data["new_step"])
-                    if data.get("new_step") else None)
+        try:
+            new_step = (PlanStep.from_json(data["new_step"])
+                        if data.get("new_step") else None)
+        except (KeyError, ValueError, TypeError):
+            # malformed replacement step: same safe-END fallback
+            return OrchestratorDecision(OrchestratorDecisionCode.END)
         return OrchestratorDecision(code, new_step)
 
 

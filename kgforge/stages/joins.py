@@ -38,12 +38,15 @@ def arrow_type_of(t) -> pa.DataType:
 
 
 def key_bucket(col, n: int) -> pa.Array:
-    """Deterministic bucket id per key: vectorized masked-modulo for
-    integer keys, crc32 per row for strings (nulls → bucket 0)."""
+    """Deterministic bucket id per key: vectorized modulo for integer
+    keys (full uint64 range — a safe int64 cast would reject ids above
+    2^63, half of hash64's output space; negatives wrap two's-complement,
+    which is fine because bucketing only needs consistency), crc32 per
+    row for strings (nulls → bucket 0)."""
     import zlib
     if pa.types.is_integer(col.type):
-        filled = pc.fill_null(col.cast(pa.int64()), 0)
-        vals = filled.to_numpy(zero_copy_only=False).astype("uint64")
+        filled = pc.fill_null(col, 0).cast(pa.uint64(), safe=False)
+        vals = filled.to_numpy(zero_copy_only=False)
         return pa.array((vals % n).astype("int64"), pa.int64())
     return pa.array([zlib.crc32(str(v).encode("utf-8")) % n
                      if v is not None else 0 for v in col.to_pylist()],

@@ -200,12 +200,14 @@ def exact_quantiles(ds: Dataset, col: str,
     ds = ds.select_columns([col]).map_batches(
         lambda t: t.filter(t.column(col).is_valid()),
         batch_format="pyarrow")   # quantile_disc ignores NULLs
-    n = ds.count()
+    # sort+materialize FIRST: count() then reads block metadata instead
+    # of paying a second full scan of the filtered column
+    s = ds.sort(col).materialize()
+    n = s.count()
     if n == 0:
         return pa.table({"q": pa.array(qs, pa.float64()),
                          "value": pa.array([None] * len(qs), pa.float64())})
     ranks = [min(n - 1, max(0, math.ceil(q * n) - 1)) for q in qs]
-    s = ds.sort(col).materialize()
     uniq = sorted(set(ranks))
     parts = s.split_at_indices(uniq)
     # parts[i+1] starts at global sorted index uniq[i], so the element
