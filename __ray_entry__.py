@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_documents": Q.split_documents,
         "events_value_quantiles": Q.events_value_quantiles,
         "events_value_quantiles_sketch": Q.events_value_quantiles_sketch,
+        "pack_documents": Q.pack_documents,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
     }
@@ -622,6 +623,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 0.99, quantile_disc(value, 0.99) FROM events
             ORDER BY q
+        """,
+        # GPT-style concat-then-chop packing: exclusive prefix sum of
+        # token counts in doc_id order, chopped into 2048-token sequences
+        "pack_documents": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                         AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+              FROM c)
+            SELECT doc_id, n_tokens, token_offset,
+                   token_offset // 2048 AS first_seq,
+                   greatest(token_offset,
+                            token_offset + n_tokens - 1) // 2048 AS last_seq
+            FROM o ORDER BY doc_id
         """,
         "events_sliding_window": """
             SELECT event_id, user_id,

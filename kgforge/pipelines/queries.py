@@ -669,6 +669,18 @@ def events_value_quantiles(sf_dir: str):
     return exact_quantiles(events, "value", [0.25, 0.5, 0.9, 0.99])
 
 
+def pack_documents(sf_dir: str):
+    """GPT-style sequence packing over the documents table: token counts
+    → distributed exclusive prefix sum (concat layout) → fixed 2048-token
+    sequence assignment.  Exact at any parallelism; SQL-oracled via a
+    window cumsum."""
+    from ..stages.relational import pack_sequences
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counted = (docs.map_batches(token_stats_batch, batch_format="pyarrow")
+                   .select_columns(["doc_id", "n_tokens"]))
+    return pack_sequences(counted, "doc_id", "n_tokens", seq_len=2048)
+
+
 def events_value_quantiles_sketch(sf_dir: str):
     """Mergeable-sketch quantiles (rows-only gate; the rank-error
     envelope vs the exact query is pinned in pytest)."""

@@ -220,3 +220,88 @@ def exact_quantiles(ds: Dataset, col: str,
     return pa.table({
         "q": pa.array(qs, pa.float64()),
         "value": pa.array([at_rank[r] for r in ranks], pa.float64())})
+
+
+def prefix_sum(ds: Dataset, order_col: str, weight_col: str,
+               out_col: str = "offset") -> Dataset:
+    """Distributed EXCLUSIVE prefix sum: each row gets the total weight
+    of all rows strictly before it in ``order_col`` order (which must be
+    unique — it identifies blocks after the sort).
+
+    Classic two-pass scan: global sort, then one tiny pass collects each
+    block's (first order value, weight total) — O(blocks) rows to the
+    driver — which are exclusive-scanned and broadcast; a second pass
+    adds each block's base to its local cumsum.  Only per-block scalars
+    ever leave the workers."""
+    s = ds.sort(order_col).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.float64())})
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        first = t.column(order_col)[0].as_py()
+        return pa.table({"first": pa.array([int(first)], pa.int64()),
+                         "total": pa.array([float(w.sum())], pa.float64())})
+
+    stats = []
+    # batch_size=None = one batch per BLOCK: both passes must see the
+    # exact same boundaries or the base lookup misses
+    for b in (s.map_batches(block_stat, batch_format="pyarrow",
+                            batch_size=None)
+              .iter_batches(batch_size=4096, batch_format="pyarrow")):
+        stats.extend(zip(b.column("first").to_pylist(),
+                         b.column("total").to_pylist()))
+    stats.sort()
+    bases: dict[int, float] = {}
+    running = 0.0
+    for first, total in stats:
+        bases[first] = running
+        running += total
+
+    import ray as _ray
+    ref = _ray.put(bases)
+
+    def attach(t: pa.Table) -> pa.Table:
+        from .joins import _broadcast_cache
+        base_by_first = _broadcast_cache(ref)
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            "float64")
+        local = np.concatenate([[0.0], np.cumsum(w)[:-1]])
+        base = base_by_first[int(t.column(order_col)[0].as_py())]
+        return t.append_column(out_col,
+                               pa.array(base + local, pa.float64()))
+
+    return s.map_batches(attach, batch_format="pyarrow",
+                         batch_size=None)
+
+
+def pack_sequences(ds: Dataset, id_col: str, n_tokens_col: str,
+                   seq_len: int) -> Dataset:
+    """GPT-style pretraining packing (concatenate-then-chop): documents
+    are laid out end to end in ``id_col`` order and cut into fixed
+    ``seq_len``-token training sequences; each doc reports its global
+    token offset and the first/last sequence it lands in (docs may span
+    sequence boundaries — that's the concat-packing contract).
+
+    Built on :func:`prefix_sum`, so the layout is exact and
+    deterministic at any parallelism."""
+    with_off = prefix_sum(ds, id_col, n_tokens_col, out_col="_off")
+
+    def finish(t: pa.Table) -> pa.Table:
+        off = t.column("_off").to_numpy(zero_copy_only=False).astype(
+            "int64")
+        n = t.column(n_tokens_col).to_numpy(zero_copy_only=False).astype(
+            "int64")
+        first = off // seq_len
+        last = np.maximum(off, off + n - 1) // seq_len
+        return pa.table({
+            id_col: t.column(id_col),
+            n_tokens_col: pa.array(n, pa.int64()),
+            "token_offset": pa.array(off, pa.int64()),
+            "first_seq": pa.array(first, pa.int64()),
+            "last_seq": pa.array(last, pa.int64())})
+
+    return with_off.map_batches(finish, batch_format="pyarrow")
