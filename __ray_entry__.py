@@ -108,8 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1_pricing": Q.tpch_q1_pricing,
         "top_spenders": Q.top_spenders,
         "events_hourly_window": Q.events_hourly_window,
+        "events_hopping_window": Q.events_hopping_window,
         "events_sliding_window": Q.events_sliding_window,
         "events_sessionize": Q.events_sessionize,
+        "top_users_by_type": Q.top_users_by_type,
         "distinct_users_exact": Q.distinct_users_exact,
         "distinct_users_hll": Q.distinct_users_hll,
         "curate_documents": Q.curate_documents,
@@ -623,6 +625,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 0.99, quantile_disc(value, 0.99) FROM events
             ORDER BY q
+        """,
+        # hopping windows: event × hop-offset join, windows covering the
+        # event kept (ws <= sec < ws + window)
+        "events_hopping_window": """
+            SELECT key, window_start,
+                   count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS value_cents
+            FROM (
+              SELECT e.event_type AS key,
+                     (epoch_us(e.ts) // 1000000 // 900 - h.h) * 900
+                         AS window_start,
+                     epoch_us(e.ts) // 1000000 AS sec,
+                     CAST(round(e.value * 100) AS BIGINT) AS cents
+              FROM events e, (SELECT unnest([0, 1, 2, 3]) AS h) h)
+            WHERE window_start + 3600 > sec
+            GROUP BY key, window_start ORDER BY key, window_start
+        """,
+        "top_users_by_type": """
+            SELECT event_type, user_id, count(*) AS n
+            FROM events
+            GROUP BY event_type, user_id
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY count(*) DESC, user_id) <= 5
+            ORDER BY event_type, n DESC, user_id
         """,
         # GPT-style concat-then-chop packing: exclusive prefix sum of
         # token counts in doc_id order, chopped into 2048-token sequences

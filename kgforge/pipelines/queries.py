@@ -599,6 +599,24 @@ def events_sliding_window(sf_dir: str):
     return sliding_count(events)
 
 
+def events_hopping_window(sf_dir: str):
+    """Overlapping hopping windows (1h window, 15min hop) per event
+    type — every event lands in four windows."""
+    from ..stages.windows import hopping_window
+    events = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return hopping_window(events, key_col="event_type",
+                          window_s=3600, hop_s=900)
+
+
+def top_users_by_type(sf_dir: str):
+    """Heavy hitters per group: top-5 users by event count within each
+    event type (per-batch count combiner, bucket fold, per-group
+    head-k)."""
+    from ..stages.windows import grouped_top_k
+    events = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_top_k(events, "event_type", "user_id", k=5)
+
+
 def events_sessionize(sf_dir: str):
     """Gap-based sessions (30 min) per user over the event log."""
     from ..stages.windows import sessionize

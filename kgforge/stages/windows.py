@@ -96,3 +96,94 @@ def sessionize(ds: Dataset, key_col: str = "user_id", ts_col: str = "ts",
 
     return (_bucketed(ds, key_col).groupby("bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def hopping_window(ds: Dataset, ts_col: str = "ts",
+                   key_col: str = "event_type", value_col: str = "value",
+                   window_s: int = 3600, hop_s: int = 900) -> Dataset:
+    """Overlapping (hopping) windows: every event is counted in each of
+    the ``window_s/hop_s`` windows covering it.  Per-batch flat-map to
+    (key, window_start) partial aggregates — the combiner — then one
+    small groupby; shuffle volume is O(distinct (key, window) ×
+    batches), never O(events × windows)."""
+    import pyarrow.compute as pc
+
+    n_hops = -(-window_s // hop_s)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micros = batch.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        secs = micros // 1_000_000
+        keys = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+        cents = pc.floor(pc.add(pc.multiply(
+            batch.column(value_col), 100), 0.5)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rows = {"key": [], "window_start": [], "n": [], "value_cents": []}
+        for h in range(n_hops):
+            # window start covering the event at hop offset h
+            ws = ((secs - h * hop_s) // hop_s) * hop_s
+            live = ws + window_s > secs          # event inside [ws, ws+W)
+            df = pd.DataFrame({"key": keys[live], "ws": ws[live],
+                               "c": cents[live]})
+            g = (df.groupby(["key", "ws"], as_index=False)
+                   .agg(n=("c", "size"), value_cents=("c", "sum")))
+            rows["key"].extend(g["key"])
+            rows["window_start"].extend(g["ws"])
+            rows["n"].extend(g["n"])
+            rows["value_cents"].extend(g["value_cents"])
+        return pa.table({
+            "key": pa.array(rows["key"], pa.string()),
+            "window_start": pa.array(rows["window_start"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "value_cents": pa.array(rows["value_cents"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["key", "window_start"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("value_cents", alias_name="value_cents"))
+              .map_batches(lambda t: t.set_column(
+                  t.schema.get_field_index("n"), "n",
+                  t.column("n").cast(pa.int64())).set_column(
+                  t.schema.get_field_index("value_cents"), "value_cents",
+                  t.column("value_cents").cast(pa.int64())),
+                  batch_format="pyarrow"))
+
+
+def grouped_top_k(ds: Dataset, group_col: str, key_col: str,
+                  k: int = 5, n_buckets: int = 64) -> Dataset:
+    """Top-k ``key_col`` values by count within each ``group_col`` —
+    heavy hitters per group.  Per-batch count combiner → bucket fold on
+    (group, key) → per-group vectorized head-k (ties: ascending key)."""
+    import zlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": batch.column(group_col).to_pylist(),
+            "k": batch.column(key_col).to_pylist()})
+        c = df.groupby(["g", "k"], as_index=False).size()
+        buckets = [zlib.crc32(f"{g}\x1f{kk}".encode()) % n_buckets
+                   for g, kk in zip(c["g"], c["k"])]
+        # type-preserving: infer arrow types from the values (int keys
+        # stay int64, strings stay string)
+        return pa.table({"g": pa.array(c["g"].tolist()),
+                         "k": pa.array(c["k"].tolist()),
+                         "n": pa.array(c["size"].tolist(), pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64())})
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["g", "k"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g[["g", "k", "n"]]
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(fold, batch_format="pandas"))
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values(["n", "k"], ascending=[False, True],
+                                  kind="mergesort").head(k))
+
+    return (counts.groupby("g").map_groups(topk, batch_format="pandas")
+            .map_batches(lambda t: t.rename_columns(
+                [group_col, key_col, "n"]), batch_format="pyarrow"))
