@@ -137,6 +137,25 @@ def test_user_input_step():
     assert result.output == "year noted"
 
 
+def test_malformed_decisions_fall_back_to_end():
+    """Junk decision JSON (unknown code, update_step without/with a
+    malformed new_step) must terminate gracefully via the forced
+    summary, not crash the run."""
+    for bad in ({"nonsense": 1},
+                {"code": "update_step"},
+                {"code": "update_step", "new_step": {"bogus": 1}}):
+        model = StaticReplayModel([
+            ("execution plan", [_resp([PLAN[0]])]),
+            ("run log so far", [_resp(bad), _resp({"code": "end"})]),
+            ("Summarize the run log",
+             [GenerationResponse("ended safely", FinishReason.STOP)]),
+        ])
+        orch = Orchestrator(model)
+        for agent in _agents():
+            orch.register_agent(agent)
+        assert orch.ask("q").output == "ended safely"
+
+
 def test_unknown_agent_raises():
     plan = [{"id": "a", "block": "agent",
              "properties": {"agent_id": "nope", "payload": {}}}]
