@@ -229,7 +229,8 @@ class OrchestratorRunner:
     def __init__(self, chat: GenerativeModelChatSession, agents: list,
                  plan: ExecutionPlan, user_question: str = "",
                  config: dict | None = None,
-                 user_input: Callable[[str], str] | None = None):
+                 user_input: Callable[[str], str] | None = None,
+                 max_decisions: int = 32):
         self.chat = chat
         self._agents = agents
         self.plan = plan
@@ -238,6 +239,10 @@ class OrchestratorRunner:
         self._sessions: dict[str, Any] = {}
         self.runner_log: list[tuple[PlanStep, StepResult]] = []
         self._user_input = user_input or (lambda q: input(q))
+        # hard cap on model decisions per run: a live model that keeps
+        # answering update_step (or never ENDs after the forced summary)
+        # would otherwise loop forever
+        self._max_decisions = max_decisions
 
     def get_agent(self, agent_id: str):
         for agent in self._agents:
@@ -265,34 +270,59 @@ class OrchestratorRunner:
         return self._run_loop(self.plan.steps[1:])
 
     def _run_loop(self, steps: list[PlanStep]) -> StepResult:
-        decision = self._decide(steps[0] if steps else None)
-        if decision.code == OrchestratorDecisionCode.END:
-            return self._handle_end()
-        if decision.code == OrchestratorDecisionCode.CONTINUE:
-            if not steps:
-                return self._handle_end()
-            nxt = steps[0]
-            self.runner_log.append((nxt, nxt.run(self, self._config)))
-            return self._run_loop(steps[1:])
-        if decision.code == OrchestratorDecisionCode.UPDATE_STEP:
-            step = decision.new_step
-            if step is None:       # update without a step: treat as END
-                return self._handle_end()
-            self.runner_log.append((step, step.run(self, self._config)))
-            return self._run_loop([])
-        raise ValueError(f"unknown decision code {decision.code}")
+        # iterative (not recursive) with a decision cap: the loop shape
+        # is decide → act → decide …; an adversarial/looping model ends
+        # at the cap with the forced summary instead of recursing forever
+        steps = list(steps)
+        for _ in range(self._max_decisions):
+            decision = self._decide(steps[0] if steps else None)
+            if decision.code == OrchestratorDecisionCode.CONTINUE and steps:
+                nxt = steps.pop(0)
+                self.runner_log.append((nxt, nxt.run(self, self._config)))
+                continue
+            if decision.code == OrchestratorDecisionCode.UPDATE_STEP \
+                    and decision.new_step is not None:
+                step = decision.new_step
+                self.runner_log.append((step, step.run(self, self._config)))
+                steps = []
+                continue
+            if decision.code not in (OrchestratorDecisionCode.END,
+                                     OrchestratorDecisionCode.CONTINUE,
+                                     OrchestratorDecisionCode.UPDATE_STEP):
+                raise ValueError(f"unknown decision code {decision.code}")
+            # END (or CONTINUE past the last step / update without a
+            # step, both treated as END)
+            done = self._handle_end()
+            if done is not None:
+                return done
+            steps = []          # summary was forced — ask once more
+        return self._forced_summary()
 
-    def _handle_end(self) -> StepResult:
+    def _handle_end(self) -> StepResult | None:
+        """Finish if the log already ends in a summary; otherwise force
+        one (reference runner.py:119-133) and return ``None`` so the
+        decision loop runs again."""
         if not self.runner_log:
             return StepResult("No steps to run")
         last_step, last_result = self.runner_log[-1]
         if last_step.block != StepBlockType.SUMMARY:
-            # END without a summary forces one (runner.py:119-133)
             summary = PlanStep("summary", StepBlockType.SUMMARY, {})
             self.runner_log.append((summary,
                                     summary.run(self, self._config)))
-            return self._run_loop([])
+            return None
         return StepResult(last_result.output)
+
+    def _forced_summary(self) -> StepResult:
+        """Decision cap exceeded: return the latest summary, running one
+        final summary step if the log doesn't end in one."""
+        if self.runner_log:
+            last_step, last_result = self.runner_log[-1]
+            if last_step.block == StepBlockType.SUMMARY:
+                return StepResult(last_result.output)
+        summary = PlanStep("summary", StepBlockType.SUMMARY, {})
+        result = summary.run(self, self._config)
+        self.runner_log.append((summary, result))
+        return StepResult(result.output)
 
     def _decide(self, next_step: PlanStep | None) -> OrchestratorDecision:
         response = self.chat.send_message(

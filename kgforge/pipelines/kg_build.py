@@ -162,9 +162,24 @@ def _normalized(mentions: Dataset, cfg: KGBuildConfig) -> Dataset:
         batch_size=cfg.normalize_batch_size)
 
 
+def _is_bare_read(ds: Dataset) -> bool:
+    """True when the dataset is an untransformed read — the only case
+    where ``count()`` is a pure metadata lookup.  On a transformed
+    dataset ``count()`` would execute the upstream chain once, silently
+    doubling work before the fused stage."""
+    try:
+        from ray.data._internal.logical.operators.read_operator import Read
+        dag = ds._plan._logical_plan.dag
+        return isinstance(dag, Read)
+    except Exception:  # noqa: BLE001 — private API; be conservative
+        return False
+
+
 def _resolve_fused_batch_size(pages: Dataset, cfg: KGBuildConfig) -> int:
     if cfg.fused_batch_size is not None:
         return cfg.fused_batch_size
+    if not _is_bare_read(pages):
+        return 8192
     try:
         n = pages.count()  # parquet metadata — no data read
         cpus = int(ray.cluster_resources().get("CPU", 8))

@@ -99,32 +99,30 @@ def as_of_join(left: Dataset, right: Dataset, key: str, left_ts: str,
                      + [f"_r_{v}" for v in right_vals])
         rights = group[group["_is_right"]].sort_values(sort_cols,
                                                        kind="mergesort")
-        lefts = group[~group["_is_right"]]
-        by_key = {k: (sub["_ts"].to_numpy(),
-                      {v: sub[f"_r_{v}"].to_numpy() for v in right_vals})
-                  for k, sub in rights.groupby("_k", sort=False)}
-        out_cols: dict[str, list] = {c: [] for c in l_names}
-        val_cols: dict[str, list] = {v: [] for v in right_vals}
-        for k, sub in lefts.groupby("_k", sort=False):
-            hit = by_key.get(k)
-            lts = sub["_ts"].to_numpy()
-            if hit is None:
-                idx = np.full(len(lts), -1)
-            else:
-                idx = np.searchsorted(hit[0], lts, side="right") - 1
-            for c in l_names:
-                out_cols[c].extend(sub[c].tolist())
+        # merge_asof needs the on-column globally monotonic; the stable
+        # re-sort by _ts keeps the per-(key, ts) tie order from above, so
+        # the LAST positional match (what merge_asof picks) is still the
+        # max (_ord, values) row — identical to the searchsorted
+        # side="right" semantics this replaced
+        rcols = ["_k", "_ts"] + [f"_r_{v}" for v in right_vals]
+        rights = rights[rcols].sort_values("_ts", kind="mergesort")
+        lefts = (group.loc[~group["_is_right"], l_names + ["_k", "_ts"]]
+                 .sort_values("_ts", kind="mergesort"))
+        if len(rights):
+            merged = pd.merge_asof(lefts, rights, on="_ts", by="_k",
+                                   direction="backward")
+        else:
+            merged = lefts.copy()
             for v in right_vals:
-                vals = hit[1][v] if hit is not None else None
-                val_cols[v].extend(
-                    [None if i < 0 else float(vals[i]) for i in idx])
+                merged[f"_r_{v}"] = np.nan
         arrays = []
         names = []
         for c in l_names:
-            arrays.append(pa.array(out_cols[c], l_types[c]))
+            arrays.append(pa.Array.from_pandas(merged[c], type=l_types[c]))
             names.append(c)
         for v in right_vals:
-            arrays.append(pa.array(val_cols[v], pa.float64()))
+            arrays.append(pa.Array.from_pandas(merged[f"_r_{v}"],
+                                               type=pa.float64()))
             names.append(f"{v}_asof")
         return pa.Table.from_arrays(arrays, names=names)
 
@@ -159,20 +157,26 @@ def token_frequencies(ds: Dataset, text_col: str = "text",
     → sort/limit on the vocabulary-sized result."""
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        toks: list[str] = []
-        for s in texts:
-            toks.extend((s or "").split())
-        if not toks:
+        # RE2-semantics tokenization ('\S' = [^ \t\n\f\r]), vectorized:
+        # Python str.split() would also split on Unicode whitespace
+        # (NBSP, \v, …) and silently disagree with the DuckDB oracle and
+        # token_stats_batch on such corpora
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.fill_null(col, ""), pattern="[ \t\n\f\r]+").flatten()
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        if len(toks) == 0:
             return pa.table({"token": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64())})
-        vc = pd.Series(toks).value_counts()
-        tokens = vc.index.to_numpy()
-        buckets = [zlib.crc32(t.encode("utf-8")) % n_buckets
-                   for t in tokens]
-        return pa.table({"token": pa.array(tokens, pa.string()),
-                         "n": pa.array(vc.to_numpy(), pa.int64()),
+        vc = pc.value_counts(toks)
+        tokens = vc.field("values")
+        buckets = [zlib.crc32(tok.encode("utf-8")) % n_buckets
+                   for tok in tokens.to_pylist()]
+        return pa.table({"token": tokens.cast(pa.string()),
+                         "n": vc.field("counts").cast(pa.int64()),
                          "bucket": pa.array(buckets, pa.int64())})
 
     def fold(group: pd.DataFrame) -> pd.DataFrame:

@@ -158,16 +158,19 @@ def grouped_top_k(ds: Dataset, group_col: str, key_col: str,
     import zlib
 
     def partial(batch: pa.Table) -> pa.Table:
+        # type-preserving: carry the INPUT column types explicitly — an
+        # empty batch must not emit null-typed 'g'/'k' columns that clash
+        # with typed blocks at the downstream groupby
+        g_type = batch.schema.field(group_col).type
+        k_type = batch.schema.field(key_col).type
         df = pd.DataFrame({
             "g": batch.column(group_col).to_pylist(),
             "k": batch.column(key_col).to_pylist()})
         c = df.groupby(["g", "k"], as_index=False).size()
         buckets = [zlib.crc32(f"{g}\x1f{kk}".encode()) % n_buckets
                    for g, kk in zip(c["g"], c["k"])]
-        # type-preserving: infer arrow types from the values (int keys
-        # stay int64, strings stay string)
-        return pa.table({"g": pa.array(c["g"].tolist()),
-                         "k": pa.array(c["k"].tolist()),
+        return pa.table({"g": pa.array(c["g"].tolist(), g_type),
+                         "k": pa.array(c["k"].tolist(), k_type),
                          "n": pa.array(c["size"].tolist(), pa.int64()),
                          "bucket": pa.array(buckets, pa.int64())})
 
