@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_semijoin_events": Q.edge_semijoin_events,
         # dedup suite
         "dedup_exact_docs": Q.dedup_exact_docs,
+        "dedup_exact_hash_docs": Q.dedup_exact_hash_docs,
         "dedup_minhash_docs": Q.dedup_minhash_docs,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
         "dedup_ngram_docs": Q.dedup_ngram_docs,
@@ -255,6 +256,24 @@ _ANN_TOPK_SQL = """
 """
 
 
+_EMB_PAIRS_SQL = """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+    planted AS (
+      SELECT 10000000 + a.vec_id AS vec_id,
+             list_transform(range(1, len(a.v) + 1), k ->
+                 0.95 * a.v[k] + 0.05 * b.v[k]) AS v
+      FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 12),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    ORDER BY id_a, id_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # Flagship KG pipeline oracles.  The kg_nodes/kg_edges queries
@@ -399,6 +418,14 @@ def oracle_sql() -> dict[str, str]:
                    text
             FROM documents GROUP BY text ORDER BY doc_id
         """,
+        # text-free shuffle mode: the engine ships only (id, md5) through
+        # the exchange; DuckDB's md5() makes it exactly oracle-checkable
+        "dedup_exact_hash_docs": """
+            SELECT min(doc_id) AS doc_id,
+                   count(*) AS n_dups,
+                   md5(text) AS text_hash
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
         "ann_topk_cosine": _ANN_TOPK_SQL,
         # IVF runs in its exact configuration for the gate (nprobe =
         # n_centroids probes every bucket), so the brute-force oracle
@@ -469,20 +496,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # planted near-duplicates (testdata ships none above cosine 0.51):
         # identical float64 elementwise mix as queries._augmented_embeddings
-        "dedup_embedding_pairs": """
-            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                          FROM embeddings),
-            planted AS (
-              SELECT 10000000 + a.vec_id AS vec_id,
-                     list_transform(range(1, len(a.v) + 1), k ->
-                         0.95 * a.v[k] + 0.05 * b.v[k]) AS v
-              FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
-              WHERE a.vec_id < 12),
-            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        "dedup_embedding_pairs": _EMB_PAIRS_SQL,
+        # the LSH scale path verifies candidates with EXACT cosine on the
+        # same float64 unit vectors and (deterministically, fixed seed)
+        # recalls every planted pair on this corpus — so the exact
+        # all-pairs oracle applies verbatim (recall pinned in pytest)
+        "dedup_embedding_lsh": _EMB_PAIRS_SQL,
+        # minhash gate: the SET of estimator-selected pairs at threshold
+        # 0.5 equals the exact-Jaccard pair set on this corpus (planted
+        # dups sit far from the threshold; deterministic fixed-seed
+        # signatures — equality asserted in pytest); only exact Jaccard
+        # is SQL-derivable, so the gate compares the pair set
+        "dedup_minhash_docs": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(range(1, len(toks) - 1), i ->
+                               toks[i] || ' ' || toks[i+1] || ' ' ||
+                               toks[i+2]) END AS grams
+              FROM d WHERE len(toks) > 0),
+            s AS (SELECT doc_id, unnest(list_distinct(grams)) AS sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b
+            FROM pairs p JOIN sz sa ON p.id_a = sa.doc_id
+                         JOIN sz sb ON p.id_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
             ORDER BY id_a, id_b
         """,
         "token_stats_docs": r"""

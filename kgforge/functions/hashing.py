@@ -56,15 +56,34 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray,
     return np.min(prod, axis=1)
 
 
+_MIX0 = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def band_hash_matrix(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """``(n_docs, k)`` uint64 signature matrix → ``(n_docs, n_bands)``
+    band hashes, fully vectorized (splitmix64-style fold across the
+    band's rows — equal band chunks always hash equal; the per-doc
+    blake2b loop this replaced was the explode-stage hot spot)."""
+    n, k = sigs.shape
+    r = k // n_bands
+    chunks = sigs[:, :n_bands * r].reshape(n, n_bands, r)
+    with np.errstate(over="ignore"):
+        h = np.full((n, n_bands), _MIX0, dtype=np.uint64)
+        for j in range(r):
+            h = h ^ chunks[:, :, j]
+            h = h * _MIX1
+            h ^= h >> np.uint64(31)
+            h = h * _MIX2
+            h ^= h >> np.uint64(29)
+    return h
+
+
 def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
-    """LSH band hashes: split the signature into bands, hash each."""
-    r = len(sig) // n_bands
-    out = []
-    for band in range(n_bands):
-        chunk = sig[band * r:(band + 1) * r].tobytes()
-        out.append(int.from_bytes(
-            hashlib.blake2b(chunk, digest_size=8).digest(), "big"))
-    return out
+    """LSH band hashes for ONE signature (vector form of
+    :func:`band_hash_matrix`, kept consistent with it)."""
+    return band_hash_matrix(sig[None, :], n_bands)[0].tolist()
 
 
 _SIMHASH_A = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier

@@ -293,9 +293,26 @@ def dedup_exact_docs(sf_dir: str):
     return exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def dedup_exact_hash_docs(sf_dir: str):
+    """Text-free exact dedup (the 100-TB shuffle mode): only
+    ``(doc_id, md5)`` rides the exchange; SQL-oracled via DuckDB
+    ``md5()``."""
+    return exact_dedup(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]), keep_text=False)
+
+
 def dedup_minhash_docs(sf_dir: str):
-    return minhash_lsh_pairs(_read(sf_dir, "documents",
-                                   columns=["doc_id", "text"]), threshold=0.5)
+    """Minhash-LSH near-dup PAIR SET at threshold 0.5 — SQL-oracled
+    against the exact-Jaccard pair set: on this corpus the planted
+    duplicates sit far from the threshold, so the signature estimator
+    (fixed seed, deterministic) selects exactly the exact-Jaccard pairs
+    (asserted in tests/test_dedup_ann.py::test_minhash_matches_exact_
+    pairs).  The gate compares the SET; ``est_jaccard`` stays available
+    on the operator but is dropped here (only exact Jaccard is
+    SQL-derivable)."""
+    out = minhash_lsh_pairs(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]), threshold=0.5)
+    return out.select_columns(["id_a", "id_b"])
 
 
 def dedup_simhash_docs(sf_dir: str):
@@ -375,8 +392,13 @@ def dedup_cluster_docs(sf_dir: str):
 
 
 def dedup_embedding_lsh(sf_dir: str):
-    """Hyperplane-LSH scale path over the same augmented input
-    (rows-only gate; recall vs the exact query is pinned in
+    """Hyperplane-LSH scale path over the same augmented input —
+    SQL-oracled with the SAME exact all-pairs oracle as
+    ``dedup_embedding_pairs``: the 12-plane + 1-bit-multiprobe candidate
+    set provably covers every pair within 2 differing plane bits, and on
+    this deterministic corpus (fixed seed) it recalls all planted pairs;
+    verification is exact cosine on the same float64 unit vectors, so
+    the rounded output equals the exact query's (recall also pinned in
     tests/test_dedup_ann.py)."""
     out = embedding_pairs(_augmented_embeddings(sf_dir), threshold=0.95)
     return out.map_batches(

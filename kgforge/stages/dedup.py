@@ -267,19 +267,22 @@ def _paired_payloads(group: pd.DataFrame, payload_col: str = "payload"):
 
 
 def exact_dedup(ds: Dataset, id_col: str = "doc_id",
-                text_col: str = "text") -> Dataset:
+                text_col: str = "text", keep_text: bool = True) -> Dataset:
     """One row per distinct text: the smallest id wins (deterministic),
     plus the duplicate count.  Shuffle key = md5(text) — uniform even
     when text lengths are skewed.
 
-    Scale note: the kept text rides the shuffle because the output
-    contract includes it; a 100-TB corpus would emit
-    ``(doc_id, n_dups, text_hash)`` here and re-join text for the kept
-    ids only."""
+    ``keep_text=False`` is the 100-TB mode: only ``(id, text_hash)``
+    rides the shuffle (~40 B/row instead of the document body) and the
+    output is ``(doc_id, n_dups, text_hash)`` — re-join text for the
+    kept ids afterwards.  ``keep_text=True`` ships the text because the
+    output contract includes it (the sf-scale oracle compares text)."""
+    payload = [text_col] if keep_text else []
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [H.text_md5(t or "") for t in batch.column(text_col).to_pylist()]
-        out = batch.select([id_col, text_col]).append_column(
+        hashes = [H.text_md5(t or "")
+                  for t in batch.column(text_col).to_pylist()]
+        out = batch.select([id_col] + payload).append_column(
             "text_hash", pa.array(hashes, pa.string()))
         buckets = [int(h[:8], 16) % 64 for h in hashes]
         return out.append_column("bucket", pa.array(buckets, pa.int64()))
@@ -288,18 +291,23 @@ def exact_dedup(ds: Dataset, id_col: str = "doc_id",
         # one call per coarse bucket; the per-key fold is a vectorized
         # pandas groupby inside (per-tiny-group map_groups overhead is the
         # scale killer — see canonicalize.py bucketing rationale)
+        aggs = {id_col: (id_col, "min"), "n_dups": (id_col, "size")}
+        for c in payload:
+            aggs[c] = (c, "first")
         g = (group.sort_values(id_col)
                   .groupby("text_hash", as_index=False)
-                  .agg(**{id_col: (id_col, "min"),
-                          "n_dups": (id_col, "size"),
-                          text_col: (text_col, "first")}))
+                  .agg(**aggs))
         g["n_dups"] = g["n_dups"].astype(np.int64)
-        return g[[id_col, "n_dups", text_col]]
+        cols = [id_col, "n_dups"] + (payload if keep_text
+                                     else ["text_hash"])
+        return g[cols]
 
+    out_cols = [id_col, "n_dups"] + (payload if keep_text
+                                     else ["text_hash"])
     return (ds.map_batches(add_hash, batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(keep_first, batch_format="pandas")
-              .select_columns([id_col, "n_dups", text_col]))
+              .select_columns(out_cols))
 
 
 # ---------------------------------------------------------------------------
@@ -310,14 +318,27 @@ def exact_dedup(ds: Dataset, id_col: str = "doc_id",
 def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 64,
                       n_bands: int = 16, shingle_n: int = 3,
-                      threshold: float = 0.7, seed: int = 1234) -> Dataset:
+                      threshold: float = 0.7, seed: int = 1234,
+                      broadcast_sig_limit: int = 256 << 20) -> Dataset:
     """Near-duplicate pairs ``(id_a < id_b, est_jaccard)`` with
     signature-estimated Jaccard >= threshold.
 
-    Candidate-first dataflow: signatures are computed once per doc and
-    pinned; the band shuffle carries ``(id, band_id, band_hash)`` only;
-    unique candidate pairs then join the signature table and agreement is
-    computed as a stacked (pairs × k) numpy comparison."""
+    Two size-gated dataflows (same gate pattern as the semi-join in
+    ``joins.py``):
+
+    - **Broadcast fast path** (signature table ≤ ``broadcast_sig_limit``
+      bytes, ~500k docs at the default k=64): the sorted ``(ids, sig
+      matrix)`` pair is ``ray.put`` ONCE; each band bucket emits its
+      candidate pairs and verifies them inline against the broadcast
+      matrix — ONE shuffle total (band groupby) plus a tiny pair-dedup
+      aggregate over verified pairs only.
+    - **Candidate-first scale path** (beyond the gate): the band shuffle
+      carries ``(id, band_id, band_hash)`` only; unique candidate pairs
+      join the pinned signature table (``_join_pair_payloads``) and
+      agreement is a stacked (pairs × k) numpy comparison.
+
+    Both paths verify the same candidates with the same estimator, so
+    the output pair set is identical."""
     a, b = H.minhash_params(num_hashes, seed)
 
     def sign(batch: pa.Table) -> pa.Table:
@@ -328,29 +349,79 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "sig": pa.array(sigs, pa.binary())})
 
-    # signatures are consumed twice (band explode + candidate join):
+    # signatures are consumed twice (band explode + verification):
     # materialize pins ~sig_bytes/doc, ~1% of corpus mass
     sigs = ds.map_batches(sign, batch_format="pyarrow").materialize()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        id_o, band_o, bh_o = [], [], []
-        for i, s in zip(ids, batch.column("sig").to_pylist()):
-            sig = np.frombuffer(s, dtype=np.uint64)
-            for band_id, bh in enumerate(H.band_hashes(sig, n_bands)):
-                id_o.append(int(i))
-                band_o.append(band_id)
-                bh_o.append(bh)
-        tbl = pa.table({id_col: pa.array(id_o, pa.int64()),
-                        "band_id": pa.array(band_o, pa.int32()),
-                        "band_hash": pa.array(bh_o, pa.uint64())})
+        n = len(ids)
+        if n == 0:
+            tbl = pa.table({id_col: pa.array([], pa.int64()),
+                            "band_id": pa.array([], pa.int32()),
+                            "band_hash": pa.array([], pa.uint64())})
+            return _coarse_bucket(tbl, "band_hash")
+        mat = np.frombuffer(b"".join(batch.column("sig").to_pylist()),
+                            dtype=np.uint64).reshape(n, num_hashes)
+        bh = H.band_hash_matrix(mat, n_bands)        # (n, n_bands)
+        tbl = pa.table({
+            id_col: pa.array(np.repeat(ids.astype(np.int64), n_bands)),
+            "band_id": pa.array(np.tile(np.arange(n_bands, dtype=np.int32),
+                                        n)),
+            "band_hash": pa.array(bh.reshape(-1), pa.uint64())})
         return _coarse_bucket(tbl, "band_hash")
 
-    cands = (sigs.map_batches(explode_bands, batch_format="pyarrow")
-                 .groupby("bucket")
-                 .map_groups(lambda g: _emit_bucket_pairs(
-                     g, id_col, ["band_id", "band_hash"]),
-                     batch_format="pandas"))
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+
+    n_docs = sigs.count()                 # materialized → metadata only
+    if n_docs * (num_hashes + 1) * 8 <= broadcast_sig_limit:
+        ids_l, mats = [], []
+        for t in sigs.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+            if t.num_rows == 0:
+                continue
+            ids_l.append(t.column(id_col).to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+            mats.append(np.frombuffer(b"".join(t.column("sig").to_pylist()),
+                                      dtype=np.uint64)
+                        .reshape(t.num_rows, num_hashes))
+        if not ids_l:
+            return _empty_pairs("est_jaccard", pa.float64())
+        all_ids = np.concatenate(ids_l)
+        order = np.argsort(all_ids)
+        ref = ray.put((all_ids[order], np.vstack(mats)[order]))
+
+        def emit_verify(group: pd.DataFrame) -> pd.DataFrame:
+            from .joins import _broadcast_cache
+            pairs = _emit_bucket_pairs(group, id_col,
+                                       ["band_id", "band_hash"])
+            if not len(pairs):
+                return _pairs_df(np.empty(0, np.int64),
+                                 np.empty(0, np.int64),
+                                 {"est_jaccard": np.empty(0, np.float64)})
+            keys, mat = _broadcast_cache(ref)
+            ia = np.searchsorted(keys, pairs["id_a"].to_numpy())
+            ib = np.searchsorted(keys, pairs["id_b"].to_numpy())
+            est = (mat[ia] == mat[ib]).mean(axis=1)
+            m = est >= threshold
+            return _pairs_df(pairs["id_a"].to_numpy()[m],
+                             pairs["id_b"].to_numpy()[m],
+                             {"est_jaccard": est[m].astype(np.float64)})
+
+        verified = (exploded.groupby("bucket")
+                    .map_groups(emit_verify, batch_format="pandas"))
+        # cross-band duplicate emissions carry the same estimate; the
+        # tiny dedup aggregate runs over verified pairs only
+        return (verified.groupby(["id_a", "id_b"])
+                .min("est_jaccard")
+                .map_batches(lambda t: t.rename_columns(
+                    ["id_a", "id_b", "est_jaccard"]),
+                    batch_format="pyarrow"))
+
+    cands = (exploded.groupby("bucket")
+             .map_groups(lambda g: _emit_bucket_pairs(
+                 g, id_col, ["band_id", "band_hash"]),
+                 batch_format="pandas"))
     joined = _join_pair_payloads(cands, sigs, id_col, "sig")
     if joined is None:
         return _empty_pairs("est_jaccard", pa.float64())

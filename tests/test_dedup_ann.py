@@ -2,6 +2,7 @@
 over small synthetic tables with planted duplicates."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -227,10 +228,26 @@ def test_shuffle_fallback_preserves_big_ids():
     orig = D._join_pair_payloads
     D._join_pair_payloads = functools.partial(orig, max_driver_pairs=0)
     try:
-        pairs = D.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        # broadcast_sig_limit=0 forces the candidate-first scale path
+        # (the broadcast fast path would bypass _join_pair_payloads)
+        pairs = D.minhash_lsh_pairs(ds, threshold=0.5,
+                                    broadcast_sig_limit=0).to_pandas()
     finally:
         D._join_pair_payloads = orig
     assert set(zip(pairs["id_a"], pairs["id_b"])) == {(big, big + 2)}
+
+
+def test_minhash_paths_agree(docs_ds):
+    """The size-gated broadcast fast path and the candidate-first scale
+    path must produce the identical verified pair set + estimates."""
+    fast = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+    slow = minhash_lsh_pairs(docs_ds, threshold=0.5,
+                             broadcast_sig_limit=0).to_pandas()
+    key = ["id_a", "id_b"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast[key + ["est_jaccard"]],
+                                  slow[key + ["est_jaccard"]])
 
 
 def test_as_of_join_date32_right_side():
@@ -334,3 +351,20 @@ def test_sketches_distinct():
     whole = hll_partial(list(range(0, 6000)))
     assert np.array_equal(merged, whole)
     assert abs(hll_estimate(whole) - 6000) / 6000 < 0.1
+
+
+def test_minhash_matches_exact_pairs():
+    """Premise of the dedup_minhash_docs SQL oracle: at threshold 0.5 on
+    the driver testdata the estimator-selected pair set equals the
+    exact-Jaccard pair set (planted dups sit far from the threshold;
+    fixed-seed signatures are deterministic).  Checked at BOTH gate
+    scales the driver/mirror use."""
+    from kgforge.pipelines import queries as Q
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        mh = Q.dedup_minhash_docs(sf).to_pandas()
+        ng = (ngram_jaccard_pairs(
+            ray.data.read_parquet(f"{sf}/documents.parquet",
+                                  columns=["doc_id", "text"]),
+            threshold=0.5).to_pandas())
+        assert (set(zip(mh["id_a"], mh["id_b"]))
+                == set(zip(ng["id_a"], ng["id_b"]))), sf
