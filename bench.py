@@ -38,9 +38,11 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,
-                n_centroids: int = 8) -> float:
+                n_centroids: int = 8, n_assign: int = 2) -> float:
     """Measured recall of the APPROXIMATE IVF setting vs brute force
-    (the gate runs IVF exactly; this reports the scale-path tradeoff)."""
+    (the gate runs IVF exactly; this reports the scale-path tradeoff).
+    The recommended approximate config is k-means-trained centroids +
+    multiple assignment n_assign=2 (2x index size)."""
     import ray
     from kgforge.pipelines import queries as Q
     from kgforge.stages.ann import brute_force_topk, ivf_topk
@@ -49,7 +51,7 @@ def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,
     qm = Q._query_matrix(sf_dir)
     exact = brute_force_topk(emb, qm, k=k).to_pandas()
     approx = ivf_topk(emb, qm, k=k, n_centroids=n_centroids,
-                      nprobe=nprobe).to_pandas()
+                      nprobe=nprobe, n_assign=n_assign).to_pandas()
     hits = total = 0
     for qid in exact["query_id"].unique():
         e = set(exact[exact["query_id"] == qid]["vec_id"])

@@ -368,3 +368,24 @@ def test_minhash_matches_exact_pairs():
             threshold=0.5).to_pandas())
         assert (set(zip(mh["id_a"], mh["id_b"]))
                 == set(zip(ng["id_a"], ng["id_b"]))), sf
+
+
+def test_ivf_trained_multiassign_recall():
+    """The recommended approximate config (k-means-trained centroids +
+    n_assign=2 multiple assignment) must hold recall >= 0.9 at
+    nprobe=4 of 8 on the driver embeddings."""
+    from kgforge.pipelines import queries as Q
+    sf = "/root/testdata/sf0.01"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    qm = Q._query_matrix(sf)
+    exact = brute_force_topk(emb, qm, k=10).to_pandas()
+    approx = ivf_topk(emb, qm, k=10, n_centroids=8, nprobe=4,
+                      n_assign=2).to_pandas()
+    hits = tot = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.9
