@@ -110,6 +110,18 @@ def run_bench() -> dict:
     secondary = ([] if os.environ.get("GRAFT_BENCH_SKIP_SECONDARY")
                  else SECONDARY)
     for name in secondary:
+        # each timed query gets a FRESH Ray session + warmed worker pool:
+        # accumulated session state (object store fill, worker heaps)
+        # made unchanged queries drift ~2x between rounds when all 15
+        # shared one session (VERDICT r2), so cross-round deltas weren't
+        # attributable to code
+        ray.shutdown()
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        DataContext.get_current().enable_progress_bars = False
+        (ray.data.range(NUM_CPUS, override_num_blocks=NUM_CPUS)
+            .map_batches(_warm, batch_size=1).count())
         fn = getattr(qs, name)
         t0 = time.time()
         r = fn(SF_DIR)
@@ -133,6 +145,11 @@ def run_bench() -> dict:
                    if isinstance(v, float)},
     }
     if secondary:
+        ray.shutdown()
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        DataContext.get_current().enable_progress_bars = False
         out["ivf_recall_nprobe2_of_8"] = _ivf_recall(SF_DIR, nprobe=2)
         out["ivf_recall_nprobe4_of_8"] = _ivf_recall(SF_DIR, nprobe=4)
     ray.shutdown()

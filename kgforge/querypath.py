@@ -193,8 +193,17 @@ _MODEL_REGISTRY: dict[str, Callable[[dict], GenerativeModel]] = {}
 
 def _register_builtin_models() -> None:
     from .models import StaticReplayModel
+    from .models_backends import (GeminiGenerativeModel,
+                                  OllamaGenerativeModel,
+                                  OpenAiGenerativeModel)
     _MODEL_REGISTRY.setdefault("StaticReplayModel",
                                StaticReplayModel.from_json)
+    _MODEL_REGISTRY.setdefault("OpenAiGenerativeModel",
+                               OpenAiGenerativeModel.from_json)
+    _MODEL_REGISTRY.setdefault("GeminiGenerativeModel",
+                               GeminiGenerativeModel.from_json)
+    _MODEL_REGISTRY.setdefault("OllamaGenerativeModel",
+                               OllamaGenerativeModel.from_json)
 
 
 def register_model(kind: str,
@@ -211,6 +220,12 @@ def model_to_json(model: GenerativeModel) -> dict:
 def model_from_json(data: dict) -> GenerativeModel:
     _register_builtin_models()
     kind = data.get("kind")
+    if kind is None:
+        # reference backend JSON ({model_name, generation_config,
+        # system_instruction}) carries no discriminator — infer the
+        # backend from the model-name convention
+        from .models_backends import infer_backend_kind
+        kind = infer_backend_kind(data)
     factory = _MODEL_REGISTRY.get(kind)
     if factory is None:
         raise ValueError(f"unknown model kind {kind!r}; "

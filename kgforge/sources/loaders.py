@@ -134,7 +134,7 @@ def read_pdf_source(paths: list[str] | str) -> Dataset:
     not installable in this container, so the import-try raises only
     when actually invoked — the loader works the moment pypdf exists."""
     try:
-        import pypdf  # noqa: F401
+        from pypdf import PdfReader
     except ImportError as e:
         raise NotImplementedError(
             "PDF extraction requires pypdf, which is unavailable in this "
@@ -142,8 +142,10 @@ def read_pdf_source(paths: list[str] | str) -> Dataset:
             "once it is installed") from e
     ds = ray.data.read_binary_files(paths, include_paths=True)
 
+    # PdfReader is captured at the DRIVER and shipped in the closure —
+    # workers don't need their own import (and a stub injected into
+    # sys.modules exercises the per-page body in tests)
     def to_docs(batch: pa.Table) -> pa.Table:
-        from pypdf import PdfReader
         out = []
         for p, b in zip(batch.column("path").to_pylist(),
                         batch.column("bytes").to_pylist()):

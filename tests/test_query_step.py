@@ -136,3 +136,66 @@ def test_model_config_json_round_trip():
         json.loads(json.dumps(data)))
     reply = restored.qa.start_chat().send_message("hello there")
     assert reply.text == "world"
+
+
+# -- live backend adapters (import-gated; SDKs absent in this sandbox) ------
+
+
+def test_backend_registry_round_trip():
+    from kgforge.querypath import model_from_json, model_to_json
+    from kgforge.models_backends import (GeminiGenerativeModel,
+                                         GenerativeModelConfig,
+                                         OllamaGenerativeModel,
+                                         OpenAiGenerativeModel)
+    models = [
+        OpenAiGenerativeModel("gpt-4o", GenerativeModelConfig(
+            temperature=0.1, max_output_tokens=256)),
+        GeminiGenerativeModel("gemini-1.5-pro"),
+        OllamaGenerativeModel("llama3", host="http://localhost:11434"),
+    ]
+    for m in models:
+        back = model_from_json(model_to_json(m))
+        assert type(back) is type(m)
+        assert back.model_name == m.model_name
+        assert model_to_json(back) == model_to_json(m)
+
+
+def test_backend_reference_json_shapes():
+    """KnowledgeGraphModelConfig.from_json must accept the reference's
+    backend JSON (no 'kind' discriminator — models/openai.py:70-85
+    shape), inferring the backend from the model-name convention."""
+    from kgforge.querypath import KnowledgeGraphModelConfig
+    from kgforge.models_backends import (GeminiGenerativeModel,
+                                         OllamaGenerativeModel,
+                                         OpenAiGenerativeModel)
+    gc = {"temperature": 0.0, "top_p": None, "top_k": None,
+          "max_output_tokens": 1024, "stop_sequences": None}
+    cfg = KnowledgeGraphModelConfig.from_json({
+        "extract_data": {"model_name": "gpt-4o-mini",
+                         "generation_config": gc,
+                         "system_instruction": "x"},
+        "cypher_generation": {"model_name": "gemini-2.0-flash",
+                              "generation_config": gc,
+                              "system_instruction": None},
+        "qa": {"model_name": "llama3.1", "generation_config": gc,
+               "system_instruction": None, "host": None},
+    })
+    assert isinstance(cfg.extract_data, OpenAiGenerativeModel)
+    assert isinstance(cfg.cypher_generation, GeminiGenerativeModel)
+    assert isinstance(cfg.qa, OllamaGenerativeModel)
+    assert cfg.extract_data.generation_config.max_output_tokens == 1024
+
+
+def test_backend_sdk_absent_raises_cleanly():
+    import pytest
+    from kgforge.models_backends import (GeminiGenerativeModel,
+                                         OllamaGenerativeModel,
+                                         OpenAiGenerativeModel)
+    for cls, pkg in [(OpenAiGenerativeModel, "openai"),
+                     (GeminiGenerativeModel, "google.generativeai"),
+                     (OllamaGenerativeModel, "ollama")]:
+        m = cls("some-model")            # construction is config-only
+        with pytest.raises(RuntimeError, match=pkg):
+            m.ask("hello")
+        with pytest.raises(RuntimeError, match=pkg):
+            m.start_chat().send_message("hello")

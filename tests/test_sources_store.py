@@ -189,3 +189,38 @@ def test_per_source_instruction_column(small_corpus):
     res = build_kg(ray.data.from_arrow(pages), cfg)
     names = set(res.nodes.to_pandas()["name"])
     assert names == {"I focus on people"}
+
+
+def test_pdf_loader_body_with_stub_pypdf(tmp_path, monkeypatch):
+    """The pypdf-present branch of read_pdf_source: a stub pypdf module
+    (form-feed page separator) exercises the full per-page
+    read_binary_files -> map_batches dataflow; the class is captured at
+    the driver and shipped by value, so workers never import pypdf."""
+    import sys
+    import types
+
+    from kgforge.sources.loaders import read_pdf_source
+
+    class _Page:
+        def __init__(self, text):
+            self._text = text
+
+        def extract_text(self):
+            return self._text
+
+    class _PdfReader:
+        def __init__(self, fh):
+            data = fh.read()
+            self.pages = [_Page(t.decode("utf-8"))
+                          for t in data.split(b"\f") if t]
+
+    fake = types.ModuleType("pypdf")
+    fake.PdfReader = _PdfReader
+    monkeypatch.setitem(sys.modules, "pypdf", fake)
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(b"page one text\fpage two text")
+    out = (read_pdf_source(str(p)).to_pandas()
+           .sort_values("doc_index").reset_index(drop=True))
+    assert out["content"].tolist() == ["page one text", "page two text"]
+    assert out["doc_index"].tolist() == [0, 1]
+    assert out["doc_path"].iloc[0].endswith("doc.pdf")
