@@ -123,6 +123,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": Q.events_value_quantiles,
         "events_value_quantiles_sketch": Q.events_value_quantiles_sketch,
         "pack_documents": Q.pack_documents,
+        # relational / curation extensions (round 3)
+        "events_type_quantiles": Q.events_type_quantiles,
+        "orders_no_events": Q.orders_no_events,
+        "chunk_docs": Q.chunk_docs,
+        "bigram_frequencies_docs": Q.bigram_frequencies_docs,
+        "tpch_q3_revenue": Q.tpch_q3_revenue,
+        "sample_documents": Q.sample_documents,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
     }
@@ -717,6 +724,72 @@ def oracle_sql() -> dict[str, str]:
                    greatest(token_offset,
                             token_offset + n_tokens - 1) // 2048 AS last_seq
             FROM o ORDER BY doc_id
+        """,
+        "events_type_quantiles": """
+            SELECT event_type, q, value FROM (
+              SELECT event_type, 0.25 AS q,
+                     quantile_disc(value, 0.25) AS value
+              FROM events GROUP BY event_type
+              UNION ALL
+              SELECT event_type, 0.5, quantile_disc(value, 0.5)
+              FROM events GROUP BY event_type
+              UNION ALL
+              SELECT event_type, 0.9, quantile_disc(value, 0.9)
+              FROM events GROUP BY event_type)
+            ORDER BY event_type, q
+        """,
+        "orders_no_events": """
+            SELECT o.o_custkey, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = o.o_custkey)
+            GROUP BY o.o_custkey ORDER BY o_custkey
+        """,
+        # chunk grid: starts every 150 chars (200-char chunks, 50
+        # overlap), empty docs emit nothing — mirror of
+        # relational.chunk_documents
+        "chunk_docs": """
+            WITH c AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents),
+            s AS (SELECT doc_id, text, unnest(range(0, n, 150)) AS start
+                  FROM c WHERE n > 0)
+            SELECT doc_id, CAST(start // 150 AS BIGINT) AS chunk_id,
+                   substring(text, CAST(start + 1 AS BIGINT), 200) AS chunk
+            FROM s ORDER BY doc_id, chunk_id
+        """,
+        "bigram_frequencies_docs": r"""
+            WITH d AS (SELECT regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            g AS (SELECT unnest(list_transform(range(1, len(toks)), i ->
+                       toks[i] || ' ' || toks[i+1])) AS ngram
+                  FROM d WHERE len(toks) >= 2)
+            SELECT ngram, count(*) AS n
+            FROM g GROUP BY ngram ORDER BY n DESC, ngram LIMIT 100
+        """,
+        "tpch_q3_revenue": """
+            SELECT l.l_orderkey,
+                   CAST(sum(CAST(round(l.l_extendedprice *
+                        (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(epoch_us(o.o_orderdate) // 1000000 AS BIGINT)
+                       AS o_orderdate_epoch
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "sample_documents": r"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(regexp_extract_all(text, '\S+')))
+                        AS BIGINT) AS n_tokens
+            FROM documents WHERE doc_id % 5 < 1
+            GROUP BY lang ORDER BY lang
         """,
         "events_sliding_window": """
             SELECT event_id, user_id,

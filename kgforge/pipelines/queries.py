@@ -701,6 +701,152 @@ def split_documents(sf_dir: str):
                              Sum("n_tokens", alias_name="n_tokens")))
 
 
+def events_type_quantiles(sf_dir: str):
+    """Per-group EXACT discrete quantiles (one coarse-bucket shuffle,
+    vectorized per-group rank gather) — grouped complement of
+    ``events_value_quantiles``."""
+    from ..stages.relational import grouped_quantiles
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles(events, "event_type", "value",
+                             [0.25, 0.5, 0.9])
+
+
+def orders_no_events(sf_dir: str):
+    """Anti-join: orders whose customer generated NO event (broadcast
+    negated key filter; tag-union shuffle fallback above the gate), then
+    a grouped aggregate."""
+    from ..stages.joins import anti_join_keys
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    events = _read(sf_dir, "events", columns=["user_id"])
+    out = anti_join_keys(orders, events, "o_custkey", "user_id")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "price_cents": _cents(batch.column("o_totalprice"))})
+
+    return (out.map_batches(prep, batch_format="pyarrow")
+               .groupby("o_custkey")
+               .aggregate(Count(alias_name="n_orders"),
+                          Sum("price_cents", alias_name="total_cents")))
+
+
+def chunk_docs(sf_dir: str):
+    """RAG-style overlapping character chunking (200 chars, 50 overlap)
+    — pure flat map, chunk grid re-derived exactly in SQL."""
+    from ..stages.relational import chunk_documents
+    return chunk_documents(_read(sf_dir, "documents",
+                                 columns=["doc_id", "text"]),
+                           chunk_chars=200, overlap=50)
+
+
+def bigram_frequencies_docs(sf_dir: str):
+    """Global top-100 word bigrams (collocation counts): combiner →
+    bucket fold → sort/limit."""
+    from ..stages.relational import ngram_frequencies
+    return ngram_frequencies(_read(sf_dir, "documents",
+                                   columns=["doc_id", "text"]), n=2, k=100)
+
+
+TPCH_Q3_CUTOFF = np.datetime64("1998-06-30T00:00:00", "us")
+
+
+def tpch_q3_revenue(sf_dir: str):
+    """Shipping-priority-style 3-table join (customer ⋈ orders ⋈
+    lineitem): segment filter → broadcast semi-join into orders → date
+    filters → per-batch revenue combiner on lineitem → grouped sum →
+    broadcast order-date attach → sort/limit.  The two dimension
+    broadcasts are size-bounded by segment+date selectivity; beyond the
+    gate the semi-join flips to the tag-union shuffle
+    (``joins.semi_join_keys``)."""
+    from ..stages.joins import _broadcast_cache
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    building = set(cust.filter(
+        pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey").to_pylist())
+    cutoff = pa.scalar(TPCH_Q3_CUTOFF)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    date_by_order: dict[int, int] = {}
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        b = b.filter(pc.and_(pc.less(b.column("o_orderdate"), cutoff),
+                             pc.is_in(b.column("o_custkey"),
+                                      value_set=pa.array(
+                                          sorted(building), pa.int64()))))
+        date_by_order.update(zip(
+            b.column("o_orderkey").to_pylist(),
+            pc.divide(b.column("o_orderdate").cast(pa.int64()),
+                      1_000_000).to_pylist()))
+    oref = ray.put(date_by_order)
+    okeys_ref = ray.put(pa.array(sorted(date_by_order), pa.int64()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.joins import _broadcast_value_array
+        batch = batch.filter(pc.and_(
+            pc.greater(batch.column("l_shipdate"), cutoff),
+            pc.fill_null(pc.is_in(batch.column("l_orderkey"),
+                                  value_set=_broadcast_value_array(
+                                      okeys_ref)), False)))
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        df = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                       "rev_cents": _cents(rev)}).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
+        g["rev_cents"] = g["rev_cents"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("l_orderkey")
+             .aggregate(Sum("rev_cents", alias_name="revenue_cents")))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        dates = _broadcast_cache(oref)
+        keys = batch.column("l_orderkey").to_pylist()
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "revenue_cents": batch.column("revenue_cents").cast(pa.int64()),
+            "o_orderdate_epoch": pa.array([dates[k] for k in keys],
+                                          pa.int64())})
+
+    out = agg.map_batches(attach, batch_format="pyarrow")
+    return (out.sort(["revenue_cents", "l_orderkey"],
+                     descending=[True, False]).limit(10))
+
+
+def sample_documents(sf_dir: str):
+    """Deterministic hash sample (1 of 5 id-buckets, ~20%) with a
+    per-language aggregate — resumable sampling (same rows every run,
+    unlike random_shuffle) composed from hash_split."""
+    from ..stages.relational import hash_split
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    tagged = hash_split(docs, "doc_id", n_buckets=5, train_buckets=1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("split"), "train"))
+        stats = token_stats_batch(t)
+        df = pa.table({"lang": stats.column("lang"),
+                       "n_tokens": stats.column("n_tokens")}).to_pandas()
+        g = (df.groupby("lang", as_index=False)
+               .agg(n_docs=("n_tokens", "size"),
+                    n_tokens=("n_tokens", "sum")))
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_tokens"] = g["n_tokens"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (tagged.map_batches(partial, batch_format="pyarrow")
+                  .groupby("lang")
+                  .aggregate(Sum("n_docs", alias_name="n_docs"),
+                             Sum("n_tokens", alias_name="n_tokens")))
+
+
 def events_value_quantiles(sf_dir: str):
     """Distributed EXACT discrete quantiles of events.value (sort +
     rank-split; sketch is the 100-TB path, this is its oracle)."""

@@ -145,8 +145,10 @@ def semi_join_keys(left: Dataset, right_keys: Dataset, left_col: str,
 
 
 def _semi_join_shuffle(left: Dataset, right_keys: Dataset, left_col: str,
-                       right_col: str, n_buckets: int = 32) -> Dataset:
-    """Hash-partitioned semi-join as ONE task-based sort shuffle.
+                       right_col: str, n_buckets: int = 32,
+                       anti: bool = False) -> Dataset:
+    """Hash-partitioned semi-join (``anti=True``: anti-join — keep left
+    rows WITHOUT a key match) as ONE task-based sort shuffle.
 
     Both sides are tagged into a common schema (right keys occupy the
     ``left_col`` slot, every other column null) and co-located by a key
@@ -187,12 +189,53 @@ def _semi_join_shuffle(left: Dataset, right_keys: Dataset, left_col: str,
 
     def keep_matching(group, _names=tuple(names)):
         keys = set(group.loc[group["_is_key"], left_col])
-        out = group.loc[~group["_is_key"]
-                        & group[left_col].isin(keys), list(_names)]
+        hit = group[left_col].isin(keys)
+        if anti:
+            hit = ~hit
+        out = group.loc[~group["_is_key"] & hit, list(_names)]
         return out
 
     return tagged.groupby("_bucket").map_groups(keep_matching,
                                                 batch_format="pandas")
+
+
+def anti_join_keys(left: Dataset, right_keys: Dataset, left_col: str,
+                   right_col: str, strategy: str = "auto",
+                   num_partitions: int = 32,
+                   broadcast_limit: int = 2_000_000,
+                   right_count: int | None = None) -> Dataset:
+    """Rows of ``left`` whose ``left_col`` does NOT exist in
+    ``right_keys[right_col]`` — the complement of :func:`semi_join_keys`
+    with the same size gate: DISTINCT right keys broadcast when they fit
+    (``ray.put`` once, negated ``pc.is_in`` per batch), else the same
+    tag-union bucket shuffle with the match inverted."""
+    if strategy == "auto":
+        n = right_count if right_count is not None else right_keys.count()
+        strategy = "broadcast" if n <= broadcast_limit else "join"
+
+    if strategy == "broadcast":
+        keys: set = set()
+        for batch in right_keys.select_columns([right_col]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            keys.update(batch.column(right_col).to_pylist())
+        ref = ray.put(keys)
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            value_set = _broadcast_value_array(ref)
+            if len(value_set) == 0:
+                return batch               # nothing to exclude
+            hit = pc.fill_null(
+                pc.is_in(batch.column(left_col), value_set=value_set),
+                False)
+            return batch.filter(pc.invert(hit))
+
+        return left.map_batches(_filter, batch_format="pyarrow")
+
+    if strategy == "join":
+        return _semi_join_shuffle(left, right_keys, left_col, right_col,
+                                  n_buckets=num_partitions, anti=True)
+
+    raise ValueError(f"unknown anti-join strategy {strategy!r}")
 
 
 def filter_kind(ds: Dataset, kind: str) -> Dataset:

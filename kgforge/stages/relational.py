@@ -190,6 +190,115 @@ def token_frequencies(ds: Dataset, text_col: str = "text",
     return out.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def grouped_quantiles(ds: Dataset, group_col: str, col: str,
+                      qs: list[float],
+                      n_buckets: int = N_BUCKETS) -> Dataset:
+    """EXACT discrete quantiles of ``col`` PER GROUP.
+
+    One coarse-bucket shuffle co-locates each group's rows (groups hash
+    into ``n_buckets`` buckets — per-tiny-group ``map_groups`` overhead
+    is the scale killer this avoids); inside a bucket each group's
+    column is sorted once and all ranks are gathered vectorized.  Rank
+    formula matches DuckDB ``quantile_disc``: ``ceil(q*n) - 1``.
+    Partitioning assumption: one group's rows fit one worker — the same
+    contract as any keyed window; for a single giant group use
+    :func:`exact_quantiles` (full distributed sort) instead."""
+    qs_arr = np.asarray(qs, dtype=np.float64)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, col]).filter(
+            t.column(col).is_valid())      # quantile_disc ignores NULLs
+        return t.append_column(
+            "_bucket", _key_bucket(t.column(group_col), n_buckets))
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_q, out_v = [], [], []
+        for g, sub in group.groupby(group_col, sort=False):
+            vals = np.sort(sub[col].to_numpy())
+            n = len(vals)
+            ranks = np.minimum(n - 1, np.maximum(
+                0, np.ceil(qs_arr * n).astype(np.int64) - 1))
+            out_g.extend([g] * len(qs_arr))
+            out_q.extend(qs_arr.tolist())
+            out_v.extend(vals[ranks].astype(np.float64).tolist())
+        return pd.DataFrame({group_col: out_g,
+                             "q": np.asarray(out_q, np.float64),
+                             "value": np.asarray(out_v, np.float64)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(fold, batch_format="pandas"))
+
+
+def chunk_documents(ds: Dataset, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_chars: int = 200,
+                    overlap: int = 50) -> Dataset:
+    """RAG-style fixed-size character chunking with overlap: document →
+    chunks of ``chunk_chars`` starting every ``chunk_chars - overlap``
+    characters (last chunk may be short; empty docs emit no chunks).
+    A pure per-batch flat map — embarrassingly parallel, no shuffle."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        id_o, cid_o, chunk_o = [], [], []
+        for i, s in zip(ids, texts):
+            s = s or ""
+            for cid, start in enumerate(range(0, len(s), step)):
+                id_o.append(i)
+                cid_o.append(cid)
+                chunk_o.append(s[start:start + chunk_chars])
+        return pa.table({id_col: pa.array(id_o, pa.int64()),
+                         "chunk_id": pa.array(cid_o, pa.int64()),
+                         "chunk": pa.array(chunk_o, pa.string())})
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def ngram_frequencies(ds: Dataset, text_col: str = "text", n: int = 2,
+                      k: int = 100, n_buckets: int = N_BUCKETS) -> Dataset:
+    """Global top-k word n-gram frequencies (n=2: bigram counts — the
+    language-model / collocation statistic).  Same shape as
+    :func:`token_frequencies`: per-batch count combiner → ONE bucket
+    fold → vocabulary-sized sort/limit.  Tokenization matches the RE2
+    ``\\S+`` semantics of the oracle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(col, ""),
+                                       pattern="[ \t\n\f\r]+")
+        grams: list[str] = []
+        for toks in lists.to_pylist():
+            toks = [tk for tk in toks if tk]
+            grams.extend(" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1))
+        if not grams:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        vc = pd.Series(grams).value_counts()
+        buckets = [zlib.crc32(g.encode("utf-8")) % n_buckets
+                   for g in vc.index]
+        return pa.table({"ngram": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64())})
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("ngram", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g[["ngram", "n"]]
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(fold, batch_format="pandas"))
+    return out.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
 def exact_quantiles(ds: Dataset, col: str,
                     qs: list[float]) -> pa.Table:
     """EXACT discrete quantiles of a column, distributed.
