@@ -642,19 +642,23 @@ def _unit_rows(batch: pa.Table, id_col: str, vec_col: str):
 
 def embedding_pairs(ds: Dataset, id_col: str = "vec_id",
                     vec_col: str = "embedding", threshold: float = 0.9,
-                    n_planes: int = 12, seed: int = 7) -> Dataset:
+                    n_planes: int = 12, seed: int = 7,
+                    broadcast_vec_limit: int = 256 << 20) -> Dataset:
     """Cosine near-duplicate pairs over a ``list<float>`` column —
     the 100-TB LSH path (approximate recall; measured against
     ``embedding_pairs_exact`` in tests).
 
     Random-hyperplane LSH with one-bit multiprobe buckets candidate ids;
     the bucket shuffle ships ``(id, bucket)`` only (round 1 shipped the
-    full unit vector in every probe row); unit vectors are joined back
-    for candidate pairs and exact cosine verified vectorized.  12 planes
-    keep random-vector collisions (and thus candidate volume) low while
-    1-bit multiprobe holds recall ~0.99+ for pairs above cosine 0.99 —
-    measured against ``embedding_pairs_exact`` in tests and reported for
-    the planted testdata pairs in BENCH."""
+    full unit vector in every probe row).  Size-gated like minhash: a
+    unit matrix under ``broadcast_vec_limit`` bytes is ``ray.put`` once
+    and candidates verify inline in the bucket groupby (ONE shuffle +
+    tiny pair dedup); above the gate, unit vectors are joined back for
+    candidate pairs (``_join_pair_payloads``) and verified in a second
+    groupby.  12 planes keep random-vector collisions (and thus
+    candidate volume) low while 1-bit multiprobe holds recall ~0.99+ for
+    pairs above cosine 0.99 — measured against ``embedding_pairs_exact``
+    in tests and reported for the planted testdata pairs in BENCH."""
 
     def unit(batch: pa.Table) -> pa.Table:
         ids, u = _unit_rows(batch, id_col, vec_col)
@@ -666,32 +670,77 @@ def embedding_pairs(ds: Dataset, id_col: str = "vec_id",
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mat = np.vstack([np.frombuffer(v, dtype=np.float64)
-                         for v in batch.column("vec").to_pylist()]) \
-            if batch.num_rows else np.empty((0, 0))
-        if mat.size == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "code": pa.array([], pa.int64())})
+        n = batch.num_rows
+        if n == 0:
+            tbl = pa.table({id_col: pa.array([], pa.int64()),
+                            "code": pa.array([], pa.int64())})
+            return _coarse_bucket(tbl, "code")
+        mat = np.frombuffer(b"".join(batch.column("vec").to_pylist()),
+                            dtype=np.float64).reshape(n, -1)
         d = mat.shape[1]
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((d, n_planes))
         bits = (mat @ planes) > 0
-        codes = bits @ (1 << np.arange(n_planes))
-        id_o, code_o = [], []
-        for i, code in zip(ids, codes):
-            probes = {int(code)} | {int(code) ^ (1 << p)
-                                    for p in range(n_planes)}
-            id_o.extend([int(i)] * len(probes))
-            code_o.extend(probes)
-        tbl = pa.table({id_col: pa.array(id_o, pa.int64()),
-                        "code": pa.array(code_o, pa.int64())})
+        codes = (bits @ (1 << np.arange(n_planes))).astype(np.int64)
+        # exact code + every 1-bit flip, fully vectorized (flips are
+        # always distinct from the base code — no per-row set dedup)
+        probes = np.concatenate(
+            [codes[:, None],
+             codes[:, None] ^ (1 << np.arange(n_planes))[None, :]],
+            axis=1)
+        tbl = pa.table({
+            id_col: pa.array(np.repeat(ids.astype(np.int64),
+                                       n_planes + 1)),
+            "code": pa.array(probes.reshape(-1), pa.int64())})
         return _coarse_bucket(tbl, "code")
 
-    cands = (units.map_batches(bucketize, batch_format="pyarrow")
-                  .groupby("bucket")
-                  .map_groups(lambda g: _emit_bucket_pairs(g, id_col,
-                                                           ["code"]),
-                              batch_format="pandas"))
+    exploded = units.map_batches(bucketize, batch_format="pyarrow")
+
+    n_vecs = units.count()                # materialized → metadata only
+    first = units.take(1) if n_vecs else []
+    d = len(first[0]["vec"]) // 8 if first else 0
+    if n_vecs and n_vecs * (d + 1) * 8 <= broadcast_vec_limit:
+        ids_l, mats = [], []
+        for t in units.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"):
+            if t.num_rows == 0:
+                continue
+            ids_l.append(t.column(id_col).to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+            mats.append(np.frombuffer(b"".join(t.column("vec").to_pylist()),
+                                      dtype=np.float64)
+                        .reshape(t.num_rows, -1))
+        all_ids = np.concatenate(ids_l)
+        order = np.argsort(all_ids)
+        ref = ray.put((all_ids[order], np.vstack(mats)[order]))
+
+        def emit_verify(group: pd.DataFrame) -> pd.DataFrame:
+            from .joins import _broadcast_cache
+            pairs = _emit_bucket_pairs(group, id_col, ["code"])
+            if not len(pairs):
+                return _pairs_df(np.empty(0, np.int64),
+                                 np.empty(0, np.int64),
+                                 {"cosine": np.empty(0, np.float64)})
+            keys, mat = _broadcast_cache(ref)
+            ia = np.searchsorted(keys, pairs["id_a"].to_numpy())
+            ib = np.searchsorted(keys, pairs["id_b"].to_numpy())
+            cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+            m = cos >= threshold
+            return _pairs_df(pairs["id_a"].to_numpy()[m],
+                             pairs["id_b"].to_numpy()[m],
+                             {"cosine": cos[m].astype(np.float64)})
+
+        verified = (exploded.groupby("bucket")
+                    .map_groups(emit_verify, batch_format="pandas"))
+        return (verified.groupby(["id_a", "id_b"])
+                .min("cosine")
+                .map_batches(lambda t: t.rename_columns(
+                    ["id_a", "id_b", "cosine"]), batch_format="pyarrow"))
+
+    cands = (exploded.groupby("bucket")
+             .map_groups(lambda g: _emit_bucket_pairs(g, id_col,
+                                                      ["code"]),
+                         batch_format="pandas"))
     joined = _join_pair_payloads(cands, units, id_col, "vec")
     if joined is None:
         return _empty_pairs("cosine", pa.float64())

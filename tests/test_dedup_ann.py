@@ -389,3 +389,19 @@ def test_ivf_trained_multiassign_recall():
         hits += len(e & a)
         tot += len(e)
     assert hits / tot >= 0.9
+
+
+def test_embedding_paths_agree():
+    """The broadcast-verify fast path and the candidate-first scale path
+    of embedding_pairs must produce identical pairs + cosines."""
+    from kgforge.pipelines import queries as Q
+    sf = "/root/testdata/sf0.01"
+    emb = Q._augmented_embeddings(sf)
+    fast = embedding_pairs(emb, threshold=0.95).to_pandas()
+    slow = embedding_pairs(Q._augmented_embeddings(sf), threshold=0.95,
+                           broadcast_vec_limit=0).to_pandas()
+    key = ["id_a", "id_b"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast[key + ["cosine"]],
+                                  slow[key + ["cosine"]])
