@@ -34,7 +34,9 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "ann_topk_cosine", "token_stats_docs", "tpch_q1_pricing",
              "events_hourly_window", "extract_entities_regex",
              "canonicalize_lww_events", "events_orders_asof",
-             "token_frequencies_docs", "events_value_quantiles"]
+             "token_frequencies_docs", "events_value_quantiles",
+             "tpch_q3_revenue", "chunk_docs", "bigram_frequencies_docs",
+             "orders_no_events", "events_type_quantiles"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,
