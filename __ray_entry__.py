@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats_docs": Q.quality_stats_docs,
         "langid_docs": Q.langid_docs,
         "fingerprint_docs": Q.fingerprint_docs,
+        "normalize_docs": Q.normalize_docs,
+        "redact_docs": Q.redact_docs,
         "lang_distribution": Q.lang_distribution,
         # relational machinery (combiner aggregate, broadcast join,
         # sort/limit, windowed aggregate)
@@ -562,6 +564,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
                        / greatest(CAST(length(text) AS DOUBLE), 1.0)
                        AS punct_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "normalize_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(lower(text)),
+                        '[ \t\n\f\r]+', ' ', 'g'), ' ') AS text_norm,
+                   CAST(length(trim(regexp_replace(
+                        nfc_normalize(lower(text)),
+                        '[ \t\n\f\r]+', ' ', 'g'), ' ')) AS BIGINT)
+                       AS n_chars_norm
+            FROM documents ORDER BY doc_id
+        """,
+        "redact_docs": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'), '[0-9]{6,}', '[NUM]', 'g')
+                       AS redacted,
+                   CAST(length(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(length(regexp_extract_all(text, '[0-9]{6,}'))
+                       AS BIGINT) AS n_longnums
             FROM documents ORDER BY doc_id
         """,
         "lang_distribution": """

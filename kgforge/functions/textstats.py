@@ -113,3 +113,43 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             h = np.uint64((int(h) * 1099511628211 ^ int(c)) & 0xFFFFFFFFFFFFFFFF)
         prints[i] = h
     return batch.append_column("fingerprint", pa.array(prints, pa.uint64()))
+
+
+# ---------------------------------------------------------------------------
+# text normalization / PII redaction (round 3)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{6,}"
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "text_norm") -> pa.Table:
+    """Canonical web-text normalization: unicode NFC, lowercase,
+    RE2-whitespace collapse to single spaces, edge trim — all pyarrow
+    kernels, exactly mirrored by DuckDB
+    ``trim(regexp_replace(nfc_normalize(lower(text)), ...))``."""
+    t = batch.column(text_col)
+    x = pc.utf8_normalize(t, form="NFC")
+    x = pc.utf8_lower(x)
+    x = pc.replace_substring_regex(x, pattern="[ \t\n\f\r]+",
+                                   replacement=" ")
+    x = pc.utf8_trim(x, characters=" ")
+    return batch.append_column(out_col, x)
+
+
+def redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII-style redaction pass: emails → ``[EMAIL]`` first (emails
+    contain digits), then 6+ digit runs → ``[NUM]``; match counts kept
+    as quality signals.  RE2 on both engine and oracle sides."""
+    t = batch.column(text_col)
+    x = pc.replace_substring_regex(t, pattern=EMAIL_RE,
+                                   replacement="[EMAIL]")
+    x = pc.replace_substring_regex(x, pattern=LONGNUM_RE,
+                                   replacement="[NUM]")
+    batch = batch.append_column("redacted", x)
+    batch = batch.append_column(
+        "n_emails", pc.count_substring_regex(t, EMAIL_RE).cast(pa.int64()))
+    return batch.append_column(
+        "n_longnums",
+        pc.count_substring_regex(t, LONGNUM_RE).cast(pa.int64()))

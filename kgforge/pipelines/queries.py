@@ -475,6 +475,33 @@ def fingerprint_docs(sf_dir: str):
                 .select_columns(["doc_id", "fingerprint"]))
 
 
+def normalize_docs(sf_dir: str):
+    """NFC + lowercase + whitespace-collapse text normalization (pure
+    pyarrow kernels) with the normalized char count."""
+    from ..functions.textstats import normalize_text_batch
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        out = normalize_text_batch(batch)
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "text_norm": out.column("text_norm"),
+            "n_chars_norm": pc.utf8_length(out.column("text_norm"))
+            .cast(pa.int64())})
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
+def redact_docs(sf_dir: str):
+    """PII-style redaction (emails → [EMAIL], long digit runs → [NUM])
+    with per-doc match counts."""
+    from ..functions.textstats import redact_batch
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (docs.map_batches(redact_batch, batch_format="pyarrow")
+                .select_columns(["doc_id", "redacted", "n_emails",
+                                 "n_longnums"]))
+
+
 def lang_distribution(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["lang"])
     return docs.groupby("lang").aggregate(Count(alias_name="n"))
