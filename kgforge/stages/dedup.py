@@ -393,30 +393,38 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
 
         def emit_verify(group: pd.DataFrame) -> pd.DataFrame:
             from .joins import _broadcast_cache
+            empty = _pairs_df(np.empty(0, np.int64),
+                              np.empty(0, np.int64),
+                              {"est_jaccard": np.empty(0, np.float64)})
             pairs = _emit_bucket_pairs(group, id_col,
                                        ["band_id", "band_hash"])
             if not len(pairs):
-                return _pairs_df(np.empty(0, np.int64),
-                                 np.empty(0, np.int64),
-                                 {"est_jaccard": np.empty(0, np.float64)})
+                return empty
             keys, mat = _broadcast_cache(ref)
             ia = np.searchsorted(keys, pairs["id_a"].to_numpy())
             ib = np.searchsorted(keys, pairs["id_b"].to_numpy())
             est = (mat[ia] == mat[ib]).mean(axis=1)
-            m = est >= threshold
+            # band OWNERSHIP replaces a global pair-dedup exchange: with
+            # both signatures in hand, every bucket recomputes which
+            # band first matched for the pair; only the bucket owning
+            # that band's hash emits it — each pair surfaces exactly
+            # once globally with zero additional shuffle
+            bh_a = H.band_hash_matrix(mat[ia], n_bands)
+            bh_b = H.band_hash_matrix(mat[ib], n_bands)
+            bands_eq = bh_a == bh_b                  # (pairs, n_bands)
+            first = np.argmax(bands_eq, axis=1)
+            own_hash = bh_a[np.arange(len(first)), first]
+            own_bucket = (own_hash
+                          % np.uint64(N_COARSE_BUCKETS)).astype(np.int64)
+            bucket_val = int(group["bucket"].iloc[0])
+            m = (est >= threshold) & bands_eq.any(axis=1) \
+                & (own_bucket == bucket_val)
             return _pairs_df(pairs["id_a"].to_numpy()[m],
                              pairs["id_b"].to_numpy()[m],
                              {"est_jaccard": est[m].astype(np.float64)})
 
-        verified = (exploded.groupby("bucket")
-                    .map_groups(emit_verify, batch_format="pandas"))
-        # cross-band duplicate emissions carry the same estimate; the
-        # tiny dedup aggregate runs over verified pairs only
-        return (verified.groupby(["id_a", "id_b"])
-                .min("est_jaccard")
-                .map_batches(lambda t: t.rename_columns(
-                    ["id_a", "id_b", "est_jaccard"]),
-                    batch_format="pyarrow"))
+        return (exploded.groupby("bucket")
+                .map_groups(emit_verify, batch_format="pandas"))
 
     cands = (exploded.groupby("bucket")
              .map_groups(lambda g: _emit_bucket_pairs(
