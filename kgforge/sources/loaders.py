@@ -157,6 +157,44 @@ def read_pdf_source(paths: list[str] | str) -> Dataset:
     return ds.map_batches(to_docs, batch_format="pyarrow")
 
 
+def read_url_source(urls: list[str] | str) -> Dataset:
+    """One document per url (reference ``url.py:22-51``): GET with the
+    Mozilla UA header → bs4-equivalent ``get_text`` → collapse 2+
+    newlines to one.  Fetching is distributed (one task batch per url
+    group); the ``get`` callable is captured at the driver.
+
+    Deviation from the reference: a failed request RAISES (the
+    reference prints and returns ``None``, which then crashes bs4 —
+    ``url.py:27-29`` — a bug, not a behavior worth preserving).
+    requests is unavailable in this offline sandbox, so the import-try
+    raises only when actually invoked — the dataflow below runs
+    unchanged once it is installed."""
+    try:
+        import requests
+    except ImportError as e:
+        raise NotImplementedError(
+            "URL fetching requires the requests package, unavailable in "
+            "this offline environment; the per-url dataflow runs "
+            "unchanged once it is installed") from e
+    import re as _re
+    get = requests.get
+
+    if isinstance(urls, str):
+        urls = [urls]
+    ds = ray.data.from_items([{"url": u} for u in urls])
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        out = []
+        for u in batch.column("url").to_pylist():
+            resp = get(u, headers={"User-Agent": "Mozilla/5.0"})
+            resp.raise_for_status()
+            text = _re.sub(r"\n{2,}", "\n", html_get_text(resp.text))
+            out.append(_docs_table(u, [text]))
+        return pa.concat_tables(out) if out else _docs_table("", [])
+
+    return ds.map_batches(to_docs, batch_format="pyarrow")
+
+
 def read_source(path: str, **kwargs) -> Dataset:
     """Extension dispatch mirroring the reference ``Source()`` factory
     (``source.py:26-42``) — substring matching quirks included."""
@@ -166,8 +204,7 @@ def read_source(path: str, **kwargs) -> Dataset:
     if ".html" in low:
         return read_html_source(path, **kwargs)
     if "http" in low:
-        raise NotImplementedError("URL fetching is unavailable offline; "
-                                  "CC-style corpora ship html in Parquet")
+        return read_url_source(path, **kwargs)
     if ".csv" in low:
         return read_csv_source(path, **kwargs)
     if ".jsonl" in low:

@@ -67,8 +67,11 @@ def test_chunk_rows_quirk():
 
 def test_dispatch(files):
     assert read_source(files["csv"]).count() == 2 or True  # dispatches CSV
-    with pytest.raises(NotImplementedError):
-        read_source("http://example.com")
+    # requests IS installed in this sandbox (network is not): dispatch
+    # builds the lazy per-url dataset; execution fails at fetch time
+    url_ds = read_source("http://example.com")
+    with pytest.raises(Exception):
+        url_ds.count()
     with pytest.raises(NotImplementedError):
         read_source("file.pdf")
 
@@ -224,3 +227,35 @@ def test_pdf_loader_body_with_stub_pypdf(tmp_path, monkeypatch):
     assert out["content"].tolist() == ["page one text", "page two text"]
     assert out["doc_index"].tolist() == [0, 1]
     assert out["doc_path"].iloc[0].endswith("doc.pdf")
+
+
+def test_url_loader_body_with_stub_requests(monkeypatch):
+    """The requests-present branch of read_url_source: a stub requests
+    module exercises the fetch -> get_text -> newline-collapse dataflow
+    (the get callable ships by value to workers)."""
+    import sys
+    import types
+
+    from kgforge.sources.loaders import read_url_source
+
+    class _Resp:
+        def __init__(self, text):
+            self.text = text
+
+        def raise_for_status(self):
+            pass
+
+    def _get(url, headers=None):
+        assert headers == {"User-Agent": "Mozilla/5.0"}
+        return _Resp("<html><body><p>Hello</p>\n\n\n<p>World</p>"
+                     "</body></html>")
+
+    fake = types.ModuleType("requests")
+    fake.get = _get
+    monkeypatch.setitem(sys.modules, "requests", fake)
+    out = read_url_source("http://example.com/x").to_pandas()
+    assert len(out) == 1
+    assert out["doc_path"].iloc[0] == "http://example.com/x"
+    content = out["content"].iloc[0]
+    assert "Hello" in content and "World" in content
+    assert "\n\n" not in content            # 2+ newlines collapsed
