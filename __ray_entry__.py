@@ -132,6 +132,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_frequencies_docs": Q.bigram_frequencies_docs,
         "tpch_q3_revenue": Q.tpch_q3_revenue,
         "sample_documents": Q.sample_documents,
+        # training-data curation (round 3, second wave)
+        "repetition_stats_docs": Q.repetition_stats_docs,
+        "decontaminate_docs": Q.decontaminate_docs,
+        "doc_frequencies_docs": Q.doc_frequencies_docs,
+        "docs_above_p90": Q.docs_above_p90,
+        "dedup_keep_best": Q.dedup_keep_best,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
     }
@@ -850,5 +856,126 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM sessions GROUP BY user_id, sid
             ORDER BY user_id, session_start_epoch
+        """,
+        # Gopher-style repetition signals; ratios are exact ints cast to
+        # DOUBLE then IEEE-divided on both sides (bit-identical)
+        "repetition_stats_docs": r"""
+            WITH t AS (SELECT doc_id,
+                              string_split(text, chr(10)) AS lines,
+                              regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(toks)), i ->
+                              toks[i] || chr(31) || toks[i+1])) AS b
+                   FROM t WHERE len(toks) >= 2),
+            mx AS (SELECT doc_id, max(c) AS mx
+                   FROM (SELECT doc_id, b, count(*) AS c
+                         FROM bg GROUP BY doc_id, b)
+                   GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+                       AS n_dup_lines,
+                   CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                       / greatest(CAST(len(lines) AS DOUBLE), 1.0)
+                       AS dup_line_frac,
+                   CAST(coalesce(mx.mx, 0) AS DOUBLE)
+                       / greatest(CAST(len(toks) - 1 AS DOUBLE), 1.0)
+                       AS top_bigram_frac
+            FROM t LEFT JOIN mx ON t.doc_id = mx.doc_id
+            ORDER BY t.doc_id
+        """,
+        # benchmark = doc_id % 97 == 0; contaminated = shares any word
+        # 5-gram with the benchmark set (distinct-gram hit count kept)
+        "decontaminate_docs": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(
+                             range(1, len(t) - 3), i ->
+                             t[i] || ' ' || t[i+1] || ' ' || t[i+2] ||
+                             ' ' || t[i+3] || ' ' || t[i+4]))) AS gram
+                  FROM toks WHERE len(t) >= 5),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            hits AS (SELECT g.doc_id, count(*) AS n_hits
+                     FROM g JOIN bench USING (gram)
+                     WHERE g.doc_id % 97 <> 0
+                     GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id
+        """,
+        "doc_frequencies_docs": r"""
+            WITH f AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+'))
+                                  AS token
+                       FROM documents)
+            SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS tf
+            FROM f GROUP BY token
+            ORDER BY df DESC, token LIMIT 100
+        """,
+        "docs_above_p90": r"""
+            WITH t AS (SELECT doc_id,
+                              CAST(length(regexp_extract_all(text, '\S+'))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents),
+            q AS (SELECT quantile_disc(n_tokens, 0.9) AS p90 FROM t)
+            SELECT doc_id, n_tokens FROM t, q
+            WHERE n_tokens > p90 ORDER BY doc_id
+        """,
+        # near-dedup keep-best: same recursive component CTE as
+        # dedup_cluster_docs, then argmax(n_tokens, tie: min doc_id)
+        "dedup_keep_best": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(range(1, len(toks) - 1), i ->
+                               toks[i] || ' ' || toks[i+1] || ' ' ||
+                               toks[i+2]) END AS grams
+              FROM d WHERE len(toks) > 0),
+            s AS (SELECT doc_id, unnest(list_distinct(grams)) AS sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            p0 AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM p0 JOIN sz sa ON p0.id_a = sa.doc_id
+                      JOIN sz sb ON p0.id_b = sb.doc_id
+              WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT doc_id, doc_id AS r FROM documents
+              UNION
+              SELECT reach.doc_id, e.v
+              FROM reach JOIN edges e ON reach.r = e.u),
+            clus AS (SELECT doc_id, min(r) AS cluster_id
+                     FROM reach GROUP BY doc_id),
+            tok AS (SELECT doc_id,
+                           CAST(length(regexp_extract_all(text, '\S+'))
+                                AS BIGINT) AS n_tokens
+                    FROM documents),
+            ranked AS (
+              SELECT c.cluster_id, c.doc_id, t.n_tokens,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY t.n_tokens DESC,
+                                                 c.doc_id) AS rn,
+                     count(*) OVER (PARTITION BY c.cluster_id)
+                         AS n_members
+              FROM clus c JOIN tok t USING (doc_id))
+            SELECT cluster_id, doc_id AS kept_doc_id,
+                   n_tokens AS kept_tokens,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM ranked WHERE rn = 1 ORDER BY cluster_id
         """,
     }

@@ -36,7 +36,9 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "canonicalize_lww_events", "events_orders_asof",
              "token_frequencies_docs", "events_value_quantiles",
              "tpch_q3_revenue", "chunk_docs", "bigram_frequencies_docs",
-             "orders_no_events", "events_type_quantiles"]
+             "orders_no_events", "events_type_quantiles",
+             "repetition_stats_docs", "decontaminate_docs",
+             "doc_frequencies_docs", "dedup_keep_best"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,

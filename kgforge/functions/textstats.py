@@ -115,6 +115,61 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(prints, pa.uint64()))
 
 
+def repetition_stats_batch(batch: pa.Table,
+                           text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``n_lines`` / ``n_dup_lines`` / ``dup_line_frac`` — how much of
+      the document is repeated lines (boilerplate indicator);
+    - ``top_bigram_frac`` — fraction of word-bigram slots taken by the
+      single most frequent bigram (loops/degenerate text indicator).
+
+    Line distinct-counting is vectorized (one pandas ``drop_duplicates``
+    over the exploded batch); the bigram pass is a linear map-side scan
+    with C-level ``Counter`` tallies.  Ratios are exact-int-over-int
+    IEEE divisions so the DuckDB oracle reproduces them bit-for-bit."""
+    from collections import Counter
+
+    t = batch.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    filled = pc.fill_null(t, "")
+    lines = pc.split_pattern(filled, pattern="\n")
+    nl = pc.list_value_length(lines).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    rows = np.repeat(np.arange(len(batch), dtype=np.int64), nl)
+    import pandas as pd
+    flat = lines.flatten().to_pylist()
+    n_distinct = np.zeros(len(batch), dtype=np.int64)
+    if len(flat):
+        d = (pd.DataFrame({"r": rows, "v": flat})
+               .drop_duplicates().groupby("r").size())
+        n_distinct[d.index.to_numpy()] = d.to_numpy()
+    n_dup = nl - n_distinct
+
+    toklists = pc.split_pattern_regex(
+        filled, pattern="[ \t\n\f\r]+").to_pylist()
+    mx = np.zeros(len(batch), dtype=np.int64)
+    nbg = np.zeros(len(batch), dtype=np.int64)
+    for i, toks in enumerate(toklists):
+        toks = [x for x in toks if x]
+        if len(toks) < 2:
+            continue
+        nbg[i] = len(toks) - 1
+        mx[i] = max(Counter(zip(toks, toks[1:])).values())
+
+    batch = batch.append_column("n_lines", pa.array(nl, pa.int64()))
+    batch = batch.append_column("n_dup_lines", pa.array(n_dup, pa.int64()))
+    batch = batch.append_column(
+        "dup_line_frac",
+        pa.array(n_dup.astype(np.float64) /
+                 np.maximum(nl, 1).astype(np.float64), pa.float64()))
+    return batch.append_column(
+        "top_bigram_frac",
+        pa.array(mx.astype(np.float64) /
+                 np.maximum(nbg, 1).astype(np.float64), pa.float64()))
+
+
 # ---------------------------------------------------------------------------
 # text normalization / PII redaction (round 3)
 # ---------------------------------------------------------------------------

@@ -926,3 +926,98 @@ def multimodal_decode(sf_dir: str):
     ds = ds.map_batches(ByteHistogramFeatures, batch_format="pyarrow",
                         batch_size=64, concurrency=(1, 2))
     return ds.select_columns(["item_id", "width", "height", "decode_ok"])
+
+
+# ---------------------------------------------------------------------------
+# round-3 training-data operators
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats_docs(sf_dir: str):
+    """Gopher-style repetition quality signals (dup-line fraction,
+    top-bigram fraction) — one streaming vectorized pass."""
+    from ..functions.textstats import repetition_stats_batch
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (docs.map_batches(repetition_stats_batch, batch_format="pyarrow")
+                .select_columns(["doc_id", "n_lines", "n_dup_lines",
+                                 "dup_line_frac", "top_bigram_frac"]))
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: docs with ``doc_id % 97 == 0`` play
+    the held-out test set; every remaining doc is flagged when it shares
+    any word 5-gram with the benchmark.  Benchmark gram set broadcast
+    once; corpus side streams, zero shuffle."""
+    from ..stages.decontam import benchmark_ngram_set, flag_contaminated
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _split(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            is_bench = (ids % 97) == 0
+            return t.filter(pa.array(is_bench if keep_bench
+                                     else ~is_bench))
+        return f
+
+    grams = benchmark_ngram_set(docs.map_batches(
+        _split(True), batch_format="pyarrow"), n=5)
+    rest = docs.map_batches(_split(False), batch_format="pyarrow")
+    return flag_contaminated(rest, grams, n=5)
+
+
+def doc_frequencies_docs(sf_dir: str):
+    """Document-frequency table (token, df, tf) — top 100 by df."""
+    from ..stages.relational import doc_frequencies
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return doc_frequencies(docs, k=100)
+
+
+def docs_above_p90(sf_dir: str):
+    """Quantile-threshold curation: keep docs whose whitespace-token
+    count exceeds the corpus P90.  Composes the distributed exact
+    quantile (one sort, rank-rows-only fetch) with a broadcast-scalar
+    filter; the token-count pass streams twice (once under the sort,
+    once under the filter) — at 100 TB the first pass's output is the
+    thing to checkpoint, or swap in the mergeable quantile sketch."""
+    from ..stages.relational import exact_quantiles
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = (docs.map_batches(token_stats_batch, batch_format="pyarrow")
+                 .select_columns(["doc_id", "n_tokens"]))
+    thr = int(exact_quantiles(stats, "n_tokens",
+                              [0.9]).column("value")[0].as_py())
+    return stats.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_tokens"), thr)),
+        batch_format="pyarrow")
+
+
+def dedup_keep_best(sf_dir: str):
+    """End-to-end near-dedup curation: exact-ngram pair graph →
+    connected components → keep the highest-token-count doc per cluster
+    (tie: smallest doc_id).  The grouped argmax runs on ONE coarse
+    bucket shuffle of the (tiny) per-doc stat rows — never on text."""
+    from ..stages.dedup import dedup_clusters
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    stats = (docs.map_batches(token_stats_batch, batch_format="pyarrow")
+                 .select_columns(["doc_id", "n_tokens"]))
+    tagged = dedup_clusters(stats, pairs, keep_cols=["n_tokens"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pc.cast(pc.bit_wise_and(t.column("cluster_id"), 255),
+                               pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "n_tokens", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        sizes = g.groupby("cluster_id", sort=False).size()
+        best = g.drop_duplicates("cluster_id", keep="first")
+        return pd.DataFrame({
+            "cluster_id": best["cluster_id"].to_numpy(np.int64),
+            "kept_doc_id": best["doc_id"].to_numpy(np.int64),
+            "kept_tokens": best["n_tokens"].to_numpy(np.int64),
+            "n_members": sizes.loc[best["cluster_id"]].to_numpy(np.int64)})
+
+    return (tagged.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(fold, batch_format="pandas"))

@@ -820,7 +820,8 @@ def embedding_pairs_exact(ds: Dataset, id_col: str = "vec_id",
 
 
 def dedup_clusters(docs: Dataset, pairs: Dataset,
-                   id_col: str = "doc_id") -> Dataset:
+                   id_col: str = "doc_id",
+                   keep_cols: list[str] | None = None) -> Dataset:
     """Connected components over the near-duplicate pair graph: every
     doc gets ``cluster_id`` = the smallest id in its component (itself
     when unpaired) — the final step of a near-dedup pipeline (keep one
@@ -863,7 +864,10 @@ def dedup_clusters(docs: Dataset, pairs: Dataset,
             idx = np.clip(idx, 0, k.size - 1)
             hit = k[idx] == ids
             cluster[hit] = v[idx[hit]]
-        return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "cluster_id": pa.array(cluster, pa.int64())})
+        cols = {id_col: pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cluster, pa.int64())}
+        for c in keep_cols or []:
+            cols[c] = t.column(c)
+        return pa.table(cols)
 
     return docs.map_batches(tag, batch_format="pyarrow")

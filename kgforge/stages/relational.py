@@ -299,6 +299,62 @@ def ngram_frequencies(ds: Dataset, text_col: str = "text", n: int = 2,
     return out.sort(["n", "ngram"], descending=[True, False]).limit(k)
 
 
+def doc_frequencies(ds: Dataset, text_col: str = "text", k: int = 100,
+                    n_buckets: int = N_BUCKETS) -> Dataset:
+    """Corpus document-frequency table ``(token, df, tf)`` — the IDF
+    statistic under TF-IDF/BM25 scoring.  The distributed-interesting
+    part is ``df``: it needs per-document DISTINCT tokens before the
+    count.  Documents never span batch rows, so the per-batch combiner
+    emits both partials exactly — ``tf`` from ``value_counts`` over the
+    flat tokens, ``df`` from ``value_counts`` over per-row deduplicated
+    tokens — and ONE bucket-grouped fold sums them.  Output is the
+    top-``k`` by ``(df DESC, token ASC)``; the full table (no limit)
+    is the broadcast side of a TF-IDF scoring pass."""
+    import zlib as _zlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(col, ""),
+                                       pattern="[ \t\n\f\r]+")
+        nl = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(t), dtype=np.int64), nl)
+        flat = lists.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        toks = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        rows = rows[keep]
+        if not len(toks):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        tf = pd.Series(toks).value_counts()
+        df_ = (pd.DataFrame({"r": rows, "t": toks}).drop_duplicates()
+                 ["t"].value_counts())
+        merged = pd.DataFrame({"tf": tf, "df": df_})
+        buckets = [_zlib.crc32(tok.encode("utf-8")) % n_buckets
+                   for tok in merged.index]
+        return pa.table({"token": pa.array(merged.index, pa.string()),
+                         "df": pa.array(merged["df"].to_numpy(np.int64),
+                                        pa.int64()),
+                         "tf": pa.array(merged["tf"].to_numpy(np.int64),
+                                        pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64())})
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("token", as_index=False)[["df", "tf"]].sum()
+        g["df"] = g["df"].astype(np.int64)
+        g["tf"] = g["tf"].astype(np.int64)
+        return g[["token", "df", "tf"]]
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(fold, batch_format="pandas"))
+    return out.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
 def exact_quantiles(ds: Dataset, col: str,
                     qs: list[float]) -> pa.Table:
     """EXACT discrete quantiles of a column, distributed.

@@ -92,3 +92,62 @@ def test_ngram_frequencies_bigrams():
     assert counts["b c"] == 1
     assert counts["c a"] == 1
     assert "solo" not in counts             # single-token doc: no bigram
+
+
+# ---------------------------------------------------------------------------
+# round-3 second wave: repetition stats, decontamination, doc frequencies
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_edges():
+    from kgforge.functions.textstats import repetition_stats_batch
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b\na b\nc d",       # 3 lines, one dup pair, bigram 'a b' x2
+            "",                      # empty: 1 line (''), 0 bigrams
+            "x",                     # single token: no bigrams
+            "go go go go"],          # degenerate: top bigram 3/3
+            pa.string())})
+    out = repetition_stats_batch(t).to_pydict()
+    assert out["n_lines"] == [3, 1, 1, 1]
+    assert out["n_dup_lines"] == [1, 0, 0, 0]
+    assert out["dup_line_frac"][0] == pytest.approx(1 / 3)
+    # doc 0: bigrams [a b, b a, a b, b c, c d] -> 'a b' x2 over 5 slots
+    assert out["top_bigram_frac"][0] == pytest.approx(2 / 5)
+    assert out["top_bigram_frac"][1] == 0.0
+    assert out["top_bigram_frac"][2] == 0.0
+    assert out["top_bigram_frac"][3] == 1.0
+
+
+def test_decontaminate_flags_shared_ngrams():
+    from kgforge.stages.decontam import (benchmark_ngram_set,
+                                         flag_contaminated)
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["one two three four five six"], pa.string())}))
+    grams = benchmark_ngram_set(bench, n=5)
+    assert "one two three four five" in grams
+    assert "two three four five six" in grams
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array([
+            "zzz one two three four five zzz",   # shares one 5-gram
+            "one two three four",                  # too short to share
+            "one two three four five six seven"],  # shares both
+            pa.string())}))
+    out = (flag_contaminated(corpus, grams, n=5)
+           .to_pandas().sort_values("doc_id"))
+    assert out["n_hits"].tolist() == [1, 0, 2]
+    assert out["contaminated"].tolist() == [True, False, True]
+
+
+def test_doc_frequencies_df_vs_tf():
+    from kgforge.stages.relational import doc_frequencies
+    docs = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a a b", "a c", "", "b b b"], pa.string())}))
+    out = doc_frequencies(docs, k=10).to_pandas()
+    got = {r.token: (r.df, r.tf) for r in out.itertuples()}
+    assert got == {"a": (2, 3), "b": (2, 4), "c": (1, 1)}
+    # ordering: df desc then token asc
+    assert out["token"].tolist() == ["a", "b", "c"]
