@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequencies_docs": Q.doc_frequencies_docs,
         "docs_above_p90": Q.docs_above_p90,
         "dedup_keep_best": Q.dedup_keep_best,
+        "events_attribution_range": Q.events_attribution_range,
+        "distinctive_term_docs": Q.distinctive_term_docs,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
     }
@@ -977,5 +979,39 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens AS kept_tokens,
                    CAST(n_members AS BIGINT) AS n_members
             FROM ranked WHERE rn = 1 ORDER BY cluster_id
+        """,
+        # interval (range) join: every purchase by the same user within
+        # 6 hours after a click — window edges inclusive on both sides
+        "events_attribution_range": """
+            SELECT a.event_id, a.user_id,
+                   b.event_id AS event_id_r,
+                   CAST(round(b.value * 100) AS BIGINT)
+                       AS purchase_cents_r
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+            ORDER BY a.event_id, b.event_id
+        """,
+        # per-doc rarest-term argmax (integer-exact TF-IDF core):
+        # min global df, tie higher in-doc tf, tie token asc
+        "distinctive_term_docs": r"""
+            WITH f AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+'))
+                                  AS token
+                       FROM documents),
+            tfd AS (SELECT doc_id, token, count(*) AS tf
+                    FROM f GROUP BY doc_id, token),
+            dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+                    FROM f GROUP BY token),
+            ranked AS (
+              SELECT t.doc_id, t.token, t.tf, d.df,
+                     row_number() OVER (PARTITION BY t.doc_id
+                                        ORDER BY d.df ASC, t.tf DESC,
+                                                 t.token) AS rn
+              FROM tfd t JOIN dfq d USING (token))
+            SELECT doc_id, token AS term, CAST(df AS BIGINT) AS df,
+                   CAST(tf AS BIGINT) AS tf
+            FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
     }

@@ -38,7 +38,8 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "tpch_q3_revenue", "chunk_docs", "bigram_frequencies_docs",
              "orders_no_events", "events_type_quantiles",
              "repetition_stats_docs", "decontaminate_docs",
-             "doc_frequencies_docs", "dedup_keep_best"]
+             "doc_frequencies_docs", "dedup_keep_best",
+             "events_attribution_range", "distinctive_term_docs"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,

@@ -1021,3 +1021,94 @@ def dedup_keep_best(sf_dir: str):
     return (tagged.map_batches(bucket, batch_format="pyarrow")
                   .groupby("_bucket")
                   .map_groups(fold, batch_format="pandas"))
+
+
+def events_attribution_range(sf_dir: str):
+    """Attribution-style range join: for every 'click' event, all
+    'purchase' events by the same user within the following 6 hours.
+    ONE (key, time-bucket) co-partitioned shuffle; the purchase side
+    lands in exactly one bucket, clicks replicate <= 2x — see
+    relational.range_join."""
+    from ..stages.relational import range_join
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type",
+                        "value"])
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return t.select(["event_id", "user_id", "ts"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        cents = _cents(t.column("value"))   # half-away-from-zero (DuckDB)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "purchase_cents": cents})
+
+    out = range_join(ev.map_batches(clicks, batch_format="pyarrow"),
+                     ev.map_batches(purchases, batch_format="pyarrow"),
+                     key="user_id", left_ts="ts", right_ts="ts",
+                     right_vals=["event_id", "purchase_cents"],
+                     lo_us=0, hi_us=6 * 3600 * 10**6)
+    return out.select_columns(["event_id", "user_id", "event_id_r",
+                               "purchase_cents_r"])
+
+
+def distinctive_term_docs(sf_dir: str):
+    """Per-document most DISTINCTIVE term: the in-doc token with the
+    smallest global document frequency (ties: higher in-doc count, then
+    token asc) — the integer-exact core of TF-IDF scoring (rarest-term
+    argmax needs no float idf, so the oracle stays bit-exact).
+
+    Dataflow: ONE bucket fold builds the global (token, df) table
+    (`relational.doc_frequencies`); the vocabulary broadcasts once via
+    ``ray.put``; every batch then resolves its per-doc argmax locally
+    (documents never span rows) — no second shuffle.  Driver/broadcast
+    bound: the corpus vocabulary (documented; at open-vocabulary 100-TB
+    scale ship the df table through the existing tag-union join
+    instead)."""
+    from ..stages.joins import _broadcast_cache
+    from ..stages.relational import doc_frequencies
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df_map: dict = {}
+    for t in doc_frequencies(docs, k=None).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        df_map.update(zip(t.column("token").to_pylist(),
+                          t.column("df").to_pylist()))
+    ref = ray.put(df_map)
+
+    def argmax(t: pa.Table) -> pa.Table:
+        dfm = _broadcast_cache(ref)
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(col, ""),
+                                       pattern="[ \t\n\f\r]+")
+        nl = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(t), dtype=np.int64), nl)
+        flat = lists.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        toks = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        rows = rows[keep]
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if not len(toks):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        d = (pd.DataFrame({"r": rows, "t": toks})
+               .groupby(["r", "t"], as_index=False).size()
+               .rename(columns={"size": "tf"}))
+        d["df"] = d["t"].map(dfm)
+        d = d.sort_values(["r", "df", "tf", "t"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort").drop_duplicates("r")
+        return pa.table({
+            "doc_id": pa.array(ids[d["r"].to_numpy()], pa.int64()),
+            "term": pa.array(d["t"].to_numpy(object), pa.string()),
+            "df": pa.array(d["df"].to_numpy(np.int64), pa.int64()),
+            "tf": pa.array(d["tf"].to_numpy(np.int64), pa.int64())})
+
+    return docs.map_batches(argmax, batch_format="pyarrow")

@@ -130,6 +130,132 @@ def as_of_join(left: Dataset, right: Dataset, key: str, left_ts: str,
                                                 batch_format="pandas")
 
 
+def _zero_pad(n: int, typ: pa.DataType) -> pa.Array:
+    """Typed zero/empty filler for cross-side padding in tag-union
+    shuffles.  Padding with NULLs instead would let pandas promote
+    int64 columns to float64 inside map_groups, corrupting 64-bit ids
+    above 2^53 — the padded slots are never read, so zeros are safe."""
+    if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+        return pa.nulls(n, typ)          # zero-epoch is fine but nulls
+        # keep date arithmetic honest; ts cols don't ride pandas here
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, typ)
+    if pa.types.is_boolean(typ):
+        return pa.array(np.zeros(n, dtype=bool))
+    if pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, dtype=np.float64), typ)
+    return pa.array(np.zeros(n, dtype=np.int64), typ)
+
+
+def range_join(left: Dataset, right: Dataset, key: str, left_ts: str,
+               right_ts: str, right_vals: list[str],
+               lo_us: int, hi_us: int,
+               right_key: str | None = None,
+               n_buckets: int = N_BUCKETS) -> Dataset:
+    """Distributed interval (range) join: one output row per
+    ``(left, right)`` pair with equal keys and
+    ``left_ts + lo_us <= right_ts <= left_ts + hi_us`` (inner-join
+    semantics; timestamps normalized to int64 microseconds).
+
+    Dataflow — the textbook co-partitioning for interval joins: both
+    sides shuffle ONCE on ``(key, time_bucket)`` with bucket width =
+    the window span.  A right row lands in exactly one time bucket; a
+    left row's query interval touches at most two, so only the left
+    side replicates (≤2×) and every matching pair surfaces exactly
+    once — no dedup aggregate.  Within a bucket the match is ONE
+    vectorized pandas inner merge + window filter; no per-key Python.
+    Hot keys stay survivable because a skewed key's rows still spread
+    across time cells — the cross product is bounded per (key, cell),
+    not per key.  (Ray Data has no native range join; SURVEY §2
+    custom-operator mandate.)"""
+    if hi_us < lo_us:
+        raise ValueError("hi_us must be >= lo_us")
+    right_key = right_key or key
+    width = max(hi_us - lo_us, 1)
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    l_types = {n: arrow_type_of(t)
+               for n, t in zip(l_schema.names, l_schema.types)}
+    r_schema = right.schema()
+    r_types = {n: arrow_type_of(t)
+               for n, t in zip(r_schema.names, r_schema.types)}
+
+    def ts_us(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        if pa.types.is_date(col.type) or pa.types.is_timestamp(col.type):
+            return col.cast(pa.timestamp("us")).cast(pa.int64())
+        return col.cast(pa.int64())
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        lts = ts_us(t.column(left_ts)).to_numpy(zero_copy_only=False)
+        base = {c: t.column(c) for c in l_names}
+        base["_k"] = t.column(key).cast(pa.int64())
+        base["_ts"] = pa.array(lts, pa.int64())
+        base["_rts"] = pa.array(np.zeros(n, np.int64), pa.int64())
+        for v in right_vals:
+            base[f"_r_{v}"] = _zero_pad(n, r_types[v])
+        base["_is_right"] = pa.array(np.zeros(n, dtype=bool))
+        tb1 = (lts + lo_us) // width
+        tb2 = (lts + hi_us) // width
+        t1 = pa.table({**base, "_tb": pa.array(tb1, pa.int64())})
+        spill = tb2 != tb1
+        if spill.any():
+            t2 = (pa.table({**base, "_tb": pa.array(tb2, pa.int64())})
+                  .filter(pa.array(spill)))
+            t1 = pa.concat_tables([t1, t2])
+        return t1.append_column(
+            "_bucket", pa.array((t1.column("_k").to_numpy() * 1000003
+                                 + t1.column("_tb").to_numpy())
+                                % n_buckets, pa.int64()))
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        rts = ts_us(t.column(right_ts)).to_numpy(zero_copy_only=False)
+        cols = {c: _zero_pad(n, l_types[c]) for c in l_names}
+        cols["_k"] = t.column(right_key).cast(pa.int64())
+        cols["_ts"] = pa.array(np.zeros(n, np.int64), pa.int64())
+        cols["_rts"] = pa.array(rts, pa.int64())
+        for v in right_vals:
+            cols[f"_r_{v}"] = t.column(v).cast(r_types[v])
+        cols["_is_right"] = pa.array(np.ones(n, dtype=bool))
+        cols["_tb"] = pa.array(rts // width, pa.int64())
+        out = pa.table(cols)
+        return out.append_column(
+            "_bucket", pa.array((out.column("_k").to_numpy() * 1000003
+                                 + out.column("_tb").to_numpy())
+                                % n_buckets, pa.int64()))
+
+    tagged = (left.map_batches(left_rows, batch_format="pyarrow")
+              .union(right.map_batches(right_rows,
+                                       batch_format="pyarrow")))
+
+    out_names = l_names + [f"{v}_r" for v in right_vals]
+    out_types = ([l_types[c] for c in l_names]
+                 + [r_types[v] for v in right_vals])
+
+    def attach(g: pd.DataFrame) -> pa.Table:
+        lefts = g[~g["_is_right"]]
+        rights = g[g["_is_right"]]
+        if not len(lefts) or not len(rights):
+            return pa.table({nm: pa.array([], ty)
+                             for nm, ty in zip(out_names, out_types)})
+        rcols = ["_k", "_tb", "_rts"] + [f"_r_{v}" for v in right_vals]
+        merged = (lefts[l_names + ["_k", "_ts", "_tb"]]
+                  .merge(rights[rcols], on=["_k", "_tb"]))
+        win = ((merged["_rts"] >= merged["_ts"] + lo_us)
+               & (merged["_rts"] <= merged["_ts"] + hi_us))
+        merged = merged[win]
+        arrays = [pa.Array.from_pandas(merged[c], type=l_types[c])
+                  for c in l_names]
+        arrays += [pa.Array.from_pandas(merged[f"_r_{v}"],
+                                        type=r_types[v])
+                   for v in right_vals]
+        return pa.Table.from_arrays(arrays, names=out_names)
+
+    return tagged.groupby("_bucket").map_groups(attach,
+                                                batch_format="pandas")
+
+
 def hash_split(ds: Dataset, id_col: str, n_buckets: int = 10,
                train_buckets: int = 8,
                split_col: str = "split") -> Dataset:
@@ -299,7 +425,8 @@ def ngram_frequencies(ds: Dataset, text_col: str = "text", n: int = 2,
     return out.sort(["n", "ngram"], descending=[True, False]).limit(k)
 
 
-def doc_frequencies(ds: Dataset, text_col: str = "text", k: int = 100,
+def doc_frequencies(ds: Dataset, text_col: str = "text",
+                    k: int | None = 100,
                     n_buckets: int = N_BUCKETS) -> Dataset:
     """Corpus document-frequency table ``(token, df, tf)`` — the IDF
     statistic under TF-IDF/BM25 scoring.  The distributed-interesting
@@ -352,6 +479,8 @@ def doc_frequencies(ds: Dataset, text_col: str = "text", k: int = 100,
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("bucket")
              .map_groups(fold, batch_format="pandas"))
+    if k is None:            # full table (the broadcast side of TF-IDF)
+        return out
     return out.sort(["df", "token"], descending=[True, False]).limit(k)
 
 

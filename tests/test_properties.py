@@ -148,3 +148,31 @@ def test_simhash_identical_text_zero_hamming(a, b):
     ha, hb = H.simhash64(a), H.simhash64(b)
     assert H.hamming64(ha, ha) == 0
     assert 0 <= H.hamming64(ha, hb) <= 64
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+                max_size=30),
+       st.lists(st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+                max_size=30),
+       st.integers(-20, 20), st.integers(0, 40))
+def test_range_join_bucketing_exactly_once(lefts, rights, lo, span):
+    """The (key, time-bucket) co-partitioning behind
+    ``relational.range_join``: with bucket width = window span, a left
+    interval touches <= 2 buckets and the right row lands in exactly
+    one, so every matching pair surfaces EXACTLY once — no dedup."""
+    hi = lo + span
+    width = max(hi - lo, 1)
+    brute = {(i, j) for i, (lk, lt) in enumerate(lefts)
+             for j, (rk, rt) in enumerate(rights)
+             if lk == rk and lt + lo <= rt <= lt + hi}
+    surfaced = []
+    for i, (lk, lt) in enumerate(lefts):
+        tbs = {(lt + lo) // width, (lt + hi) // width}
+        assert len(tbs) <= 2
+        for j, (rk, rt) in enumerate(rights):
+            if lk == rk and rt // width in tbs \
+                    and lt + lo <= rt <= lt + hi:
+                surfaced.append((i, j))
+    assert len(surfaced) == len(set(surfaced))      # exactly once
+    assert set(surfaced) == brute                   # and complete

@@ -151,3 +151,45 @@ def test_doc_frequencies_df_vs_tf():
     assert got == {"a": (2, 3), "b": (2, 4), "c": (1, 1)}
     # ordering: df desc then token asc
     assert out["token"].tolist() == ["a", "b", "c"]
+
+
+def test_range_join_semantics():
+    from kgforge.stages.relational import range_join
+    # window [0, 10us]; bucket width = 10us -> left intervals cross
+    # bucket boundaries (replication path) and edges are inclusive
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array([7, 7, 8], pa.int64()),
+        "t": pa.array([100, 95, 100], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([7, 7, 7, 8, 9], pa.int64()),
+        "t": pa.array([100, 105, 111, 110, 100], pa.int64()),
+        "rid": pa.array([10, 11, 12, 13, 14], pa.int64())}))
+    out = (range_join(left, right, key="k", left_ts="t", right_ts="t",
+                      right_vals=["rid"], lo_us=0, hi_us=10)
+           .to_pandas().sort_values(["lid", "rid_r"]))
+    got = list(zip(out["lid"], out["rid_r"]))
+    # lid=1 (k7,t100): rids at 100,105 in [100,110]; 111 is out
+    # lid=2 (k7,t95): 100,105 in [95,105]
+    # lid=3 (k8,t100): rid 13 at 110 == t+hi (inclusive edge)
+    assert got == [(1, 10), (1, 11), (2, 10), (2, 11), (3, 13)]
+    # exactly-once: no pair duplicated by the left replication
+    assert len(got) == len(set(got))
+
+
+def test_range_join_empty_and_validation():
+    from kgforge.stages.relational import range_join
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([1], pa.int64()),
+        "k": pa.array([1], pa.int64()),
+        "t": pa.array([0], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2], pa.int64()),
+        "t": pa.array([0], pa.int64()),
+        "rid": pa.array([9], pa.int64())}))
+    out = range_join(left, right, key="k", left_ts="t", right_ts="t",
+                     right_vals=["rid"], lo_us=0, hi_us=5).to_pandas()
+    assert len(out) == 0                    # disjoint keys
+    with pytest.raises(ValueError):
+        range_join(left, right, key="k", left_ts="t", right_ts="t",
+                   right_vals=["rid"], lo_us=5, hi_us=0)
