@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_term_docs": Q.distinctive_term_docs,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
+        "multimodal_audio_energy": Q.multimodal_audio_energy,
     }
 
 
@@ -1013,5 +1014,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token AS term, CAST(df AS BIGINT) AS df,
                    CAST(tf AS BIGINT) AS tf
             FROM ranked WHERE rn = 1 ORDER BY doc_id
+        """,
+        # FKAU formulaic PCM: every int16 sample is
+        # s(i) = (item_id*31 + i*7) % 65536 - 32768, so the decode →
+        # energy pipeline is re-derivable in pure SQL
+        "multimodal_audio_energy": """
+            WITH params AS (SELECT greatest(32, count(*) // 4) AS n
+                            FROM documents),
+            items AS (SELECT unnest(range(0, p.n)) AS item_id
+                      FROM params p),
+            lens AS (SELECT item_id,
+                            1000 + (item_id % 7) * 100 AS n_samples
+                     FROM items),
+            vals AS (SELECT l.item_id, l.n_samples,
+                            ((l.item_id * 31 + u.i * 7) % 65536) - 32768
+                                AS s
+                     FROM lens l, UNNEST(range(0, l.n_samples)) AS u(i))
+            SELECT item_id, CAST(n_samples AS BIGINT) AS n_samples,
+                   CAST(sum(s * s) AS BIGINT) AS energy,
+                   CAST(max(abs(s)) AS BIGINT) AS peak,
+                   true AS decode_ok
+            FROM vals GROUP BY item_id, n_samples ORDER BY item_id
         """,
     }

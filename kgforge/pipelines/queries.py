@@ -1112,3 +1112,26 @@ def distinctive_term_docs(sf_dir: str):
             "tf": pa.array(d["tf"].to_numpy(np.int64), pa.int64())})
 
     return docs.map_batches(argmax, batch_format="pyarrow")
+
+
+def multimodal_audio_energy(sf_dir: str):
+    """Audio decode + integer-exact features (FKAU formulaic PCM —
+    SQL-oracled because every int16 sample is re-derivable): items are
+    generated distributed, decoded by an actor pool, and summarized as
+    (n_samples, energy, peak)."""
+    from ..stages.multimodal import DecodeAudio, fake_audio_bytes
+    n = max(32, _read(sf_dir, "documents", columns=["doc_id"]).count() // 4)
+
+    def gen(batch: dict) -> pa.Table:
+        ids = [int(i) for i in batch["id"]]
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "content": pa.array([fake_audio_bytes(i) for i in ids],
+                                pa.binary())})
+
+    ds = (ray.data.range(n, override_num_blocks=max(2, n // 64))
+          .map_batches(gen, batch_format="numpy"))
+    ds = ds.map_batches(DecodeAudio, batch_format="pyarrow", batch_size=64,
+                        concurrency=(1, 2))
+    return ds.select_columns(["item_id", "n_samples", "energy", "peak",
+                              "decode_ok"])

@@ -110,3 +110,95 @@ def frame_sample_stub(batch: pa.Table, every_n: int = 10) -> pa.Table:
     return pa.Table.from_arrays(
         [pa.array(id_o, pa.int64()), pa.array(frame_o, pa.int32())],
         names=["item_id", "frame_idx"])
+
+
+AUDIO_MAGIC = b"FKAU"
+
+
+def fake_audio_bytes(item_id: int, n_samples: int | None = None) -> bytes:
+    """Deterministic PCM stand-in payload: 16-byte header + int16
+    samples ``s(i) = (item_id*31 + i*7) % 65536 - 32768``.  The formula
+    (not a seeded RNG) is deliberate: a SQL oracle can re-derive every
+    sample, so the decode→feature pipeline is hash-exactly gated."""
+    n = n_samples if n_samples is not None else 1000 + (item_id % 7) * 100
+    i = np.arange(n, dtype=np.int64)
+    samples = ((item_id * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+    return (AUDIO_MAGIC + struct.pack("<iq", n, item_id)
+            + samples.tobytes())
+
+
+class DecodeAudio:
+    """Actor-pool stage: ``content: binary`` → int16 sample buffers with
+    integer-exact summary features (``n_samples``, ``energy`` = sum of
+    squared samples, ``peak`` = max |sample|).  Real codecs would load
+    once per actor (the soundfile import-try); the FKAU fake format
+    exercises the identical buffer path (struct header + zero-copy
+    ``np.frombuffer``), and real payloads raise until a codec exists."""
+
+    def __init__(self):
+        try:
+            import soundfile  # noqa: F401 — not present in container
+            self._sf = soundfile
+        except ImportError:
+            self._sf = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, energy, peak, ok = [], [], [], []
+        for v in batch.column("content"):
+            raw = v.as_py()
+            if raw is None:
+                ns.append(0); energy.append(0); peak.append(0)
+                ok.append(False)
+                continue
+            if raw[:4] == AUDIO_MAGIC:
+                n, _item = struct.unpack("<iq", raw[4:16])
+                samples = np.frombuffer(raw[16:16 + 2 * n],
+                                        dtype=np.int16).astype(np.int64)
+            elif self._sf is not None:
+                import io
+                data, _sr = self._sf.read(io.BytesIO(raw), dtype="int16")
+                samples = np.asarray(data, dtype=np.int64).ravel()
+                n = len(samples)
+            else:
+                raise NotImplementedError(
+                    "real audio codecs unavailable in this container; "
+                    "payload is not FKAU fake format")
+            ns.append(int(n))
+            energy.append(int(np.sum(samples * samples)))
+            peak.append(int(np.max(np.abs(samples))) if n else 0)
+            ok.append(True)
+        batch = batch.append_column("n_samples", pa.array(ns, pa.int64()))
+        batch = batch.append_column("energy", pa.array(energy, pa.int64()))
+        batch = batch.append_column("peak", pa.array(peak, pa.int64()))
+        return batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+
+
+class ResizeImage:
+    """Actor-pool stage: nearest-neighbor resize of FKIM payloads to a
+    fixed (out_w, out_h) — real numpy gather work on the decoded pixel
+    buffer, emitting the resized payload plus an integer checksum
+    (pytest-golden; the RNG pixels aren't SQL-derivable)."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 6):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, checksums = [], []
+        for v in batch.column("content"):
+            raw = v.as_py()
+            if raw is None or raw[:4] != MAGIC:
+                payloads.append(None); checksums.append(None)
+                continue
+            w, h, seed = struct.unpack("<iii", raw[4:16])
+            px = np.frombuffer(raw[16:16 + w * h],
+                               dtype=np.uint8).reshape(h, w)
+            ys = (np.arange(self.out_h) * h) // self.out_h
+            xs = (np.arange(self.out_w) * w) // self.out_w
+            out = px[np.ix_(ys, xs)]
+            payloads.append(MAGIC + struct.pack(
+                "<iii", self.out_w, self.out_h, seed) + out.tobytes())
+            checksums.append(int(out.astype(np.int64).sum()))
+        batch = batch.append_column(
+            "resized", pa.array(payloads, pa.binary()))
+        return batch.append_column(
+            "resized_checksum", pa.array(checksums, pa.int64()))

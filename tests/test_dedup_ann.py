@@ -405,3 +405,39 @@ def test_embedding_paths_agree():
     slow = slow.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast[key + ["cosine"]],
                                   slow[key + ["cosine"]])
+
+
+def test_audio_decode_matches_formula():
+    from kgforge.stages.multimodal import DecodeAudio, fake_audio_bytes
+    import numpy as np
+    import struct
+    tbl = pa.table({"content": pa.array(
+        [fake_audio_bytes(i) for i in (0, 3, 6)], pa.binary())})
+    out = DecodeAudio()(tbl).to_pydict()
+    for row, item in enumerate((0, 3, 6)):
+        n = 1000 + (item % 7) * 100
+        i = np.arange(n, dtype=np.int64)
+        s = (item * 31 + i * 7) % 65536 - 32768
+        assert out["n_samples"][row] == n
+        assert out["energy"][row] == int((s * s).sum())
+        assert out["peak"][row] == int(np.abs(s).max())
+        assert out["decode_ok"][row] is True
+    with pytest.raises(NotImplementedError):
+        DecodeAudio()(pa.table({"content": [b"RIFF fake wav"]}))
+
+
+def test_resize_image_nearest_neighbor():
+    from kgforge.stages.multimodal import MAGIC, ResizeImage
+    import struct
+    # handmade 4x2 image: rows [0 1 2 3] / [10 11 12 13]
+    px = bytes([0, 1, 2, 3, 10, 11, 12, 13])
+    raw = MAGIC + struct.pack("<iii", 4, 2, 99) + px
+    out = ResizeImage(out_w=2, out_h=1)(
+        pa.table({"content": pa.array([raw, None], pa.binary())}))
+    resized = out.column("resized")[0].as_py()
+    w, h, seed = struct.unpack("<iii", resized[4:16])
+    assert (w, h, seed) == (2, 1, 99)
+    # ys = [0], xs = [0, 2] -> pixels (0, 2)
+    assert list(resized[16:]) == [0, 2]
+    assert out.column("resized_checksum")[0].as_py() == 2
+    assert out.column("resized")[1].as_py() is None
