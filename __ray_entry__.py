@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
         "multimodal_audio_energy": Q.multimodal_audio_energy,
+        "curate_training_docs": Q.curate_training_docs,
     }
 
 
@@ -1035,5 +1036,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(abs(s)) AS BIGINT) AS peak,
                    true AS decode_ok
             FROM vals GROUP BY item_id, n_samples ORDER BY item_id
+        """,
+        # full curation chain: decontaminate -> lang gate -> repetition
+        # gates -> token band -> exact dedup (keep smallest id)
+        "curate_training_docs": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            g5 AS (SELECT doc_id,
+                          unnest(list_distinct(list_transform(
+                              range(1, len(t) - 3), i ->
+                              t[i] || ' ' || t[i+1] || ' ' || t[i+2] ||
+                              ' ' || t[i+3] || ' ' || t[i+4]))) AS gram
+                   FROM toks WHERE len(t) >= 5),
+            bench AS (SELECT DISTINCT gram FROM g5 WHERE doc_id % 97 = 0),
+            contaminated AS (SELECT DISTINCT g5.doc_id
+                             FROM g5 JOIN bench USING (gram)
+                             WHERE g5.doc_id % 97 <> 0),
+            base AS (SELECT d.doc_id, d.text,
+                            string_split(d.text, chr(10)) AS lines,
+                            regexp_extract_all(d.text, '\S+') AS tk
+                     FROM documents d
+                     WHERE d.doc_id % 97 <> 0 AND d.lang = 'en'
+                       AND d.doc_id NOT IN (SELECT doc_id
+                                            FROM contaminated)),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(tk)), i ->
+                              tk[i] || chr(31) || tk[i+1])) AS b
+                   FROM base WHERE len(tk) >= 2),
+            mx AS (SELECT doc_id, max(c) AS mx
+                   FROM (SELECT doc_id, b, count(*) AS c
+                         FROM bg GROUP BY doc_id, b)
+                   GROUP BY doc_id),
+            gated AS (
+              SELECT b.doc_id, b.text,
+                     CAST(len(b.tk) AS BIGINT) AS n_tokens
+              FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id
+              WHERE len(b.tk) BETWEEN 30 AND 2000
+                AND CAST(len(b.lines) - len(list_distinct(b.lines))
+                         AS DOUBLE)
+                    / greatest(CAST(len(b.lines) AS DOUBLE), 1.0) <= 0.5
+                AND CAST(coalesce(mx.mx, 0) AS DOUBLE)
+                    / greatest(CAST(len(b.tk) - 1 AS DOUBLE), 1.0) < 0.2)
+            SELECT min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   CAST(min(n_tokens) AS BIGINT) AS n_tokens
+            FROM gated GROUP BY text ORDER BY doc_id
         """,
     }

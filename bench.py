@@ -39,7 +39,8 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "orders_no_events", "events_type_quantiles",
              "repetition_stats_docs", "decontaminate_docs",
              "doc_frequencies_docs", "dedup_keep_best",
-             "events_attribution_range", "distinctive_term_docs"]
+             "events_attribution_range", "distinctive_term_docs",
+             "curate_training_docs"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,

@@ -962,7 +962,8 @@ def decontaminate_docs(sf_dir: str):
     grams = benchmark_ngram_set(docs.map_batches(
         _split(True), batch_format="pyarrow"), n=5)
     rest = docs.map_batches(_split(False), batch_format="pyarrow")
-    return flag_contaminated(rest, grams, n=5)
+    return (flag_contaminated(rest, grams, n=5)
+            .select_columns(["doc_id", "n_hits", "contaminated"]))
 
 
 def doc_frequencies_docs(sf_dir: str):
@@ -1135,3 +1136,51 @@ def multimodal_audio_energy(sf_dir: str):
                         concurrency=(1, 2))
     return ds.select_columns(["item_id", "n_samples", "energy", "peak",
                               "decode_ok"])
+
+
+def curate_training_docs(sf_dir: str):
+    """FULL training-corpus curation chain — the pipeline a pretraining
+    corpus runs end-to-end: benchmark decontamination (broadcast 5-gram
+    set) → language gate → repetition gates (dup-line / top-bigram) →
+    token-count band → exact dedup keeping the smallest id.  One corpus
+    stream + the single dedup exchange; every stage is the composable
+    form of an individually-oracled operator."""
+    from ..stages.decontam import benchmark_ngram_set, flag_contaminated
+    from ..functions.textstats import repetition_stats_batch
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def _split(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            is_bench = (ids % 97) == 0
+            return t.filter(pa.array(is_bench if keep_bench
+                                     else ~is_bench))
+        return f
+
+    grams = benchmark_ngram_set(docs.map_batches(
+        _split(True), batch_format="pyarrow"), n=5)
+    flagged = flag_contaminated(
+        docs.map_batches(_split(False), batch_format="pyarrow"),
+        grams, n=5)
+
+    def gates(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.invert(t.column("contaminated")),
+                             pc.equal(t.column("lang"), "en")))
+        t = repetition_stats_batch(t)
+        t = token_stats_batch(t)
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t.column("n_tokens"), 30),
+                    pc.less_equal(t.column("n_tokens"), 2000)),
+            pc.and_(pc.less_equal(t.column("dup_line_frac"), 0.5),
+                    pc.less(t.column("top_bigram_frac"), 0.2)))
+        return t.filter(keep).select(["doc_id", "text"])
+
+    kept = exact_dedup(flagged.map_batches(gates, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        stats = token_stats_batch(t)
+        return pa.table({"doc_id": stats.column("doc_id"),
+                         "n_dups": stats.column("n_dups"),
+                         "n_tokens": stats.column("n_tokens")})
+
+    return kept.map_batches(finish, batch_format="pyarrow")

@@ -71,8 +71,10 @@ def flag_contaminated(corpus: Dataset, bench_grams: frozenset,
                       n: int = 5) -> Dataset:
     """Tag every corpus document with its count of DISTINCT n-grams that
     appear in the benchmark set (``n_hits``) and the boolean
-    ``contaminated`` flag.  One streaming pass; the gram set rides a
-    single ``ray.put`` broadcast resolved once per worker process."""
+    ``contaminated`` flag — APPENDED to the input columns so the stage
+    composes into longer curation chains.  One streaming pass; the gram
+    set rides a single ``ray.put`` broadcast resolved once per worker
+    process."""
     ref = ray.put(bench_grams)
 
     def flag(t: pa.Table) -> pa.Table:
@@ -82,9 +84,8 @@ def flag_contaminated(corpus: Dataset, bench_grams: frozenset,
         if len(grams):
             mask = pd.Series(grams, dtype=object).isin(grams_set).to_numpy()
             np.add.at(hits, rows[mask], 1)
-        return pa.table({
-            id_col: t.column(id_col).cast(pa.int64()),
-            "n_hits": pa.array(hits, pa.int64()),
-            "contaminated": pa.array(hits > 0, pa.bool_())})
+        t = t.append_column("n_hits", pa.array(hits, pa.int64()))
+        return t.append_column("contaminated", pa.array(hits > 0,
+                                                        pa.bool_()))
 
     return corpus.map_batches(flag, batch_format="pyarrow")
