@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": Q.events_hopping_window,
         "events_sliding_window": Q.events_sliding_window,
         "events_sessionize": Q.events_sessionize,
+        "events_sessionize_streaming": Q.events_sessionize_streaming,
         "top_users_by_type": Q.top_users_by_type,
         "distinct_users_exact": Q.distinct_users_exact,
         "distinct_users_hll": Q.distinct_users_hll,
@@ -274,6 +275,31 @@ _ANN_TOPK_SQL = """
     ORDER BY query_id, score DESC, vec_id
 """
 
+
+_SESSIONIZE_SQL = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS sid
+      FROM flagged)
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) // 1000000 AS BIGINT)
+               AS session_start_epoch,
+           CAST(epoch_us(max(ts)) // 1000000 AS BIGINT)
+               AS session_end_epoch,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    ORDER BY user_id, session_start_epoch
+"""
 
 _EMB_PAIRS_SQL = """
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -837,30 +863,7 @@ def oracle_sql() -> dict[str, str]:
                          AND CURRENT ROW)
             ORDER BY event_id
         """,
-        "events_sessionize": """
-            WITH flagged AS (
-              SELECT user_id, event_id, ts,
-                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                                                  ORDER BY ts, event_id)
-                          > INTERVAL 30 MINUTE OR
-                          lag(ts) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) IS NULL
-                     THEN 1 ELSE 0 END AS new_session
-              FROM events),
-            sessions AS (
-              SELECT user_id, ts,
-                     sum(new_session) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id) AS sid
-              FROM flagged)
-            SELECT user_id,
-                   CAST(epoch_us(min(ts)) // 1000000 AS BIGINT)
-                       AS session_start_epoch,
-                   CAST(epoch_us(max(ts)) // 1000000 AS BIGINT)
-                       AS session_end_epoch,
-                   count(*) AS n_events
-            FROM sessions GROUP BY user_id, sid
-            ORDER BY user_id, session_start_epoch
-        """,
+        "events_sessionize": _SESSIONIZE_SQL,
         # Gopher-style repetition signals; ratios are exact ints cast to
         # DOUBLE then IEEE-divided on both sides (bit-identical)
         "repetition_stats_docs": r"""
@@ -1039,6 +1042,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full curation chain: decontaminate -> lang gate -> repetition
         # gates -> token band -> exact dedup (keep smallest id)
+        # the streaming sessionizer is output-identical to the batch
+        # operator by construction (pinned in pytest), so it shares the
+        # batch oracle verbatim
+        "events_sessionize_streaming": _SESSIONIZE_SQL,
         "curate_training_docs": r"""
             WITH toks AS (SELECT doc_id,
                                  regexp_extract_all(text, '\S+') AS t

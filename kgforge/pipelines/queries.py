@@ -1184,3 +1184,13 @@ def curate_training_docs(sf_dir: str):
                          "n_tokens": stats.column("n_tokens")})
 
     return kept.map_batches(finish, batch_format="pyarrow")
+
+
+def events_sessionize_streaming(sf_dir: str):
+    """The STREAMING form of events_sessionize: watermark-driven
+    incremental session emission from key-partitioned stateful actors
+    (stages/streaming.py) — identical output to the batch operator, so
+    it shares its exact SQL oracle."""
+    from ..stages.streaming import streaming_sessionize
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return streaming_sessionize(events)

@@ -1,0 +1,143 @@
+"""Streaming windowed aggregation — the one operator class the Dataset
+API genuinely cannot express (ordered, stateful, incremental
+consumption), so this is a RAW Ray actor stage per the last-resort rule.
+
+``streaming_sessionize`` reproduces ``windows.sessionize`` (gap-based
+sessions, identical output and tie-breaks — the two are pinned equal in
+pytest and share one SQL oracle) but executes as a stream: the driver
+plays the message bus, feeding time-ordered micro-batches to
+``n_workers`` key-partitioned stateful actors together with the current
+WATERMARK (max event time ingested so far).  A worker's state is only
+its OPEN sessions; a session is emitted the moment the watermark proves
+no future event can extend it (``watermark - last_ts > gap``), so
+memory is bounded by concurrently-open sessions, not by history — the
+property that lets this run forever on an unbounded stream.
+
+Deployment note: in production the driver loop is replaced by a real
+bus (Kafka consumer groups → one actor per partition); the actor
+protocol (``ingest(batch, watermark)`` / ``flush()``) is unchanged.
+The actors declare ``num_cpus=0`` — they are state holders doing tiny
+vectorized merges, and reserving whole CPUs would starve the upstream
+sort on small clusters (the round-1 actor-pool deadlock lesson).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+_EMPTY = {"user_id": pa.array([], pa.int64()),
+          "session_start_epoch": pa.array([], pa.int64()),
+          "session_end_epoch": pa.array([], pa.int64()),
+          "n_events": pa.array([], pa.int64())}
+
+
+def _sessions_table(rows: list[tuple]) -> pa.Table:
+    if not rows:
+        return pa.table(_EMPTY)
+    k, s, e, n = zip(*rows)
+    return pa.table({"user_id": pa.array(k, pa.int64()),
+                     "session_start_epoch": pa.array(s, pa.int64()),
+                     "session_end_epoch": pa.array(e, pa.int64()),
+                     "n_events": pa.array(n, pa.int64())})
+
+
+@ray.remote(num_cpus=0)
+class SessionWorker:
+    """Holds open sessions for one key partition.  ``ingest`` merges a
+    time-ordered micro-batch (vectorized intra-batch sessionization,
+    per-SESSION — not per-event — state merge) and returns the sessions
+    the watermark closed."""
+
+    def __init__(self, gap_us: int):
+        self.gap_us = gap_us
+        # key -> [start_us, last_us, n_events]
+        self.open: dict[int, list] = {}
+
+    def ingest(self, keys: np.ndarray, ts_us: np.ndarray,
+               watermark_us: int) -> pa.Table:
+        out: list[tuple] = []
+        if len(keys):
+            # rows arrive globally ts-ordered; a STABLE sort by key
+            # alone keeps each key's rows ts-ordered while making the
+            # shift-based boundary detection valid across interleaves
+            df = (pd.DataFrame({"k": keys, "t": ts_us})
+                  .sort_values("k", kind="mergesort"))
+            new = (df["k"].ne(df["k"].shift())
+                   | df["t"].sub(df["t"].shift()).gt(self.gap_us))
+            df["sid"] = np.cumsum(new.to_numpy())
+            agg = df.groupby(["k", "sid"], sort=False).agg(
+                start=("t", "first"), end=("t", "last"),
+                n=("t", "size")).reset_index()
+            for k, sub in agg.groupby("k", sort=False):
+                k = int(k)
+                st = self.open.get(k)
+                first = sub.iloc[0]
+                rest = sub.iloc[1:]
+                if st is not None:
+                    if int(first["start"]) - st[1] > self.gap_us:
+                        out.append((k, st[0] // 1_000_000,
+                                    st[1] // 1_000_000, st[2]))
+                        st = [int(first["start"]), int(first["end"]),
+                              int(first["n"])]
+                    else:
+                        st = [st[0], int(first["end"]), st[2]
+                              + int(first["n"])]
+                else:
+                    st = [int(first["start"]), int(first["end"]),
+                          int(first["n"])]
+                for _, r in rest.iterrows():
+                    out.append((k, st[0] // 1_000_000,
+                                st[1] // 1_000_000, st[2]))
+                    st = [int(r["start"]), int(r["end"]), int(r["n"])]
+                self.open[k] = st
+        # watermark pass: no future event (ts >= watermark) can extend
+        # a session whose gap to the watermark already exceeds gap_us
+        for k in [k for k, st in self.open.items()
+                  if watermark_us - st[1] > self.gap_us]:
+            st = self.open.pop(k)
+            out.append((k, st[0] // 1_000_000, st[1] // 1_000_000, st[2]))
+        return _sessions_table(out)
+
+    def flush(self) -> pa.Table:
+        out = [(k, st[0] // 1_000_000, st[1] // 1_000_000, st[2])
+               for k, st in sorted(self.open.items())]
+        self.open.clear()
+        return _sessions_table(out)
+
+
+def streaming_sessionize(ds: Dataset, key_col: str = "user_id",
+                         ts_col: str = "ts", id_col: str = "event_id",
+                         gap_us: int = 1_800_000_000,
+                         n_workers: int = 4,
+                         batch_size: int = 16384) -> Dataset:
+    """Gap-based sessions computed INCREMENTALLY over a time-ordered
+    stream (see module docstring).  Equivalent by construction to
+    ``windows.sessionize`` — strict ``gap > gap_us`` boundary, ties on
+    ``(ts, id)``."""
+    workers = [SessionWorker.remote(gap_us) for _ in range(n_workers)]
+    stream = ds.select_columns([key_col, ts_col, id_col]).sort(
+        [ts_col, id_col])
+    futures = []
+    for batch in stream.iter_batches(batch_size=batch_size,
+                                     batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        keys = batch.column(key_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts_us = batch.column(ts_col).cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        wm = int(ts_us[-1])
+        part = keys % n_workers
+        for w in range(n_workers):
+            m = part == w
+            if m.any():
+                futures.append(workers[w].ingest.remote(
+                    keys[m], ts_us[m], wm))
+    futures.extend(w.flush.remote() for w in workers)
+    tables = [t for t in ray.get(futures) if t.num_rows]
+    return ray.data.from_arrow(tables or [pa.table(_EMPTY)])

@@ -193,3 +193,29 @@ def test_range_join_empty_and_validation():
     with pytest.raises(ValueError):
         range_join(left, right, key="k", left_ts="t", right_ts="t",
                    right_vals=["rid"], lo_us=5, hi_us=0)
+
+
+def test_streaming_sessionize_equals_batch():
+    from kgforge.stages.streaming import streaming_sessionize
+    from kgforge.stages.windows import sessionize
+    rng = np.random.default_rng(7)
+    n = 3000
+    t0 = 1_700_000_000_000_000
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "ts": pa.array(t0 + rng.integers(0, 3_600_000_000 * 24, n),
+                       pa.timestamp("us"))})
+    batch = (sessionize(ray.data.from_arrow(tbl)).to_pandas()
+             .sort_values(list(["user_id", "session_start_epoch",
+                                "session_end_epoch", "n_events"]))
+             .reset_index(drop=True))
+    # small batch_size forces many watermark steps (the streaming path)
+    stream = (streaming_sessionize(ray.data.from_arrow(tbl), n_workers=3,
+                                   batch_size=256).to_pandas()
+              .sort_values(list(["user_id", "session_start_epoch",
+                                 "session_end_epoch", "n_events"]))
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        batch[sorted(batch.columns)], stream[sorted(stream.columns)],
+        check_exact=True)
