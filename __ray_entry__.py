@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": Q.dedup_keep_best,
         "events_attribution_range": Q.events_attribution_range,
         "distinctive_term_docs": Q.distinctive_term_docs,
+        "events_value_percent_rank": Q.events_value_percent_rank,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
         "multimodal_audio_energy": Q.multimodal_audio_energy,
@@ -729,6 +730,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(regexp_extract_all(text, '\S+')))
                         AS BIGINT) AS n_tokens
             FROM documents GROUP BY 1 ORDER BY split
+        """,
+        # percent_rank window: (min_rank-1)/(n-1) per partition — both
+        # sides integer-exact before one IEEE division, so bit-exact
+        "events_value_percent_rank": """
+            SELECT event_id, event_type,
+                   percent_rank() OVER (
+                       PARTITION BY event_type ORDER BY value
+                   ) AS pct_rank
+            FROM events
         """,
         "events_value_quantiles": """
             SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events

@@ -1194,3 +1194,11 @@ def events_sessionize_streaming(sf_dir: str):
     from ..stages.streaming import streaming_sessionize
     events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
     return streaming_sessionize(events)
+
+
+def events_value_percent_rank(sf_dir: str):
+    """percent_rank of each event's value within its event type."""
+    from ..stages.windows import grouped_percent_rank
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "value"])
+    return grouped_percent_rank(events, "event_type", "value", "event_id")

@@ -190,3 +190,29 @@ def grouped_top_k(ds: Dataset, group_col: str, key_col: str,
     return (counts.groupby("g").map_groups(topk, batch_format="pandas")
             .map_batches(lambda t: t.rename_columns(
                 [group_col, key_col, "n"]), batch_format="pyarrow"))
+
+
+def grouped_percent_rank(ds: Dataset, group_col: str, value_col: str,
+                         id_col: str) -> Dataset:
+    """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY value)``:
+    ``(min_rank - 1) / (n - 1)`` per group, 0.0 for singleton groups —
+    both sides integer-exact before ONE IEEE division, so the DuckDB
+    oracle matches bit-for-bit.  One groupby shuffle; the in-group rank
+    is a vectorized pandas ``rank(method="min")``.  Partitioning
+    assumption: one group fits one worker (the keyed-window contract);
+    for a single giant group use the sort + ``split_at_indices`` rank
+    machinery of ``exact_quantiles`` instead."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        ranks = g[value_col].rank(method="min").to_numpy(np.int64)
+        pct = ((ranks - 1).astype(np.float64)
+               / np.float64(max(n - 1, 1)))
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            group_col: g[group_col].to_numpy(),
+            "pct_rank": pct})
+
+    return (ds.select_columns([id_col, group_col, value_col])
+              .groupby(group_col)
+              .map_groups(fold, batch_format="pandas"))

@@ -219,3 +219,20 @@ def test_streaming_sessionize_equals_batch():
     pd.testing.assert_frame_equal(
         batch[sorted(batch.columns)], stream[sorted(stream.columns)],
         check_exact=True)
+
+
+def test_grouped_percent_rank_ties_and_singletons():
+    from kgforge.stages.windows import grouped_percent_rank
+    tbl = pa.table({
+        "id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "g": ["a", "a", "a", "a", "b", "c"],
+        "v": pa.array([1.0, 2.0, 2.0, 4.0, 9.0, 3.0], pa.float64())})
+    out = (grouped_percent_rank(ray.data.from_arrow(tbl), "g", "v", "id")
+           .to_pandas().set_index("id").sort_index())
+    # ties share the min rank; singleton groups get 0.0 (SQL semantics)
+    assert out.loc[0, "pct_rank"] == 0.0
+    assert out.loc[1, "pct_rank"] == pytest.approx(1 / 3)
+    assert out.loc[2, "pct_rank"] == pytest.approx(1 / 3)
+    assert out.loc[3, "pct_rank"] == 1.0
+    assert out.loc[4, "pct_rank"] == 0.0
+    assert out.loc[5, "pct_rank"] == 0.0
