@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution_range": Q.events_attribution_range,
         "distinctive_term_docs": Q.distinctive_term_docs,
         "events_value_percent_rank": Q.events_value_percent_rank,
+        "events_user_sequence": Q.events_user_sequence,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
         "multimodal_audio_energy": Q.multimodal_audio_energy,
@@ -739,6 +740,19 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type ORDER BY value
                    ) AS pct_rank
             FROM events
+        """,
+        # three window functions in one keyed pass; all integer-exact
+        # (row_number / epoch_us lag gap / running cents sum).  ORDER BY
+        # (ts, event_id) is unique, so the default RANGE frame == ROWS.
+        "events_user_sequence": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS seq_no,
+                   CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w,
+                                 -1) AS BIGINT) AS delta_us,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS run_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "events_value_quantiles": """
             SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events

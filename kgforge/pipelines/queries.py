@@ -1202,3 +1202,13 @@ def events_value_percent_rank(sf_dir: str):
     events = _read(sf_dir, "events",
                    columns=["event_id", "event_type", "value"])
     return grouped_percent_rank(events, "event_type", "value", "event_id")
+
+
+def events_user_sequence(sf_dir: str):
+    """Per-user ordered sequence features: row_number, lag gap, running
+    cents sum — three SQL window functions in one keyed pass."""
+    from ..stages.windows import grouped_sequence_features
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "value"])
+    return grouped_sequence_features(events, "user_id", "ts",
+                                     "event_id", "value")

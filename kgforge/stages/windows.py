@@ -216,3 +216,38 @@ def grouped_percent_rank(ds: Dataset, group_col: str, value_col: str,
     return (ds.select_columns([id_col, group_col, value_col])
               .groupby(group_col)
               .map_groups(fold, batch_format="pandas"))
+
+
+def grouped_sequence_features(ds: Dataset, key_col: str, ts_col: str,
+                              id_col: str, value_col: str) -> Dataset:
+    """Per-key ordered sequence features — the per-user signals a
+    training-data featurizer derives from an event log: 1-based
+    ``seq_no`` (SQL ``row_number()``), microsecond gap to the previous
+    event (``delta_us``, -1 for the first event — SQL
+    ``COALESCE(epoch_us(ts) - lag(...), -1)``), and the running
+    integer-cents sum of ``value_col`` (``run_cents``).  One groupby
+    shuffle; inside each key the order is (ts, id) so ties are
+    deterministic, and every output is integer-exact so the DuckDB
+    window oracle matches bit-for-bit.  Partitioning assumption: one
+    key's history fits one worker (the keyed-window contract shared by
+    :func:`sliding_count` / :func:`sessionize`)."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        ts_us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        n = len(g)
+        delta = np.empty(n, np.int64)
+        delta[0] = -1
+        delta[1:] = ts_us[1:] - ts_us[:-1]
+        cents = np.floor(g[value_col].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            key_col: g[key_col].to_numpy(np.int64),
+            "seq_no": np.arange(1, n + 1, dtype=np.int64),
+            "delta_us": delta,
+            "run_cents": np.cumsum(cents)})
+
+    return (ds.select_columns([id_col, key_col, ts_col, value_col])
+              .groupby(key_col)
+              .map_groups(fold, batch_format="pandas"))

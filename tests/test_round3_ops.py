@@ -236,3 +236,28 @@ def test_grouped_percent_rank_ties_and_singletons():
     assert out.loc[3, "pct_rank"] == 1.0
     assert out.loc[4, "pct_rank"] == 0.0
     assert out.loc[5, "pct_rank"] == 0.0
+
+
+def test_grouped_sequence_features_order_and_gaps():
+    from kgforge.stages.windows import grouped_sequence_features
+    t0 = 1_700_000_000_000_000
+    tbl = pa.table({
+        "event_id": pa.array([3, 1, 2, 9], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+        "ts": pa.array([t0 + 10, t0, t0 + 10, t0 + 5],
+                       pa.timestamp("us")),
+        "value": pa.array([1.005, 2.0, 0.5, 3.0], pa.float64())})
+    out = (grouped_sequence_features(
+               ray.data.from_arrow(tbl), "user_id", "ts", "event_id",
+               "value").to_pandas().set_index("event_id").sort_index())
+    # user 7 order is (ts, id): 1 @ t0, 2 @ t0+10, 3 @ t0+10 (tie -> id)
+    assert out.loc[1, ["seq_no", "delta_us", "run_cents"]].tolist() == \
+        [1, -1, 200]
+    assert out.loc[2, ["seq_no", "delta_us", "run_cents"]].tolist() == \
+        [2, 10, 250]
+    # 1.005 is stored as 1.00499...; *100 = 100.499... -> 100 cents on
+    # BOTH sides (the cents trick mirrors the float, not decimal 1.005)
+    assert out.loc[3, ["seq_no", "delta_us", "run_cents"]].tolist() == \
+        [3, 0, 350]
+    assert out.loc[9, ["seq_no", "delta_us", "run_cents"]].tolist() == \
+        [1, -1, 300]
