@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG construction core (synthesized input_hint pages corpus)
         "kg_nodes": Q.kg_nodes,
         "kg_edges": Q.kg_edges,
+        "kg_degree": Q.kg_degree,
+        "kg_cooccurrence": Q.kg_cooccurrence,
+        "kg_pagerank": Q.kg_pagerank,
         "kg_mentions": Q.kg_mentions,
         "kg_ontology_detect": Q.kg_ontology_detect,
         "html_text_pages": Q.html_text_pages,
@@ -159,6 +162,35 @@ _PERSON_RE = r"(?:[A-Z][a-z]+|[A-Z]\.)(?: (?:[A-Z][a-z]+|[A-Z]\.))*"
 # exported pages (kgforge/stages/extract.py RuleBasedExtractor); seq
 # reproduces payload order: entities (sentence order, intra-sentence
 # sub-order) then relations (extract.py payload_to_mention_rows)
+# shared by the kg_edges gate row and the kg_degree wrapper oracle
+_KG_EDGES_SQL = """
+            WITH m AS (SELECT * FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=relation/*.parquet')),
+            nk AS (SELECT DISTINCT node_key FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')),
+            marks AS (
+              SELECT label, src_key, dst_key,
+                     any_value(edge_id) AS edge_id,
+                     any_value(src_id) AS src_id,
+                     any_value(dst_id) AS dst_id,
+                     count(*) AS n_mentions
+              FROM m WHERE attr = '' GROUP BY label, src_key, dst_key),
+            lww AS (
+              SELECT label, src_key, dst_key, vs AS role
+              FROM m WHERE attr = 'role'
+              QUALIFY row_number() OVER (
+                  PARTITION BY label, src_key, dst_key
+                  ORDER BY ts DESC, url_hash DESC, seq DESC,
+                           vjson DESC) = 1)
+            SELECT marks.edge_id, marks.label, marks.src_id, marks.dst_id,
+                   lww.role, marks.n_mentions
+            FROM marks
+            JOIN nk s ON marks.src_key = s.node_key
+            JOIN nk d ON marks.dst_key = d.node_key
+            LEFT JOIN lww USING (label, src_key, dst_key)
+            ORDER BY marks.edge_id
+        """
+
 _KG_MENTIONS_SQL = r"""
 WITH pages AS (
   SELECT url, warc_ts_us, text
@@ -361,34 +393,36 @@ def oracle_sql() -> dict[str, str]:
             FROM marks LEFT JOIN piv USING (node_key)
             ORDER BY node_key
         """,
-        "kg_edges": """
-            WITH m AS (SELECT * FROM read_parquet(
-                   '/tmp/kgforge_gate/mentions/kind=relation/*.parquet')),
-            nk AS (SELECT DISTINCT node_key FROM read_parquet(
-                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')),
-            marks AS (
-              SELECT label, src_key, dst_key,
-                     any_value(edge_id) AS edge_id,
-                     any_value(src_id) AS src_id,
-                     any_value(dst_id) AS dst_id,
-                     count(*) AS n_mentions
-              FROM m WHERE attr = '' GROUP BY label, src_key, dst_key),
-            lww AS (
-              SELECT label, src_key, dst_key, vs AS role
-              FROM m WHERE attr = 'role'
-              QUALIFY row_number() OVER (
-                  PARTITION BY label, src_key, dst_key
-                  ORDER BY ts DESC, url_hash DESC, seq DESC,
-                           vjson DESC) = 1)
-            SELECT marks.edge_id, marks.label, marks.src_id, marks.dst_id,
-                   lww.role, marks.n_mentions
-            FROM marks
-            JOIN nk s ON marks.src_key = s.node_key
-            JOIN nk d ON marks.dst_key = d.node_key
-            LEFT JOIN lww USING (label, src_key, dst_key)
-            ORDER BY marks.edge_id
-        """,
+        "kg_edges": _KG_EDGES_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
+        # graph analytics re-derive degrees / co-mention pairs from the
+        # same artifact: degree wraps the full edge oracle (so the
+        # semi-join + dedup are re-checked), co-occurrence self-joins
+        # distinct (page, entity) pairs
+        "kg_degree": f"""
+            WITH e AS ({_KG_EDGES_SQL}),
+            o AS (SELECT src_id AS node_id, count(*) AS od
+                  FROM e GROUP BY 1),
+            i AS (SELECT dst_id AS node_id, count(*) AS id_
+                  FROM e GROUP BY 1)
+            SELECT COALESCE(o.node_id, i.node_id) AS node_id,
+                   CAST(COALESCE(od, 0) AS BIGINT) AS out_degree,
+                   CAST(COALESCE(id_, 0) AS BIGINT) AS in_degree,
+                   CAST(COALESCE(od, 0) + COALESCE(id_, 0) AS BIGINT)
+                       AS degree
+            FROM o FULL OUTER JOIN i ON o.node_id = i.node_id
+        """,
+        "kg_cooccurrence": """
+            WITH pm AS (SELECT DISTINCT url_hash, node_key
+                        FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
+                        WHERE attr = ''),
+            p AS (SELECT a.node_key AS src_key, b.node_key AS dst_key
+                  FROM pm a JOIN pm b ON a.url_hash = b.url_hash
+                   AND a.node_key < b.node_key)
+            SELECT src_key, dst_key, CAST(count(*) AS BIGINT) AS n_pages
+            FROM p GROUP BY src_key, dst_key
+        """,
         # byte-identity invariant: the Ray side re-extracts text from
         # html and flags per-url identity; the oracle asserts every
         # exported page row matches with the same char count

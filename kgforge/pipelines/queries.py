@@ -1212,3 +1212,55 @@ def events_user_sequence(sf_dir: str):
                    columns=["event_id", "user_id", "ts", "value"])
     return grouped_sequence_features(events, "user_id", "ts",
                                      "event_id", "value")
+
+
+def _entity_page_mentions(sf_dir: str):
+    """(url_hash, node_key) per entity mention — the per-record
+    normalization (alias resolution, key rendering) is the same
+    pytest-pinned pure-function transform the gate artifact uses; the
+    distributed pair/degree machinery downstream is what the SQL
+    oracles independently re-derive."""
+    import pyarrow.compute as pc
+    from .kg_build import KGBuildConfig, extract_mentions
+    from .oracle_export import MentionOracleRows
+    corpus_dir, pages_path = pages_for_sf(sf_dir)
+    with open(f"{corpus_dir}/ontology.json") as fh:
+        ontology_json = fh.read()
+    with open(f"{corpus_dir}/aliases.json") as fh:
+        alias_map = json.load(fh)
+    pages = ray.data.read_parquet(pages_path)
+    mentions = extract_mentions(pages, KGBuildConfig(
+        ontology_json=ontology_json))
+    fn = MentionOracleRows(ontology_json, alias_map)
+
+    def markers(t):
+        t = fn(t)
+        mask = pc.and_(pc.equal(t.column("kind"), "entity"),
+                       pc.equal(t.column("attr"), ""))
+        return t.filter(mask).select(["url_hash", "node_key"])
+
+    return mentions.map_batches(markers, batch_format="pyarrow")
+
+
+def kg_cooccurrence(sf_dir: str):
+    """Entity co-mention pair weights over the page corpus (distinct
+    pages mentioning both entities; unordered pairs src_key < dst_key)."""
+    from ..stages.graph import entity_cooccurrence
+    _ensure_gate_artifact(sf_dir)
+    return entity_cooccurrence(_entity_page_mentions(sf_dir),
+                               "url_hash", "node_key")
+
+
+def kg_degree(sf_dir: str):
+    """Per-node in/out/total degree of the built KG edge table."""
+    from ..stages.graph import degree_table
+    _ensure_gate_artifact(sf_dir)
+    return degree_table(_kg_result(sf_dir).edges)
+
+
+def kg_pagerank(sf_dir: str):
+    """Fixed-iteration damped PageRank over the built KG (rows-only
+    gate: float ranks have no DuckDB oracle; exactness vs a dense
+    power-iteration reference is pinned in pytest)."""
+    from ..stages.graph import pagerank
+    return pagerank(_kg_result(sf_dir).edges, n_iter=20)

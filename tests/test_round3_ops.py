@@ -261,3 +261,58 @@ def test_grouped_sequence_features_order_and_gaps():
         [3, 0, 350]
     assert out.loc[9, ["seq_no", "delta_us", "run_cents"]].tolist() == \
         [1, -1, 300]
+
+
+def test_pagerank_matches_dense_power_iteration():
+    from kgforge.stages.graph import pagerank
+    rng = np.random.default_rng(3)
+    n_nodes, n_edges = 60, 400
+    src = rng.integers(0, n_nodes, n_edges).astype(np.uint64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.uint64)
+    edges = pa.table({"src_id": pa.array(src, pa.uint64()),
+                      "dst_id": pa.array(dst, pa.uint64())})
+    out = (pagerank(ray.data.from_arrow(edges), n_iter=15)
+           .sort_values("node_id").reset_index(drop=True))
+    # dense reference: same damping / dangling redistribution
+    nodes = np.sort(np.unique(np.concatenate([src, dst])))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, d in zip(src, dst):
+        A[idx[d], idx[s]] += 1.0
+    outdeg = A.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(15):
+        contrib = np.where(outdeg > 0, r / np.maximum(outdeg, 1), 0.0)
+        dangling = r[outdeg == 0].sum()
+        r = 0.15 / n + 0.85 * (A @ contrib + dangling / n)
+    assert np.array_equal(out["node_id"].to_numpy(np.uint64), nodes)
+    np.testing.assert_allclose(out["pagerank"].to_numpy(), r,
+                               rtol=1e-10, atol=1e-14)
+    assert abs(out["pagerank"].sum() - 1.0) < 1e-9
+
+
+def test_degree_table_endpoints_only_on_one_side():
+    from kgforge.stages.graph import degree_table
+    edges = pa.table({"src_id": pa.array([1, 1, 2], pa.uint64()),
+                      "dst_id": pa.array([2, 3, 3], pa.uint64())})
+    out = (degree_table(ray.data.from_arrow(edges)).to_pandas()
+           .set_index("node_id").sort_index())
+    assert out.loc[1, ["out_degree", "in_degree", "degree"]].tolist() \
+        == [2, 0, 2]
+    assert out.loc[2, ["out_degree", "in_degree", "degree"]].tolist() \
+        == [1, 1, 2]
+    assert out.loc[3, ["out_degree", "in_degree", "degree"]].tolist() \
+        == [0, 2, 2]
+
+
+def test_entity_cooccurrence_counts_distinct_pages():
+    from kgforge.stages.graph import entity_cooccurrence
+    # page 10: A,B,B,C ; page 11: A,B ; page 12: C alone
+    tbl = pa.table({
+        "page": pa.array([10, 10, 10, 10, 11, 11, 12], pa.uint64()),
+        "k": ["A", "B", "B", "C", "A", "B", "C"]})
+    out = (entity_cooccurrence(ray.data.from_arrow(tbl), "page", "k")
+           .to_pandas().set_index(["src_key", "dst_key"])["n_pages"]
+           .sort_index())
+    assert out.to_dict() == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
