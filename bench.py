@@ -40,7 +40,11 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "repetition_stats_docs", "decontaminate_docs",
              "doc_frequencies_docs", "dedup_keep_best",
              "events_attribution_range", "distinctive_term_docs",
-             "curate_training_docs"]
+             "curate_training_docs", "events_user_sequence",
+             "events_value_percent_rank",
+             # kg_* secondary times include the mention-extraction /
+             # KG-build prefix (fresh session each, no cached result)
+             "kg_cooccurrence", "kg_pagerank"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,

@@ -197,24 +197,42 @@ def grouped_percent_rank(ds: Dataset, group_col: str, value_col: str,
     """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY value)``:
     ``(min_rank - 1) / (n - 1)`` per group, 0.0 for singleton groups —
     both sides integer-exact before ONE IEEE division, so the DuckDB
-    oracle matches bit-for-bit.  One groupby shuffle; the in-group rank
-    is a vectorized pandas ``rank(method="min")``.  Partitioning
-    assumption: one group fits one worker (the keyed-window contract);
-    for a single giant group use the sort + ``split_at_indices`` rank
-    machinery of ``exact_quantiles`` instead."""
+    oracle matches bit-for-bit.  One coarse-bucket shuffle (groups
+    hash-bucketed, many groups per fold — never a per-group task); the
+    fold ranks ALL of its groups in one vectorized pandas
+    ``groupby().rank(method="min")``.  Partitioning assumption: one
+    group fits one worker (the keyed-window contract); for a single
+    giant group use the sort + ``split_at_indices`` rank machinery of
+    ``exact_quantiles`` instead."""
+    import zlib
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        vals = t.column(group_col).to_pylist()
+        b = [zlib.crc32(str(v).encode()) % 16 for v in vals]
+        return t.append_column("bucket", pa.array(b, pa.int64()))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        ranks = g[value_col].rank(method="min").to_numpy(np.int64)
+        if len(g) == 0:
+            # typed empty frame: pandas groupby on empty drops columns,
+            # which degrades the downstream schema union
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                group_col: g[group_col] if group_col in g else
+                pd.Series([], dtype=object),
+                "pct_rank": pd.Series([], dtype=np.float64)})
+        grp = g.groupby(group_col)[value_col]
+        ranks = grp.rank(method="min").to_numpy(np.int64)
+        n = grp.transform("size").to_numpy(np.int64)
         pct = ((ranks - 1).astype(np.float64)
-               / np.float64(max(n - 1, 1)))
+               / np.maximum(n - 1, 1).astype(np.float64))
         return pd.DataFrame({
             id_col: g[id_col].to_numpy(np.int64),
             group_col: g[group_col].to_numpy(),
             "pct_rank": pct})
 
     return (ds.select_columns([id_col, group_col, value_col])
-              .groupby(group_col)
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("bucket")
               .map_groups(fold, batch_format="pandas"))
 
 
@@ -225,29 +243,55 @@ def grouped_sequence_features(ds: Dataset, key_col: str, ts_col: str,
     ``seq_no`` (SQL ``row_number()``), microsecond gap to the previous
     event (``delta_us``, -1 for the first event — SQL
     ``COALESCE(epoch_us(ts) - lag(...), -1)``), and the running
-    integer-cents sum of ``value_col`` (``run_cents``).  One groupby
-    shuffle; inside each key the order is (ts, id) so ties are
-    deterministic, and every output is integer-exact so the DuckDB
-    window oracle matches bit-for-bit.  Partitioning assumption: one
-    key's history fits one worker (the keyed-window contract shared by
-    :func:`sliding_count` / :func:`sessionize`)."""
+    integer-cents sum of ``value_col`` (``run_cents``).  One
+    coarse-bucket shuffle (keys hash-bucketed, many keys per fold —
+    the per-tiny-group trap avoided); the fold sorts its bucket ONCE by
+    (key, ts, id) and derives all three features with key-boundary
+    masks, vectorized across every key at once.  Outputs are
+    integer-exact so the DuckDB window oracle matches bit-for-bit.
+    Partitioning assumption: one key's history fits one worker (the
+    keyed-window contract shared by :func:`sliding_count` /
+    :func:`sessionize`)."""
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        if len(g) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                key_col: pd.Series([], dtype=np.int64),
+                "seq_no": pd.Series([], dtype=np.int64),
+                "delta_us": pd.Series([], dtype=np.int64),
+                "run_cents": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
         ts_us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        key = g[key_col].to_numpy(np.int64)
         n = len(g)
+        new_key = np.empty(n, np.bool_)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new_key)
+        # seq_no: position minus the start of this key's run, 1-based
+        run_start = np.maximum.accumulate(
+            np.where(new_key, np.arange(n), 0))
+        seq = np.arange(n, dtype=np.int64) - run_start + 1
         delta = np.empty(n, np.int64)
         delta[0] = -1
         delta[1:] = ts_us[1:] - ts_us[:-1]
+        delta[starts] = -1
         cents = np.floor(g[value_col].to_numpy(np.float64) * 100
                          + 0.5).astype(np.int64)
+        csum = np.cumsum(cents)
+        # subtract the cumsum just before each key's first row
+        base = np.where(starts > 0, csum[starts - 1], 0)
+        run = csum - np.repeat(base, np.diff(
+            np.append(starts, n)))
         return pd.DataFrame({
             id_col: g[id_col].to_numpy(np.int64),
-            key_col: g[key_col].to_numpy(np.int64),
-            "seq_no": np.arange(1, n + 1, dtype=np.int64),
+            key_col: key,
+            "seq_no": seq,
             "delta_us": delta,
-            "run_cents": np.cumsum(cents)})
+            "run_cents": run})
 
-    return (ds.select_columns([id_col, key_col, ts_col, value_col])
-              .groupby(key_col)
-              .map_groups(fold, batch_format="pandas"))
+    return (_bucketed(ds.select_columns(
+                [id_col, key_col, ts_col, value_col]), key_col)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas"))
