@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree": Q.kg_degree,
         "kg_cooccurrence": Q.kg_cooccurrence,
         "kg_pagerank": Q.kg_pagerank,
+        "kg_components": Q.kg_components,
         "kg_mentions": Q.kg_mentions,
         "kg_ontology_detect": Q.kg_ontology_detect,
         "html_text_pages": Q.html_text_pages,
@@ -411,6 +412,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(od, 0) + COALESCE(id_, 0) AS BIGINT)
                        AS degree
             FROM o FULL OUTER JOIN i ON o.node_id = i.node_id
+        """,
+        # undirected min-reachable-id components over the (re-derived)
+        # edge oracle; the recursive reach table is the same pattern as
+        # dedup_cluster_docs
+        "kg_components": f"""
+            WITH RECURSIVE e0 AS ({_KG_EDGES_SQL}),
+            ed AS (SELECT src_id AS u, dst_id AS v FROM e0
+                   WHERE src_id <> dst_id
+                   UNION SELECT dst_id, src_id FROM e0
+                   WHERE src_id <> dst_id),
+            nodes AS (SELECT src_id AS node_id FROM e0
+                      UNION SELECT dst_id FROM e0),
+            reach AS (
+              SELECT node_id, node_id AS r FROM nodes
+              UNION
+              SELECT reach.node_id, e.v
+              FROM reach JOIN ed e ON reach.r = e.u)
+            SELECT node_id, min(r) AS component_id
+            FROM reach GROUP BY node_id
         """,
         "kg_cooccurrence": """
             WITH pm AS (SELECT DISTINCT url_hash, node_key

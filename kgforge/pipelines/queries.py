@@ -1264,3 +1264,11 @@ def kg_pagerank(sf_dir: str):
     power-iteration reference is pinned in pytest)."""
     from ..stages.graph import pagerank
     return pagerank(_kg_result(sf_dir).edges, n_iter=20)
+
+
+def kg_components(sf_dir: str):
+    """Undirected connected components of the built KG (component_id =
+    min reachable node id) — distributed min-label propagation."""
+    from ..stages.graph import connected_components
+    _ensure_gate_artifact(sf_dir)
+    return connected_components(_kg_result(sf_dir).edges)

@@ -180,3 +180,78 @@ def pagerank(edges: Dataset, src_col: str = "src_id",
                 + damping * (incoming + dangling / n))
 
     return pd.DataFrame({"node_id": nodes, "pagerank": rank})
+
+
+def connected_components(edges: Dataset, src_col: str = "src_id",
+                         dst_col: str = "dst_id",
+                         max_sweeps: int = 64) -> pd.DataFrame:
+    """Undirected connected components by distributed min-label
+    propagation: ``component_id`` = the minimum node id reachable from
+    each node.  Returns a node-sized pandas DataFrame
+    (node_id, component_id) over the edge-connected node universe
+    (isolated nodes never appear in an edge list).
+
+    Unlike the driver union-find in ``dedup.dedup_clusters`` (bounded
+    by PAIR count), the edge list here stays distributed: per sweep,
+    each edge block emits sparse (node_pos, min_label) partials
+    (vectorized two-sided minimum + in-block reduce) and only
+    node-sized vectors reach the driver, where labels are
+    path-compressed (label := label-of-label until stable) so sweeps
+    converge in O(log n), not graph diameter."""
+    deg = degree_table(edges, src_col, dst_col).to_pandas()
+    nodes = np.sort(deg["node_id"].to_numpy(np.uint64))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({
+            "node_id": pd.Series([], dtype=np.uint64),
+            "component_id": pd.Series([], dtype=np.uint64)})
+    nodes_ref = ray.put(nodes)
+
+    def index_edges(batch: pa.Table) -> pa.Table:
+        nds = ray.get(nodes_ref)
+        s = np.searchsorted(nds, batch.column(src_col)
+                            .to_numpy(zero_copy_only=False))
+        d = np.searchsorted(nds, batch.column(dst_col)
+                            .to_numpy(zero_copy_only=False))
+        keep = s != d
+        return pa.table({"si": pa.array(s[keep], pa.int64()),
+                         "di": pa.array(d[keep], pa.int64())})
+
+    indexed = (edges.select_columns([src_col, dst_col])
+               .map_batches(index_edges, batch_format="pyarrow")
+               .materialize())
+
+    labels = nodes.copy()                      # label = own id initially
+    for _ in range(max_sweeps):
+        lab_ref = ray.put(labels)
+
+        def sweep(batch: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            si = batch.column("si").to_numpy()
+            di = batch.column("di").to_numpy()
+            m = np.minimum(lab[si], lab[di])
+            idx = np.concatenate([si, di])
+            cand = np.concatenate([m, m])
+            df = pd.DataFrame({"i": idx, "m": cand})
+            g = df.groupby("i", as_index=False)["m"].min()
+            return pa.table({"i": pa.array(g["i"], pa.int64()),
+                             "m": pa.array(g["m"].to_numpy(np.uint64),
+                                           pa.uint64())})
+
+        parts = indexed.map_batches(sweep,
+                                    batch_format="pyarrow").to_pandas()
+        new = labels.copy()
+        np.minimum.at(new, parts["i"].to_numpy(np.int64),
+                      parts["m"].to_numpy(np.uint64))
+        # driver path compression: labels are node ids, so chase them
+        # through the label vector until fixed (O(log n) chases)
+        while True:
+            chased = new[np.searchsorted(nodes, new)]
+            if np.array_equal(chased, new):
+                break
+            new = np.minimum(new, chased)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+
+    return pd.DataFrame({"node_id": nodes, "component_id": labels})

@@ -316,3 +316,18 @@ def test_entity_cooccurrence_counts_distinct_pages():
            .to_pandas().set_index(["src_key", "dst_key"])["n_pages"]
            .sort_index())
     assert out.to_dict() == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_connected_components_chain_and_islands():
+    from kgforge.stages.graph import connected_components
+    # long chain 0-1-2-...-9 (stresses propagation + compression),
+    # a triangle {20,21,22}, a self-loop island pair {30,31}
+    src = list(range(9)) + [20, 21, 22, 30, 30]
+    dst = list(range(1, 10)) + [21, 22, 20, 30, 31]
+    edges = pa.table({"src_id": pa.array(src, pa.uint64()),
+                      "dst_id": pa.array(dst, pa.uint64())})
+    out = (connected_components(ray.data.from_arrow(edges))
+           .set_index("node_id")["component_id"])
+    assert all(out.loc[i] == 0 for i in range(10))
+    assert all(out.loc[i] == 20 for i in (20, 21, 22))
+    assert out.loc[30] == 30 and out.loc[31] == 30
