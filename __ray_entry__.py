@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_term_docs": Q.distinctive_term_docs,
         "events_value_percent_rank": Q.events_value_percent_rank,
         "events_user_sequence": Q.events_user_sequence,
+        "customer_events_left_join": Q.customer_events_left_join,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
         "multimodal_audio_energy": Q.multimodal_audio_energy,
@@ -512,6 +513,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT DISTINCT c_custkey FROM customer) c
               ON e.user_id = c.c_custkey
             GROUP BY e.user_id ORDER BY e.user_id
+        """,
+        "customer_events_left_join": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   COALESCE(e.n_events, 0) AS n_events,
+                   COALESCE(e.sum_cents, 0) AS sum_cents
+            FROM customer c
+            LEFT JOIN (SELECT user_id, count(*) AS n_events,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS sum_cents
+                       FROM events GROUP BY user_id) e
+              ON e.user_id = c.c_custkey
+            ORDER BY c.c_custkey
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id,

@@ -1272,3 +1272,38 @@ def kg_components(sf_dir: str):
     from ..stages.graph import connected_components
     _ensure_gate_artifact(sf_dir)
     return connected_components(_kg_result(sf_dir).edges)
+
+
+def customer_events_left_join(sf_dir: str):
+    """Customers LEFT OUTER JOIN their per-user event rollup: every
+    customer survives; the ~90% without events get zero-filled activity
+    columns.  Exercises the general size-gated 1:N left join
+    (stages/joins.left_outer_join) on its shuffle path — the broadcast
+    path is parity-tested in tests/test_round3_ops.py."""
+    from ..stages.joins import left_outer_join
+    customers = _read(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    events = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch.column("user_id"),
+                         "value_cents": _cents(batch.column("value"))})
+
+    agg = (events.map_batches(prep, batch_format="pyarrow")
+                 .groupby("user_id")
+                 .aggregate(Count(alias_name="n_events"),
+                            Sum("value_cents", alias_name="sum_cents")))
+    joined = left_outer_join(customers, agg, "c_custkey", "user_id",
+                             ["n_events", "sum_cents"],
+                             strategy="join", suffix="")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "n_events": pc.fill_null(t.column("n_events"), 0)
+                          .cast(pa.int64()),
+            "sum_cents": pc.fill_null(t.column("sum_cents"), 0)
+                           .cast(pa.int64())})
+
+    return joined.map_batches(fill, batch_format="pyarrow")

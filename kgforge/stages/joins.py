@@ -17,6 +17,7 @@ Two exact strategies, picked by node-table size:
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -243,3 +244,117 @@ def filter_kind(ds: Dataset, kind: str) -> Dataset:
     return ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"), kind)),
         batch_format="pyarrow")
+
+
+def left_outer_join(left: Dataset, right: Dataset, left_col: str,
+                    right_col: str, right_vals: list[str],
+                    strategy: str = "auto", num_partitions: int = 32,
+                    broadcast_limit: int = 2_000_000,
+                    suffix: str = "_r") -> Dataset:
+    """General 1:N LEFT OUTER equi-join: every left row survives;
+    matching right rows attach their ``right_vals`` columns (suffixed),
+    duplicated right keys duplicate left rows (SQL semantics), misses
+    fill null.  Size-gated like the semi-join family:
+
+    - ``broadcast``: the (key, vals) right table is shipped once via
+      ``ray.put`` and each left batch does one vectorized pandas merge
+      — no shuffle; for dimension-table sides up to ~10^6 rows.
+    - ``join``: the same tag-union single sort-shuffle as
+      :func:`_semi_join_shuffle` (Dataset.join avoided — see that
+      docstring), with a per-bucket pandas left merge."""
+    out_names = [v + suffix for v in right_vals]
+    for n in out_names:
+        if n in left.schema().names:
+            raise ValueError(f"suffixed column {n!r} collides with left")
+    if strategy == "auto":
+        n = right.count()
+        strategy = "broadcast" if n <= broadcast_limit else "join"
+
+    lschema = left.schema()
+    ltypes = {n: arrow_type_of(t)
+              for n, t in zip(lschema.names, lschema.types)}
+    key_type = ltypes[left_col]
+    names = list(lschema.names)
+    rschema = right.schema()
+    rtypes = {n: arrow_type_of(t)
+              for n, t in zip(rschema.names, rschema.types)}
+    final_cols = names + out_names
+
+    def _typed_table(df: pd.DataFrame) -> pa.Table:
+        # pandas left-merge misses surface as NaN (numeric) or all-None
+        # object columns; rebuild every column at its declared arrow
+        # type so block schemas are identical whether a bucket/batch had
+        # matches, partial matches, or none at all.
+        cols = {}
+        for n in names:
+            cols[n] = pa.Array.from_pandas(df[n], type=ltypes[n])
+        for v, o in zip(right_vals, out_names):
+            arr = pa.Array.from_pandas(df[o])
+            cols[o] = (pa.nulls(len(arr), rtypes[v])
+                       if pa.types.is_null(arr.type)
+                       else arr.cast(rtypes[v], safe=False))
+        return pa.table(cols)
+
+    if strategy == "broadcast":
+        parts = []
+        for b in right.select_columns([right_col] + right_vals) \
+                      .iter_batches(batch_size=65536,
+                                    batch_format="pandas"):
+            parts.append(b)
+        rdf = (pd.concat(parts, ignore_index=True) if parts
+               else pd.DataFrame(columns=[right_col] + right_vals))
+        rdf = rdf.rename(columns={right_col: "_jk",
+                                  **{v: v + suffix for v in right_vals}})
+        ref = ray.put(rdf)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            r = _broadcast_cache(ref)
+            df = batch.to_pandas().merge(
+                r, how="left", left_on=left_col, right_on="_jk")
+            return _typed_table(df)
+
+        return left.map_batches(attach, batch_format="pyarrow")
+
+    if strategy == "join":
+
+        def left_rows(t: pa.Table) -> pa.Table:
+            for v in right_vals:
+                t = t.append_column(v + suffix,
+                                    pa.nulls(t.num_rows, rtypes[v]))
+            t = t.append_column("_is_key",
+                                pa.array([False] * t.num_rows))
+            k = t.column(left_col)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            return t.append_column("_bucket",
+                                   key_bucket(k, num_partitions))
+
+        def right_rows(t: pa.Table) -> pa.Table:
+            k = t.column(right_col).cast(key_type)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            cols = {n: (k if n == left_col
+                        else pa.nulls(len(k), ltypes[n]))
+                    for n in names}
+            for v in right_vals:
+                cols[v + suffix] = t.column(v)
+            out = pa.table(cols)
+            out = out.append_column("_is_key",
+                                    pa.array([True] * len(k)))
+            return out.append_column("_bucket", key_bucket(k, num_partitions))
+
+        tagged = (left.map_batches(left_rows, batch_format="pyarrow")
+                  .union(right.select_columns([right_col] + right_vals)
+                         .map_batches(right_rows,
+                                      batch_format="pyarrow")))
+
+        def merge_bucket(g: pd.DataFrame) -> pa.Table:
+            l = g.loc[~g["_is_key"], names]
+            r = g.loc[g["_is_key"], [left_col] + out_names]
+            return _typed_table(
+                l.merge(r, how="left", on=left_col)[final_cols])
+
+        return tagged.groupby("_bucket").map_groups(
+            merge_bucket, batch_format="pandas")
+
+    raise ValueError(f"unknown left-join strategy {strategy!r}")

@@ -331,3 +331,40 @@ def test_connected_components_chain_and_islands():
     assert all(out.loc[i] == 0 for i in range(10))
     assert all(out.loc[i] == 20 for i in (20, 21, 22))
     assert out.loc[30] == 30 and out.loc[31] == 30
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+def test_left_outer_join_semantics(strategy):
+    from kgforge.stages.joins import left_outer_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d"], pa.string())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 4], pa.int64()),
+        "w": pa.array([10, 20, 40], pa.int64()),
+        "s": pa.array(["x", "y", "z"], pa.string())}))
+    out = (left_outer_join(left, right, "k", "rk", ["w", "s"],
+                           strategy=strategy)
+           .to_pandas().sort_values(["k", "w_r"]).reset_index(drop=True))
+    # duplicate right key 2 duplicates the left row (SQL 1:N);
+    # keys 1 and 3 survive with nulls
+    assert list(out["k"]) == [1, 2, 2, 3, 4]
+    assert out.loc[out["k"] == 1, "w_r"].isna().all()
+    assert out.loc[out["k"] == 3, "s_r"].isna().all()
+    assert sorted(out.loc[out["k"] == 2, "w_r"]) == [10, 20]
+    assert list(out.loc[out["k"] == 4, "s_r"]) == ["z"]
+
+
+def test_left_outer_join_empty_right_and_collision():
+    from kgforge.stages.joins import left_outer_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "v": pa.array(["a", "b"], pa.string())}))
+    empty = ray.data.from_arrow(pa.table({
+        "rk": pa.array([], pa.int64()),
+        "w": pa.array([], pa.int64())}))
+    out = left_outer_join(left, empty, "k", "rk", ["w"],
+                          strategy="join").to_pandas()
+    assert len(out) == 2 and out["w_r"].isna().all()
+    with pytest.raises(ValueError, match="collides"):
+        left_outer_join(left, empty, "k", "rk", ["v"], suffix="")
