@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup suite
         "dedup_exact_docs": Q.dedup_exact_docs,
         "dedup_exact_hash_docs": Q.dedup_exact_hash_docs,
+        "line_dedup_docs": Q.line_dedup_docs,
         "dedup_minhash_docs": Q.dedup_minhash_docs,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
         "dedup_ngram_docs": Q.dedup_ngram_docs,
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percent_rank": Q.events_value_percent_rank,
         "events_user_sequence": Q.events_user_sequence,
         "customer_events_left_join": Q.customer_events_left_join,
+        "events_value_ntile": Q.events_value_ntile,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
         "multimodal_audio_energy": Q.multimodal_audio_energy,
@@ -540,6 +542,34 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS text_hash
             FROM documents GROUP BY text ORDER BY doc_id
         """,
+        # corpus-wide line dedup: DuckDB zip-unnests (line, ordinal),
+        # counts lines globally (len >= 1; empty lines never banned),
+        # and rebuilds each doc's text order-preserving via
+        # string_agg(... ORDER BY ord) — NULLs (removed lines) skipped
+        "line_dedup_docs": """
+            WITH split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM documents),
+            lines AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     generate_subscripts(ls, 1) AS ord
+              FROM split),
+            banned AS (
+              SELECT line FROM lines WHERE length(line) >= 1
+              GROUP BY line HAVING count(*) > 1),
+            flagged AS (
+              SELECT l.doc_id, l.line, l.ord,
+                     (b.line IS NOT NULL) AS bad
+              FROM lines l LEFT JOIN banned b ON l.line = b.line)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT bad THEN line END,
+                                       chr(10) ORDER BY ord), '') AS text,
+                   CAST(count(*) FILTER (WHERE NOT bad) AS BIGINT)
+                       AS n_kept,
+                   CAST(count(*) FILTER (WHERE bad) AS BIGINT)
+                       AS n_removed
+            FROM flagged GROUP BY doc_id ORDER BY doc_id
+        """,
         "ann_topk_cosine": _ANN_TOPK_SQL,
         # IVF runs in its exact configuration for the gate (nprobe =
         # n_centroids probes every bucket), so the brute-force oracle
@@ -806,6 +836,15 @@ def oracle_sql() -> dict[str, str]:
                    percent_rank() OVER (
                        PARTITION BY event_type ORDER BY value
                    ) AS pct_rank
+            FROM events
+        """,
+        # ntile is tie-order-dependent; the (value, event_id) ordering
+        # is unique so the assignment is deterministic and integer-exact
+        "events_value_ntile": """
+            SELECT event_id, event_type,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                   ) AS BIGINT) AS tile
             FROM events
         """,
         # three window functions in one keyed pass; all integer-exact

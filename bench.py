@@ -41,7 +41,7 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "doc_frequencies_docs", "dedup_keep_best",
              "events_attribution_range", "distinctive_term_docs",
              "curate_training_docs", "events_user_sequence",
-             "events_value_percent_rank",
+             "events_value_percent_rank", "customer_events_left_join",
              # kg_* secondary times include the mention-extraction /
              # KG-build prefix (fresh session each, no cached result)
              "kg_cooccurrence", "kg_pagerank"]

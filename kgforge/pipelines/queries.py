@@ -1307,3 +1307,22 @@ def customer_events_left_join(sf_dir: str):
                            .cast(pa.int64())})
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def events_value_ntile(sf_dir: str):
+    """ntile(4) of each event's value within its event type (value +
+    event_id deterministic ordering)."""
+    from ..stages.windows import grouped_ntile
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "value"])
+    return grouped_ntile(events, "event_type", "value", "event_id", 4)
+
+
+def line_dedup_docs(sf_dir: str):
+    """CCNet-style corpus-wide line dedup over documents: strip every
+    line that appears more than once across the corpus (web
+    boilerplate removal).  SQL-oracled: split/unnest + global count +
+    order-preserving string_agg rebuild."""
+    from ..stages.dedup import line_dedup
+    return line_dedup(_read(sf_dir, "documents",
+                            columns=["doc_id", "text"]))

@@ -871,3 +871,94 @@ def dedup_clusters(docs: Dataset, pairs: Dataset,
         return pa.table(cols)
 
     return docs.map_batches(tag, batch_format="pyarrow")
+
+
+def line_dedup(docs: Dataset, id_col: str = "doc_id",
+               text_col: str = "text", max_dup: int = 1,
+               min_len: int = 1, n_buckets: int = 64) -> Dataset:
+    """CCNet-style corpus-wide LINE deduplication: split every document
+    on ``\\n``, count each distinct line's occurrences across the whole
+    corpus, and strip every occurrence of any line appearing more than
+    ``max_dup`` times (web boilerplate: nav bars, footers, repeated
+    disclaimers).  Lines shorter than ``min_len`` chars are never
+    counted or removed.  Returns ``(id, text, n_kept, n_removed)`` with
+    per-document line order preserved.
+
+    Scale shape: document text NEVER shuffles.  Stage A ships per-batch
+    ``(distinct line, partial count)`` pairs (boilerplate collapses to
+    one row per batch) through one coarse-bucket fold; the banned set
+    (lines with global count > max_dup) is collected to the driver and
+    broadcast once via ``ray.put`` — bounded by the number of DISTINCT
+    boilerplate lines, not corpus size.  Stage B is a fully vectorized
+    arrow pass per batch: split, ``pc.is_in`` against the broadcast
+    array, regroup by ``list_parent_indices``.  For a corpus whose
+    banned set outgrows driver memory, the documented alternative is a
+    (line-hash-bucket) semi-join of exploded lines — same two-stage
+    macro shape, no broadcast."""
+    from .joins import _broadcast_value_array, key_bucket
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(t.column(text_col), "\n"))
+        flat = flat.filter(
+            pc.greater_equal(pc.utf8_length(flat), min_len))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return pa.table({"line": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        vc = flat.value_counts()
+        lines = vc.field("values")
+        out = pa.table({"line": lines,
+                        "n": vc.field("counts").cast(pa.int64())})
+        return out.append_column("bucket", key_bucket(lines, n_buckets))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"line": pd.Series([], dtype=object)})
+        tot = g.groupby("line", sort=False)["n"].sum()
+        banned = tot[tot > max_dup]
+        return pd.DataFrame({"line": banned.index.to_numpy(object)})
+
+    banned = (docs.select_columns([text_col])
+              .map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pandas")
+              .to_pandas())
+    ref = ray.put(banned["line"].tolist()
+                  if len(banned) else [])
+
+    def strip(t: pa.Table) -> pa.Table:
+        banned_arr = _broadcast_value_array(ref)
+        lst = pc.split_pattern(t.column(text_col), "\n")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        parents = pc.list_parent_indices(lst).to_numpy(
+            zero_copy_only=False)
+        n_docs = t.num_rows
+        if len(banned_arr):
+            bad = pc.and_(
+                pc.is_in(flat, value_set=banned_arr),
+                pc.greater_equal(pc.utf8_length(flat), min_len))
+            bad_np = bad.to_numpy(zero_copy_only=False)
+        else:
+            bad_np = np.zeros(len(flat), dtype=bool)
+        keep = ~bad_np
+        total_per_doc = np.bincount(parents, minlength=n_docs)
+        kept_per_doc = np.bincount(parents[keep], minlength=n_docs)
+        kept_lines = pd.Series(
+            np.asarray(flat.to_numpy(zero_copy_only=False))[keep])
+        joined = kept_lines.groupby(parents[keep]).agg("\n".join)
+        texts = np.full(n_docs, "", dtype=object)
+        texts[joined.index.to_numpy(np.int64)] = joined.to_numpy(object)
+        return pa.table({
+            id_col: t.column(id_col),
+            text_col: pa.array(texts, pa.string()),
+            "n_kept": pa.array(kept_per_doc.astype(np.int64), pa.int64()),
+            "n_removed": pa.array(
+                (total_per_doc - kept_per_doc).astype(np.int64),
+                pa.int64())})
+
+    return docs.map_batches(strip, batch_format="pyarrow")

@@ -295,3 +295,62 @@ def grouped_sequence_features(ds: Dataset, key_col: str, ts_col: str,
                 [id_col, key_col, ts_col, value_col]), key_col)
             .groupby("bucket")
             .map_groups(fold, batch_format="pandas"))
+
+
+def grouped_ntile(ds: Dataset, group_col: str, value_col: str,
+                  id_col: str, n_tiles: int) -> Dataset:
+    """SQL ``ntile(k) OVER (PARTITION BY group ORDER BY value, id)``:
+    rows of each group split into ``k`` ordered buckets, the first
+    ``n % k`` buckets one row larger — the id tie-break makes the
+    assignment deterministic, so the DuckDB oracle matches exactly
+    (bare ``ORDER BY value`` ntile is tie-order-dependent and
+    un-oracleable).  Same dataflow as :func:`grouped_percent_rank`:
+    one coarse-bucket shuffle, the fold ranks ALL of its groups in one
+    vectorized pandas sort + per-group positional arithmetic.
+    Partitioning assumption: one group fits one worker."""
+    import zlib
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        vals = t.column(group_col).to_pylist()
+        b = [zlib.crc32(str(v).encode()) % 16 for v in vals]
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                group_col: g[group_col] if group_col in g else
+                pd.Series([], dtype=object),
+                "tile": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([group_col, value_col, id_col],
+                          kind="mergesort")
+        # 0-based position within group + group size, both vectorized
+        sizes = g.groupby(group_col, sort=False)[id_col] \
+                 .transform("size").to_numpy(np.int64)
+        pos = np.arange(len(g), dtype=np.int64)
+        starts = np.zeros(len(g), dtype=np.int64)
+        grp_change = np.empty(len(g), dtype=bool)
+        keys = g[group_col].to_numpy()
+        grp_change[0] = True
+        grp_change[1:] = keys[1:] != keys[:-1]
+        starts[grp_change] = pos[grp_change]
+        starts = np.maximum.accumulate(starts)
+        i = pos - starts                       # 0-based rank in group
+        q, r = sizes // n_tiles, sizes % n_tiles
+        big = (q + 1) * r                      # rows in the larger tiles
+        in_big = i < big
+        tile = np.where(
+            in_big,
+            i // np.maximum(q + 1, 1),
+            r + (i - big) // np.maximum(q, 1)) + 1
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            group_col: keys,
+            "tile": tile.astype(np.int64)})
+
+    return (ds.select_columns([id_col, group_col, value_col])
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pandas"))

@@ -368,3 +368,41 @@ def test_left_outer_join_empty_right_and_collision():
     assert len(out) == 2 and out["w_r"].isna().all()
     with pytest.raises(ValueError, match="collides"):
         left_outer_join(left, empty, "k", "rk", ["v"], suffix="")
+
+
+def test_grouped_ntile_uneven_and_singleton():
+    from kgforge.stages.windows import grouped_ntile
+    tbl = pa.table({
+        "g": ["a"] * 7 + ["b"] * 3 + ["c"],
+        "v": pa.array([5, 1, 3, 3, 2, 9, 7, 4, 4, 1, 2], pa.float64()),
+        "i": pa.array(range(11), pa.int64())})
+    out = (grouped_ntile(ray.data.from_arrow(tbl), "g", "v", "i", 4)
+           .to_pandas().set_index("i")["tile"])
+    # group a (7 rows, k=4): tile sizes 2,2,2,1 over value order
+    # values sorted: 1(i1),2(i4),3(i2),3(i3),5(i0),7(i6),9(i5)
+    assert list(out.loc[[1, 4, 2, 3, 0, 6, 5]]) == [1, 1, 2, 2, 3, 3, 4]
+    # group b: ties on v=4 broken by id
+    assert list(out.loc[[9, 7, 8]]) == [1, 2, 3]
+    # singleton group
+    assert out.loc[10] == 1
+
+
+def test_line_dedup_boilerplate_stripped():
+    from kgforge.stages.dedup import line_dedup
+    nav = "HOME | ABOUT | CONTACT"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [f"{nav}\nunique one\n\nfooter",
+                 f"{nav}\nunique two\nfooter",
+                 "all original\nlines here",
+                 ""]}))
+    out = (line_dedup(docs).to_pandas()
+           .set_index("doc_id").sort_index())
+    # nav + footer appear twice -> banned; empty line never banned
+    assert out.loc[1, "text"] == "unique one\n"
+    assert out.loc[1, "n_kept"] == 2 and out.loc[1, "n_removed"] == 2
+    assert out.loc[2, "text"] == "unique two"
+    assert out.loc[3, "text"] == "all original\nlines here"
+    assert out.loc[3, "n_removed"] == 0
+    # empty doc splits to one empty line, kept
+    assert out.loc[4, "text"] == "" and out.loc[4, "n_kept"] == 1
