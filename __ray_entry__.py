@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence": Q.kg_cooccurrence,
         "kg_pagerank": Q.kg_pagerank,
         "kg_components": Q.kg_components,
+        "kg_khop": Q.kg_khop,
         "kg_mentions": Q.kg_mentions,
         "kg_ontology_detect": Q.kg_ontology_detect,
         "html_text_pages": Q.html_text_pages,
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": Q.dedup_exact_docs,
         "dedup_exact_hash_docs": Q.dedup_exact_hash_docs,
         "line_dedup_docs": Q.line_dedup_docs,
+        "docs_shuffle_shards": Q.docs_shuffle_shards,
         "dedup_minhash_docs": Q.dedup_minhash_docs,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
         "dedup_ngram_docs": Q.dedup_ngram_docs,
@@ -435,6 +437,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT node_id, min(r) AS component_id
             FROM reach GROUP BY node_id
         """,
+        # 2-hop BFS from the 5 smallest node ids; UNION ALL enumerates
+        # every path of length <= 2, min(h) collapses to BFS depth
+        "kg_khop": f"""
+            WITH RECURSIVE e0 AS ({_KG_EDGES_SQL}),
+            ed AS (SELECT src_id AS u, dst_id AS v FROM e0
+                   WHERE src_id <> dst_id
+                   UNION SELECT dst_id, src_id FROM e0
+                   WHERE src_id <> dst_id),
+            nodes AS (SELECT src_id AS node_id FROM e0
+                      UNION SELECT dst_id FROM e0),
+            seeds AS (SELECT DISTINCT node_id FROM nodes
+                      ORDER BY node_id LIMIT 5),
+            bfs AS (
+              SELECT node_id, 0 AS h FROM seeds
+              UNION ALL
+              SELECT e.v, bfs.h + 1
+              FROM bfs JOIN ed e ON bfs.node_id = e.u
+              WHERE bfs.h < 2)
+            SELECT node_id, CAST(min(h) AS BIGINT) AS hops
+            FROM bfs GROUP BY node_id
+        """,
         "kg_cooccurrence": """
             WITH pm AS (SELECT DISTINCT url_hash, node_key
                         FROM read_parquet(
@@ -569,6 +592,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE bad) AS BIGINT)
                        AS n_removed
             FROM flagged GROUP BY doc_id ORDER BY doc_id
+        """,
+        # deterministic shuffle: md5 shuffle key, shard = two leading
+        # hex chars mod 8 (strpos arithmetic), dense per-shard position
+        "docs_shuffle_shards": """
+            WITH kk AS (
+              SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+              FROM documents),
+            s AS (
+              SELECT doc_id, shuffle_key,
+                     CAST(((strpos('0123456789abcdef',
+                                   substr(shuffle_key, 1, 1)) - 1) * 16
+                           + strpos('0123456789abcdef',
+                                    substr(shuffle_key, 2, 1)) - 1) % 8
+                          AS BIGINT) AS shard
+              FROM kk)
+            SELECT doc_id, shuffle_key, shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard
+                       ORDER BY shuffle_key, doc_id) - 1
+                     AS BIGINT) AS pos
+            FROM s
         """,
         "ann_topk_cosine": _ANN_TOPK_SQL,
         # IVF runs in its exact configuration for the gate (nprobe =

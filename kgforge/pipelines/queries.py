@@ -1326,3 +1326,21 @@ def line_dedup_docs(sf_dir: str):
     from ..stages.dedup import line_dedup
     return line_dedup(_read(sf_dir, "documents",
                             columns=["doc_id", "text"]))
+
+
+def docs_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle + shard assignment over documents
+    (training-export primitive): md5 shuffle key, hex-prefix shard,
+    dense per-shard position.  Fully SQL-oracled (md5 + strpos hex
+    arithmetic + row_number per shard)."""
+    from ..stages.relational import deterministic_shuffle
+    return deterministic_shuffle(
+        _read(sf_dir, "documents", columns=["doc_id"]), n_shards=8)
+
+
+def kg_khop(sf_dir: str):
+    """2-hop BFS neighborhood of the 5 smallest node ids in the built
+    KG — distributed frontier expansion (one edge scan per hop)."""
+    from ..stages.graph import k_hop
+    _ensure_gate_artifact(sf_dir)
+    return k_hop(_kg_result(sf_dir).edges, n_seeds=5, k=2)

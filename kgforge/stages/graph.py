@@ -255,3 +255,68 @@ def connected_components(edges: Dataset, src_col: str = "src_id",
         labels = new
 
     return pd.DataFrame({"node_id": nodes, "component_id": labels})
+
+
+def k_hop(edges: Dataset, n_seeds: int = 5, k: int = 2,
+          src_col: str = "src_id", dst_col: str = "dst_id",
+          seeds: "np.ndarray | None" = None) -> pd.DataFrame:
+    """Undirected k-hop neighborhood (BFS) from a seed set: returns
+    (node_id, hops) where hops = minimum number of edges from any seed
+    (0 for the seeds themselves), restricted to hops <= k.  Default
+    seed rule — the ``n_seeds`` smallest node ids in the edge-connected
+    universe — is deterministic and SQL-expressible, so the driver gate
+    can oracle it with a bounded recursive CTE.
+
+    Scale shape: the edge list stays distributed and is scanned once
+    per hop (k scans total); each scan is a vectorized ``pc.is_in``
+    against the broadcast frontier and returns only per-block DISTINCT
+    neighbor ids.  Driver state is the visited/frontier vectors —
+    bounded by the k-hop neighborhood size, the same node-sized driver
+    bound as :func:`pagerank` / :func:`connected_components` (at
+    billions of reached nodes the frontier would instead stay a keyed
+    Dataset and the dedup-vs-visited becomes an anti-join; per-hop
+    dataflow unchanged).
+
+    Reference: graph traversal happens inside FalkorDB via generated
+    Cypher (graphrag_sdk/kg.py ask/query path); here it is a native
+    Ray dataflow over the edge table."""
+    deg = degree_table(edges, src_col, dst_col).to_pandas()
+    universe = np.sort(deg["node_id"].to_numpy(np.uint64))
+    if len(universe) == 0:
+        return pd.DataFrame({
+            "node_id": pd.Series([], dtype=np.uint64),
+            "hops": pd.Series([], dtype=np.int64)})
+    if seeds is None:
+        seeds = universe[:n_seeds]
+    seeds = np.unique(np.asarray(seeds, dtype=np.uint64))
+
+    pruned = edges.select_columns([src_col, dst_col]).materialize()
+    hops = {int(s): 0 for s in seeds}
+    frontier = seeds
+    for hop in range(1, k + 1):
+        fr_ref = ray.put(frontier)
+
+        def expand(batch: pa.Table) -> pa.Table:
+            fr = ray.get(fr_ref)
+            s = batch.column(src_col).to_numpy(zero_copy_only=False)
+            d = batch.column(dst_col).to_numpy(zero_copy_only=False)
+            out = np.concatenate([
+                d[np.isin(s, fr)], s[np.isin(d, fr)]])
+            return pa.table({"n": pa.array(np.unique(out), pa.uint64())})
+
+        reached = pruned.map_batches(
+            expand, batch_format="pyarrow").to_pandas()
+        nxt = np.unique(reached["n"].to_numpy(np.uint64)) \
+            if len(reached) else np.array([], dtype=np.uint64)
+        fresh = np.array([n for n in nxt if int(n) not in hops],
+                         dtype=np.uint64)
+        for n in fresh:
+            hops[int(n)] = hop
+        if len(fresh) == 0:
+            break
+        frontier = fresh
+
+    ids = np.array(sorted(hops), dtype=np.uint64)
+    return pd.DataFrame({
+        "node_id": ids,
+        "hops": np.array([hops[int(i)] for i in ids], dtype=np.int64)})

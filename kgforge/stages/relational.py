@@ -603,3 +603,47 @@ def pack_sequences(ds: Dataset, id_col: str, n_tokens_col: str,
             "last_seq": pa.array(last, pa.int64())})
 
     return with_off.map_batches(finish, batch_format="pyarrow")
+
+
+def deterministic_shuffle(ds: Dataset, id_col: str = "doc_id",
+                          n_shards: int = 8) -> Dataset:
+    """Deterministic global shuffle + shard assignment — the training-
+    export primitive: every row gets a content-independent md5 shuffle
+    key, a shard (two leading hex chars mod ``n_shards``), and a dense
+    0-based position within its shard ordered by ``(key, id)``.  Unlike
+    ``random_shuffle`` the layout is a pure function of the ids, so a
+    resumed/re-run export produces byte-identical shards and any shard
+    can be regenerated alone.
+
+    Scale shape: md5 is map-side (no data moves to compute the key);
+    the only exchange is ONE groupby on ``shard`` (``n_shards`` groups,
+    each fold a single vectorized sort) — no global sort, no driver
+    materialization.  Positions are per-shard, which is exactly what a
+    sharded writer needs; a global position would need the prefix_sum
+    two-pass instead.
+
+    Reference has no shuffle/export story (FalkorDB ingest is the sink,
+    graphrag_sdk/kg.py); this is net-new for the 100-TB pipeline."""
+    import hashlib
+    if not 1 <= n_shards <= 256:
+        raise ValueError("n_shards must be in [1, 256]")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        shard = np.array([int(k[:2], 16) for k in keys],
+                         dtype=np.int64) % n_shards
+        return pa.table({id_col: t.column(id_col),
+                         "shuffle_key": pa.array(keys, pa.string()),
+                         "shard": pa.array(shard, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shuffle_key", id_col],
+                          kind="mergesort").reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return (ds.select_columns([id_col])
+              .map_batches(keyed, batch_format="pyarrow")
+              .groupby("shard")
+              .map_groups(fold, batch_format="pandas"))

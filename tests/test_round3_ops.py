@@ -406,3 +406,42 @@ def test_line_dedup_boilerplate_stripped():
     assert out.loc[3, "n_removed"] == 0
     # empty doc splits to one empty line, kept
     assert out.loc[4, "text"] == "" and out.loc[4, "n_kept"] == 1
+
+
+def test_deterministic_shuffle_parity_and_determinism():
+    import hashlib
+    from kgforge.stages.relational import deterministic_shuffle
+    ids = list(range(100))
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = deterministic_shuffle(ds, n_shards=4).to_pandas()
+    # brute-force reference
+    keys = {i: hashlib.md5(str(i).encode()).hexdigest() for i in ids}
+    exp = {}
+    for sh in range(4):
+        members = sorted((keys[i], i) for i in ids
+                         if int(keys[i][:2], 16) % 4 == sh)
+        for pos, (_, i) in enumerate(members):
+            exp[i] = (sh, pos)
+    got = {int(r.doc_id): (int(r.shard), int(r.pos))
+           for r in out.itertuples()}
+    assert got == exp
+    # rerun is byte-identical (resumable export contract)
+    out2 = deterministic_shuffle(ds, n_shards=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_k_hop_bfs_depths():
+    from kgforge.stages.graph import k_hop
+    # path 1-2-3-4-5 plus a branch 2-10; seed = node 1
+    edges = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([1, 2, 3, 4, 2], pa.uint64()),
+        "dst_id": pa.array([2, 3, 4, 5, 10], pa.uint64())}))
+    out = k_hop(edges, n_seeds=1, k=2)
+    got = dict(zip(out.node_id.astype(int), out.hops.astype(int)))
+    assert got == {1: 0, 2: 1, 3: 2, 10: 2}
+    # k=3 reaches node 4; node 5 still out of range
+    out3 = k_hop(edges, n_seeds=1, k=3)
+    got3 = dict(zip(out3.node_id.astype(int), out3.hops.astype(int)))
+    assert got3 == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}
