@@ -102,8 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_pairs": Q.dedup_embedding_pairs,
         "dedup_embedding_lsh": Q.dedup_embedding_lsh,
         "dedup_cluster_docs": Q.dedup_cluster_docs,
-        # similarity search
+        # similarity search / retrieval
         "ann_topk_cosine": Q.ann_topk_cosine,
+        "bm25_topk_docs": Q.bm25_topk_docs,
         "ann_ivf_topk": Q.ann_ivf_topk,
         # text analysis
         "token_stats_docs": Q.token_stats_docs,
@@ -152,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_sequence": Q.events_user_sequence,
         "customer_events_left_join": Q.customer_events_left_join,
         "events_value_ntile": Q.events_value_ntile,
+        "events_value_rank": Q.events_value_rank,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
         "multimodal_audio_energy": Q.multimodal_audio_energy,
@@ -614,6 +616,52 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS pos
             FROM s
         """,
+        # BM25 with every float op mirrored against the engine (same
+        # shape, same order; ordered list sum fixes term order).  The
+        # gate compares (query_id, doc_id, rnk): DuckDB ln vs libm log
+        # differ in the last ulp, so scores are pinned in pytest
+        # instead; rank is exact (ties are structural -> bit-equal on
+        # both sides -> broken by doc_id)
+        "bm25_topk_docs": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+              FROM documents),
+            dls AS (
+              SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS dl
+              FROM documents),
+            st AS (SELECT count(*) AS n_docs,
+                          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                   FROM dls),
+            qt(query_id, t) AS (VALUES
+              ('q_join', 'hash'), ('q_join', 'join'),
+              ('q_sort', 'merge'), ('q_sort', 'sort'),
+              ('q_stream', 'batch'), ('q_stream', 'stream'),
+              ('q_stream', 'window')),
+            dfs AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
+                    WHERE t IN (SELECT t FROM qt) GROUP BY t),
+            idf AS (SELECT t,
+                           ln(1 + ((n_docs - df) + 0.5) / (df + 0.5))
+                               AS idf
+                    FROM dfs, st),
+            tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+                   WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id, tf.t,
+                     (idf.idf * (tf.tf * (1.2 + 1))) /
+                     (tf.tf + 1.2 * ((1 - 0.75)
+                                     + (0.75 * dls.dl) / st.avgdl)) AS s
+              FROM tf JOIN qt q USING (t) JOIN idf USING (t)
+                      JOIN dls ON tf.doc_id = dls.doc_id, st),
+            sc AS (SELECT query_id, doc_id,
+                          list_aggregate(list(s ORDER BY t), 'sum')
+                              AS score
+                   FROM contrib GROUP BY query_id, doc_id)
+            SELECT query_id, doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+            FROM sc QUALIFY rnk <= 10
+        """,
         "ann_topk_cosine": _ANN_TOPK_SQL,
         # IVF runs in its exact configuration for the gate (nprobe =
         # n_centroids probes every bucket), so the brute-force oracle
@@ -889,6 +937,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (
                        PARTITION BY event_type ORDER BY value, event_id
                    ) AS BIGINT) AS tile
+            FROM events
+        """,
+        # rank/dense_rank are tie-stable (unlike ntile): integer-exact
+        # with no tie-break column
+        "events_value_rank": """
+            SELECT event_id, event_type,
+                   CAST(rank() OVER (
+                       PARTITION BY event_type ORDER BY value
+                   ) AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER (
+                       PARTITION BY event_type ORDER BY value
+                   ) AS BIGINT) AS dense_rnk
             FROM events
         """,
         # three window functions in one keyed pass; all integer-exact

@@ -1344,3 +1344,32 @@ def kg_khop(sf_dir: str):
     from ..stages.graph import k_hop
     _ensure_gate_artifact(sf_dir)
     return k_hop(_kg_result(sf_dir).edges, n_seeds=5, k=2)
+
+
+def events_value_rank(sf_dir: str):
+    """rank() and dense_rank() of each event's value within its event
+    type — integer-exact under ties (no tie-break needed)."""
+    from ..stages.windows import grouped_rank
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "value"])
+    return grouped_rank(events, "event_type", "value", "event_id")
+
+
+def bm25_topk_docs(sf_dir: str):
+    """BM25 top-10 documents for three fixed keyword queries —
+    distributed two-pass scoring (stats scan + score scan).  The gate
+    compares (query_id, doc_id, rnk): every float op except ln is
+    IEEE-mirrored against the SQL, but DuckDB's ln and libm round the
+    last ulp differently, so raw scores can differ by ~2 ulp.  Rank is
+    still exact: structurally identical docs tie bit-exactly on both
+    sides (same ops each side) and break by doc_id; structurally
+    different docs differ by far more than ulp.  Score VALUES are
+    pinned in tests/test_round3_ops.py against an independent
+    reference."""
+    from ..stages.retrieval import bm25_topk
+    out = bm25_topk(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        queries={"q_join": ["hash", "join"],
+                 "q_sort": ["merge", "sort"],
+                 "q_stream": ["batch", "stream", "window"]})
+    return out[["query_id", "doc_id", "rnk"]]

@@ -1,0 +1,157 @@
+"""Full-text retrieval over the document corpus: distributed BM25.
+
+The reference's retrieval story is graph-RAG (generated Cypher over
+FalkorDB, `graphrag_sdk/kg.py` ask path); a 100-TB training-data
+pipeline also needs plain lexical retrieval — e.g. to mine
+domain-relevant documents for a target mixture.  BM25 here is a pure
+two-pass Ray dataflow:
+
+- **Pass 1 (stats)**: one corpus scan emits per-batch partials —
+  per-query-term document frequency, doc count, token count.  Only
+  O(n_terms) rows per batch reach the driver, where idf / avgdl are
+  computed once.
+- **Pass 2 (score)**: one corpus scan; each batch tokenizes
+  vectorized (RE2 `[ \\t\\n\\f\\r]+` split — byte-identical to DuckDB
+  `regexp_extract_all('\\S+')`), computes tf for the broadcast term
+  set via one pandas groupby, accumulates per-query scores in sorted
+  term order (IEEE-mirrored against the SQL oracle: every float op
+  has the same shape and order; only ln's last ulp differs between
+  DuckDB and libm, so the gate compares ranks and pytest pins the
+  score values), and keeps a local top-k.  The global merge folds
+  n_queries tiny groups.
+
+Corpus text never shuffles; the only exchange is the final
+(n_batches x n_queries x k)-row top-k merge.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+_WS = "[ \t\n\f\r]+"
+
+
+def _token_lists(col: pa.ChunkedArray | pa.Array):
+    """(flat tokens, parent doc index, per-doc token count) with empty
+    tokens dropped — matches `regexp_extract_all(text, '\\S+')`."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lst = pc.split_pattern_regex(pc.fill_null(col, ""), pattern=_WS)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = pc.list_flatten(lst)
+    parents = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parents = parents[keep]
+    dl = np.bincount(parents, minlength=len(col)).astype(np.int64)
+    return flat, parents, dl
+
+
+def bm25_topk(docs: Dataset, queries: dict[str, list[str]],
+              id_col: str = "doc_id", text_col: str = "text",
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
+    """Top-k documents per query under BM25 (query_id, doc_id, score,
+    rnk), ties broken by doc_id.  Every float op except ln is
+    IEEE-mirrored against the DuckDB oracle; rank order is exact (see
+    queries.bm25_topk_docs)."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    term_set = pa.array(all_terms, pa.string())
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, parents, dl = _token_lists(t.column(text_col))
+        qmask = pc.is_in(flat, value_set=term_set).to_numpy(
+            zero_copy_only=False)
+        keys = [" docs", " toks"]
+        vals = [t.num_rows, int(dl.sum())]
+        if qmask.any():
+            sub = pd.DataFrame({
+                "p": parents[qmask],
+                "t": np.asarray(flat.to_numpy(zero_copy_only=False))[
+                    qmask]})
+            dfc = sub.drop_duplicates().groupby("t").size()
+            keys += dfc.index.tolist()
+            vals += [int(v) for v in dfc.to_numpy()]
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "n": pa.array(vals, pa.int64())})
+
+    agg = (docs.select_columns([text_col])
+               .map_batches(stats_partial, batch_format="pyarrow")
+               .to_pandas().groupby("key")["n"].sum())
+    n_docs = int(agg.get(" docs", 0))
+    if n_docs == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=object),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64),
+                             "rnk": pd.Series([], dtype=np.int64)})
+    avgdl = float(agg.get(" toks", 0)) / n_docs
+    df_map = {t: int(agg.get(t, 0)) for t in all_terms}
+    # mirror of SQL: ln(1 + ((n_docs - df) + 0.5) / (df + 0.5))
+    idf = {t: math.log(1.0 + ((n_docs - d) + 0.5) / (d + 0.5))
+           for t, d in df_map.items()}
+    k1p1 = k1 + 1.0
+    one_b = 1.0 - b
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        flat, parents, dl = _token_lists(t.column(text_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        qmask = pc.is_in(flat, value_set=term_set).to_numpy(
+            zero_copy_only=False)
+        tf = np.zeros((len(all_terms), n), dtype=np.float64)
+        if qmask.any():
+            sub = pd.DataFrame({
+                "p": parents[qmask],
+                "t": np.asarray(flat.to_numpy(zero_copy_only=False))[
+                    qmask]})
+            cnt = sub.groupby(["t", "p"]).size()
+            tpos = {t_: i for i, t_ in enumerate(all_terms)}
+            for (term, p), c in cnt.items():
+                tf[tpos[term], p] = float(c)
+        dlf = dl.astype(np.float64)
+        # denominator's doc-length part, shared across terms; the ops
+        # mirror the SQL text exactly: (1-b) + (b*dl)/avgdl
+        dpart = one_b + (b * dlf) / avgdl
+        out_q, out_id, out_s = [], [], []
+        for qid in queries:
+            score = np.zeros(n, dtype=np.float64)
+            for term in sorted(queries[qid]):
+                tv = tf[all_terms.index(term)]
+                score = score + (idf[term] * (tv * k1p1)) / (tv + k1 * dpart)
+            hit = score > 0.0
+            if not hit.any():
+                continue
+            hid, hsc = ids[hit], score[hit]
+            order = np.lexsort((hid, -hsc))[:k]
+            out_q += [qid] * len(order)
+            out_id += hid[order].tolist()
+            out_s += hsc[order].tolist()
+        return pa.table({"query_id": pa.array(out_q, pa.string()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    local = (docs.select_columns([id_col, text_col])
+                 .map_batches(score_partial, batch_format="pyarrow")
+                 .to_pandas())
+    if len(local) == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=object),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64),
+                             "rnk": pd.Series([], dtype=np.int64)})
+    local = local.sort_values(["query_id", "score", id_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    top = local.groupby("query_id", sort=True).head(k).reset_index(
+        drop=True)
+    top["rnk"] = top.groupby("query_id").cumcount().to_numpy(
+        np.int64) + 1
+    top["rnk"] = top["rnk"].astype(np.int64)
+    return top[["query_id", id_col, "score", "rnk"]]

@@ -354,3 +354,41 @@ def grouped_ntile(ds: Dataset, group_col: str, value_col: str,
               .map_batches(add_bucket, batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(fold, batch_format="pandas"))
+
+
+def grouped_rank(ds: Dataset, group_col: str, value_col: str,
+                 id_col: str) -> Dataset:
+    """SQL ``rank()`` and ``dense_rank() OVER (PARTITION BY group
+    ORDER BY value)`` in one keyed pass.  Both are integer-exact and
+    well-defined under ties (no tie-break column needed, unlike
+    ntile), so the DuckDB oracle matches bit-for-bit.  Same dataflow
+    as :func:`grouped_percent_rank`: one coarse-bucket shuffle, the
+    fold ranks ALL of its groups with vectorized pandas kernels.
+    Partitioning assumption: one group fits one worker."""
+    import zlib
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        vals = t.column(group_col).to_pylist()
+        b = [zlib.crc32(str(v).encode()) % 16 for v in vals]
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                group_col: pd.Series([], dtype=object),
+                "rnk": pd.Series([], dtype=np.int64),
+                "dense_rnk": pd.Series([], dtype=np.int64)})
+        grp = g.groupby(group_col, sort=False)[value_col]
+        rnk = grp.rank(method="min").to_numpy(np.int64)
+        dense = grp.rank(method="dense").to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            group_col: g[group_col].to_numpy(),
+            "rnk": rnk,
+            "dense_rnk": dense})
+
+    return (ds.select_columns([id_col, group_col, value_col])
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pandas"))

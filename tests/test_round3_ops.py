@@ -445,3 +445,45 @@ def test_k_hop_bfs_depths():
     out3 = k_hop(edges, n_seeds=1, k=3)
     got3 = dict(zip(out3.node_id.astype(int), out3.hops.astype(int)))
     assert got3 == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}
+
+
+def test_bm25_scores_vs_independent_reference():
+    """Engine BM25 scores vs a pure-Python reference computed with a
+    DIFFERENT op order (per-doc term loop, math-lib ops) — agreement
+    to 1e-12 relative, and adjacent ranked scores differ by far more
+    than float jitter, so the rank-only gate comparison is sound."""
+    import math
+    from kgforge.stages.retrieval import bm25_topk
+    rng = np.random.default_rng(7)
+    vocab = ["hash", "join", "scan", "sort", "the", "x"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+             for _ in range(60)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": texts}))
+    out = bm25_topk(docs, {"q": ["hash", "join"]}, k=10)
+
+    toks = [t.split() for t in texts]
+    n, avgdl = 60, sum(len(t) for t in toks) / 60
+    k1, b = 1.2, 0.75
+    ref = {}
+    for i, tk in enumerate(toks):
+        s = 0.0
+        for term in ["hash", "join"]:
+            df = sum(1 for t2 in toks if term in t2)
+            tf = tk.count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if s > 0:
+            ref[i] = s
+    exp = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(zip(out["doc_id"], out["score"]))
+    assert [i for i, _ in got] == [i for i, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert abs(gs - es) <= 1e-12 * abs(es)
+    # adjacent distinct scores are separated by >> float jitter
+    ss = [s for _, s in got]
+    gaps = [a - b2 for a, b2 in zip(ss, ss[1:]) if a != b2]
+    assert all(g > 1e-9 for g in gaps)
