@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": Q.kg_pagerank,
         "kg_components": Q.kg_components,
         "kg_khop": Q.kg_khop,
+        "kg_triangles": Q.kg_triangles,
+        "kg_link_prediction": Q.kg_link_prediction,
         "kg_mentions": Q.kg_mentions,
         "kg_ontology_detect": Q.kg_ontology_detect,
         "html_text_pages": Q.html_text_pages,
@@ -154,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_events_left_join": Q.customer_events_left_join,
         "events_value_ntile": Q.events_value_ntile,
         "events_value_rank": Q.events_value_rank,
+        "events_scd2_intervals": Q.events_scd2_intervals,
         # multimodal plumbing
         "multimodal_decode": Q.multimodal_decode,
         "multimodal_audio_energy": Q.multimodal_audio_energy,
@@ -459,6 +462,59 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 2)
             SELECT node_id, CAST(min(h) AS BIGINT) AS hops
             FROM bfs GROUP BY node_id
+        """,
+        # per-node triangle counts over the entity co-mention graph
+        # (the KG edge table is bipartite -> 0 triangles): canonical
+        # a<b<c enumeration via two ascending self-joins, corners
+        # unpivoted and counted
+        "kg_triangles": """
+            WITH pm AS (SELECT DISTINCT url_hash, node_id
+                        FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
+                        WHERE attr = ''),
+            c AS (SELECT DISTINCT x.node_id AS a, y.node_id AS b
+                  FROM pm x JOIN pm y ON x.url_hash = y.url_hash
+                   AND x.node_id < y.node_id),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM c e1
+                    JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (SELECT x AS node_id FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+            SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node_id
+        """,
+        # neighborhood-Jaccard link prediction over the (re-derived)
+        # KG edge oracle: symmetrized adjacency, shared-neighbor
+        # intersection counts, NOT EXISTS edge exclusion; jaccard is
+        # one division of exact integers -> bit-equal to the engine
+        "kg_link_prediction": f"""
+            WITH e0 AS ({_KG_EDGES_SQL}),
+            -- no least()/greatest(): DuckDB promotes UBIGINT args to
+            -- DOUBLE there, losing id precision above 2^53
+            c AS (SELECT DISTINCT src_id AS a, dst_id AS b FROM e0
+                  WHERE src_id < dst_id
+                  UNION SELECT DISTINCT dst_id, src_id FROM e0
+                  WHERE dst_id < src_id),
+            nb AS (SELECT a AS u, b AS v FROM c
+                   UNION ALL SELECT b, a FROM c),
+            dg AS (SELECT u, count(*) AS d FROM nb GROUP BY u),
+            inter AS (SELECT x.v AS a, y.v AS b, count(*) AS i
+                      FROM nb x JOIN nb y
+                        ON x.u = y.u AND x.v < y.v
+                      GROUP BY 1, 2),
+            cand AS (SELECT * FROM inter i
+                     WHERE NOT EXISTS (SELECT 1 FROM c e
+                                       WHERE e.a = i.a AND e.b = i.b))
+            SELECT cand.a AS src_id, cand.b AS dst_id,
+                   CAST(cand.i AS BIGINT) AS inter,
+                   CAST(da.d + db.d - cand.i AS BIGINT) AS union_ct,
+                   CAST(cand.i AS DOUBLE) /
+                       CAST(da.d + db.d - cand.i AS DOUBLE) AS jaccard
+            FROM cand JOIN dg da ON cand.a = da.u
+                      JOIN dg db ON cand.b = db.u
+            ORDER BY jaccard DESC, src_id, dst_id LIMIT 20
         """,
         "kg_cooccurrence": """
             WITH pm AS (SELECT DISTINCT url_hash, node_key
@@ -950,6 +1006,33 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type ORDER BY value
                    ) AS BIGINT) AS dense_rnk
             FROM events
+        """,
+        # SCD2 gaps-and-islands: run breaks via lag, interval end via
+        # lead over the per-run table; all integer-exact (epoch-us,
+        # -1 sentinel for open intervals)
+        "events_scd2_intervals": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     epoch_us(ts) AS ts_us, event_id,
+                     row_number() OVER w AS rn,
+                     CASE WHEN lag(event_type) OVER w
+                               IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (SELECT *, sum(brk) OVER (
+                      PARTITION BY user_id ORDER BY rn) AS seg
+                  FROM s),
+            iv AS (SELECT user_id, event_type, seg,
+                          min(ts_us) AS valid_from_us,
+                          count(*) AS n_events
+                   FROM g GROUP BY 1, 2, 3)
+            SELECT user_id, event_type, valid_from_us,
+                   COALESCE(lead(valid_from_us) OVER (
+                       PARTITION BY user_id ORDER BY seg), -1)
+                       AS valid_to_us,
+                   CAST(n_events AS BIGINT) AS n_events
+            FROM iv
         """,
         # three window functions in one keyed pass; all integer-exact
         # (row_number / epoch_us lag gap / running cents sum).  ORDER BY

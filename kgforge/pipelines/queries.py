@@ -1355,6 +1355,80 @@ def events_value_rank(sf_dir: str):
     return grouped_rank(events, "event_type", "value", "event_id")
 
 
+def kg_triangles(sf_dir: str):
+    """Per-node triangle participation counts over the entity
+    CO-MENTION graph (two entities adjacent iff some page mentions
+    both) — the KG edge table itself is bipartite Person->Movie and
+    has no triangles, so the density analytics run on the co-mention
+    projection.  Degree-ordered orientation, wedge/edge tag-union
+    closing join (stages/graph.triangle_counts)."""
+    import pyarrow.compute as pc
+    from ..stages.graph import triangle_counts
+    from .kg_build import KGBuildConfig, extract_mentions
+    from .oracle_export import MentionOracleRows
+    _ensure_gate_artifact(sf_dir)
+    corpus_dir, pages_path = pages_for_sf(sf_dir)
+    with open(f"{corpus_dir}/ontology.json") as fh:
+        ontology_json = fh.read()
+    with open(f"{corpus_dir}/aliases.json") as fh:
+        alias_map = json.load(fh)
+    pages = ray.data.read_parquet(pages_path)
+    mentions = extract_mentions(pages, KGBuildConfig(
+        ontology_json=ontology_json))
+    fn = MentionOracleRows(ontology_json, alias_map)
+
+    def markers(t):
+        t = fn(t)
+        mask = pc.and_(pc.equal(t.column("kind"), "entity"),
+                       pc.equal(t.column("attr"), ""))
+        return t.filter(mask).select(["url_hash", "node_id"])
+
+    pm = mentions.map_batches(markers, batch_format="pyarrow")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        pg = t.column("url_hash").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((pg % 64).astype(np.int64), pa.int64()))
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        # pages never span buckets -> per-bucket distinct is global;
+        # vectorized within-page self-merge, a < b
+        pk = g[["url_hash", "node_id"]].drop_duplicates()
+        m = pk.merge(pk, on="url_hash")
+        m = m[m["node_id_x"] < m["node_id_y"]]
+        m = m[["node_id_x", "node_id_y"]].drop_duplicates()
+        return pa.table({
+            "src_id": pa.array(m["node_id_x"].to_numpy(np.uint64),
+                               pa.uint64()),
+            "dst_id": pa.array(m["node_id_y"].to_numpy(np.uint64),
+                               pa.uint64())})
+
+    edges = (pm.map_batches(bucket, batch_format="pyarrow")
+               .groupby("bucket").map_groups(pairs,
+                                             batch_format="pandas"))
+    return triangle_counts(edges)
+
+
+def kg_link_prediction(sf_dir: str):
+    """Top-20 predicted links of the built KG by neighborhood Jaccard
+    (non-edge distance-2 pairs; inter/union integer-exact, jaccard is
+    one IEEE division so the oracle matches bit-for-bit)."""
+    from ..stages.graph import neighborhood_jaccard
+    _ensure_gate_artifact(sf_dir)
+    return neighborhood_jaccard(_kg_result(sf_dir).edges, k=20)
+
+
+def events_scd2_intervals(sf_dir: str):
+    """SCD2 validity intervals of each user's event_type runs —
+    gaps-and-islands collapsed to (user, state, from, to, n) with
+    integer microsecond bounds (-1 = open interval)."""
+    from ..stages.windows import scd2_intervals
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "event_type"])
+    return scd2_intervals(events, "user_id", "event_type", "ts",
+                          "event_id")
+
+
 def bm25_topk_docs(sf_dir: str):
     """BM25 top-10 documents for three fixed keyword queries —
     distributed two-pass scoring (stats scan + score scan).  The gate

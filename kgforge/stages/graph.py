@@ -320,3 +320,291 @@ def k_hop(edges: Dataset, n_seeds: int = 5, k: int = 2,
     return pd.DataFrame({
         "node_id": ids,
         "hops": np.array([hops[int(i)] for i in ids], dtype=np.int64)})
+
+
+def _canonical_edges(edges: Dataset, src_col: str, dst_col: str,
+                     n_buckets: int = 64) -> Dataset:
+    """Distinct undirected edge set as (a, b) with a < b, self-loops
+    dropped — one coarse-bucket shuffle keyed on a mixed (a, b) hash,
+    per-bucket vectorized drop_duplicates (no per-edge groups)."""
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy(zero_copy_only=False)
+        d = batch.column(dst_col).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep].astype(np.uint64), d[keep].astype(np.uint64)
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        bk = ((a * MIX + b) & np.uint64(n_buckets - 1)).astype(np.int64)
+        return pa.table({"a": pa.array(a, pa.uint64()),
+                         "b": pa.array(b, pa.uint64()),
+                         "bucket": pa.array(bk, pa.int64())})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    return (edges.select_columns([src_col, dst_col])
+                 .map_batches(canon, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(dedup, batch_format="pandas"))
+
+
+def _node_degrees(canon: Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted node ids, undirected degree per node) from the
+    canonical edge set — per-batch value_counts partials, summed on
+    the driver.  Node-sized driver state: the same documented bound
+    as :func:`pagerank`'s rank vector (~16 B/node)."""
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            t.column("a").to_numpy(zero_copy_only=False),
+            t.column("b").to_numpy(zero_copy_only=False)])
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"node_id": pa.array(u, pa.uint64()),
+                         "n": pa.array(c, pa.int64())})
+
+    agg = (canon.map_batches(partial, batch_format="pyarrow")
+                .to_pandas().groupby("node_id", sort=True)["n"].sum())
+    return (agg.index.to_numpy(np.uint64), agg.to_numpy(np.int64))
+
+
+def triangle_counts(edges: Dataset, src_col: str = "src_id",
+                    dst_col: str = "dst_id",
+                    n_buckets: int = 64) -> Dataset:
+    """Per-node triangle participation counts (node_id, n_triangles)
+    over the undirected simple graph — nodes in no triangle are
+    omitted.  Degree-ordered orientation bounds wedge volume to
+    O(m^1.5) regardless of hub skew (each oriented out-degree is
+    O(sqrt(m))): every canonical edge is directed from its
+    lower-(degree, id) endpoint, wedges (u -> x, u -> y) are generated
+    by a per-bucket vectorized self-merge (no per-node loop), and
+    wedge-vs-edge matching is a tag-union coarse-bucket shuffle keyed
+    on the closing pair (x, y) — the edge set is never broadcast.
+    Driver state is the node-sized degree vector only.  The reference
+    stops at graph construction (`graphrag_sdk/kg.py` upserts);
+    triangle counting is the standard clustering-coefficient /
+    community-density read-side primitive."""
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    canon = _canonical_edges(edges, src_col, dst_col, n_buckets)
+    canon = canon.materialize()
+    nodes, deg = _node_degrees(canon)
+    if len(nodes) == 0:
+        return ray.data.from_arrow(pa.table({
+            "node_id": pa.array([], pa.uint64()),
+            "n_triangles": pa.array([], pa.int64())}))
+    nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg)
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        """kind=0: edge rows keyed on their own (a, b); kind=1: wedge
+        rows keyed on the closing pair, carrying the center u."""
+        nds, dg = ray.get(nodes_ref), ray.get(deg_ref)
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        da, db = dg[np.searchsorted(nds, a)], dg[np.searchsorted(nds, b)]
+        # orient from lower (degree, id) to higher; a < b breaks ties
+        lo_first = (da < db) | (da == db)
+        u = np.where(lo_first, a, b)
+        v = np.where(lo_first, b, a)
+        ubk = ((u * MIX) & np.uint64(63)).astype(np.int64)
+        return pa.table({"u": pa.array(u, pa.uint64()),
+                         "v": pa.array(v, pa.uint64()),
+                         "wb": pa.array(ubk, pa.int64())})
+
+    oriented = canon.map_batches(tagged, batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        """All (x < y) out-neighbor pairs per center u — vectorized
+        self-merge across every u in the bucket at once.  Returns an
+        Arrow table so the union with the edge branch stays
+        uniformly Arrow-backed."""
+        if len(g) == 0:
+            m = None
+        else:
+            e = g[["u", "v"]]
+            m = e.merge(e, on="u")
+            m = m[m["v_x"] < m["v_y"]]
+        if m is None or len(m) == 0:
+            return pa.table({"a": pa.array([], pa.uint64()),
+                             "b": pa.array([], pa.uint64()),
+                             "u": pa.array([], pa.uint64()),
+                             "kind": pa.array([], pa.int64())})
+        return pa.table({
+            "a": pa.array(m["v_x"].to_numpy(np.uint64), pa.uint64()),
+            "b": pa.array(m["v_y"].to_numpy(np.uint64), pa.uint64()),
+            "u": pa.array(m["u"].to_numpy(np.uint64), pa.uint64()),
+            "kind": pa.array(np.ones(len(m), np.int64), pa.int64())})
+
+    wedge_ds = (oriented.groupby("wb")
+                .map_groups(wedges, batch_format="pandas"))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "u": pa.array(np.zeros(n, np.uint64),
+                                       pa.uint64()),
+                         "kind": pa.array(np.zeros(n, np.int64),
+                                          pa.int64())})
+
+    union = wedge_ds.union(canon.map_batches(edge_rows,
+                                             batch_format="pyarrow"))
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        bk = ((a * MIX + b) & np.uint64(n_buckets - 1)).astype(np.int64)
+        return t.append_column("pb", pa.array(bk, pa.int64()))
+
+    def close_and_count(g: pd.DataFrame) -> pd.DataFrame:
+        """Inner-join wedges to edges on the closing pair; emit
+        per-node triangle-corner count partials."""
+        ed = g[g["kind"] == 0][["a", "b"]]
+        wd = g[g["kind"] == 1]
+        if len(ed) == 0 or len(wd) == 0:
+            return pd.DataFrame({
+                "node_id": pd.Series([], dtype=np.uint64),
+                "n": pd.Series([], dtype=np.int64)})
+        tri = wd.merge(ed, on=["a", "b"])
+        corners = np.concatenate([tri["u"].to_numpy(np.uint64),
+                                  tri["a"].to_numpy(np.uint64),
+                                  tri["b"].to_numpy(np.uint64)])
+        u, c = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"node_id": u, "n": c.astype(np.int64)})
+
+    def node_bucket(t: pa.Table) -> pa.Table:
+        i = t.column("node_id").to_numpy(zero_copy_only=False)
+        bk = ((i * MIX) & np.uint64(n_buckets - 1)).astype(np.int64)
+        return t.append_column("nb", pa.array(bk, pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "node_id": pd.Series([], dtype=np.uint64),
+                "n_triangles": pd.Series([], dtype=np.int64)})
+        s = g.groupby("node_id", sort=False)["n"].sum()
+        return pd.DataFrame({
+            "node_id": s.index.to_numpy(np.uint64),
+            "n_triangles": s.to_numpy(np.int64)})
+
+    return (union.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pb").map_groups(close_and_count,
+                                      batch_format="pandas")
+            .map_batches(node_bucket, batch_format="pyarrow")
+            .groupby("nb").map_groups(fold, batch_format="pandas"))
+
+
+def neighborhood_jaccard(edges: Dataset, src_col: str = "src_id",
+                         dst_col: str = "dst_id", k: int = 20,
+                         n_buckets: int = 64) -> Dataset:
+    """Link prediction by neighborhood Jaccard: for every NON-edge
+    pair at distance 2, ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` over the
+    undirected simple graph; returns the top-k pairs as
+    (src_id, dst_id, inter, union_ct, jaccard) ordered by
+    (jaccard desc, src_id, dst_id).  Candidate pairs are generated
+    ONLY through shared neighbors (a wedge self-merge per center,
+    coarse-bucketed — never all pairs); intersection counts
+    partial-aggregate in the wedge fold, the existing-edge exclusion
+    is the same tag-union coarse-bucket anti-join used everywhere in
+    this repo (the edge set is never broadcast), and degrees attach
+    from the node-sized driver vector (:func:`pagerank`'s documented
+    bound).  inter/union are integers and jaccard is ONE
+    correctly-rounded IEEE division of them, so the DuckDB oracle
+    matches bit-for-bit.  Hub skew note: a degree-d hub contributes
+    C(d, 2) wedges; at web scale cap candidate generation per center
+    (top-d neighbor truncation) — at KG density it is exact."""
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    canon = _canonical_edges(edges, src_col, dst_col, n_buckets)
+    canon = canon.materialize()
+    nodes, deg = _node_degrees(canon)
+    empty = pa.table({"src_id": pa.array([], pa.uint64()),
+                      "dst_id": pa.array([], pa.uint64()),
+                      "inter": pa.array([], pa.int64()),
+                      "union_ct": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if len(nodes) == 0:
+        return ray.data.from_arrow(empty)
+    nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        w = np.concatenate([a, b])
+        x = np.concatenate([b, a])
+        wb = ((w * MIX) & np.uint64(63)).astype(np.int64)
+        return pa.table({"w": pa.array(w, pa.uint64()),
+                         "x": pa.array(x, pa.uint64()),
+                         "wb": pa.array(wb, pa.int64())})
+
+    def wedge_partials(g: pd.DataFrame) -> pa.Table:
+        """Per-center neighbor pairs, pre-summed per (a, b) within
+        the bucket (combiner) — kind=1 rows carry partial inter."""
+        if len(g) == 0:
+            m = None
+        else:
+            e = g[["w", "x"]]
+            m = e.merge(e, on="w")
+            m = m[m["x_x"] < m["x_y"]]
+        if m is None or len(m) == 0:
+            return pa.table({"a": pa.array([], pa.uint64()),
+                             "b": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64())})
+        c = m.groupby(["x_x", "x_y"], as_index=False).size()
+        return pa.table({
+            "a": pa.array(c["x_x"].to_numpy(np.uint64), pa.uint64()),
+            "b": pa.array(c["x_y"].to_numpy(np.uint64), pa.uint64()),
+            "n": pa.array(c["size"].to_numpy(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(c), np.int64), pa.int64())})
+
+    wedge_ds = (canon.map_batches(symmetrize, batch_format="pyarrow")
+                .groupby("wb")
+                .map_groups(wedge_partials, batch_format="pandas"))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "n": pa.array(np.zeros(n, np.int64),
+                                       pa.int64()),
+                         "kind": pa.array(np.zeros(n, np.int64),
+                                          pa.int64())})
+
+    union = wedge_ds.union(canon.map_batches(edge_rows,
+                                             batch_format="pyarrow"))
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        bk = ((a * MIX + b) & np.uint64(n_buckets - 1)).astype(np.int64)
+        return t.append_column("pb", pa.array(bk, pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        """Sum inter partials per pair; drop pairs that ARE edges
+        (anti-join inside the bucket); attach degrees + jaccard."""
+        wd = g[g["kind"] == 1]
+        if len(wd) == 0:
+            return empty
+        s = wd.groupby(["a", "b"], as_index=False)["n"].sum()
+        ed = g[g["kind"] == 0][["a", "b"]]
+        if len(ed):
+            s = s.merge(ed.assign(_e=1), on=["a", "b"], how="left")
+            s = s[s["_e"].isna()]
+        if len(s) == 0:
+            return empty
+        nds, dg = ray.get(nodes_ref), ray.get(deg_ref)
+        a = s["a"].to_numpy(np.uint64)
+        b = s["b"].to_numpy(np.uint64)
+        inter = s["n"].to_numpy(np.int64)
+        un = (dg[np.searchsorted(nds, a)]
+              + dg[np.searchsorted(nds, b)] - inter)
+        jac = inter.astype(np.float64) / un.astype(np.float64)
+        return pa.table({"src_id": pa.array(a, pa.uint64()),
+                         "dst_id": pa.array(b, pa.uint64()),
+                         "inter": pa.array(inter, pa.int64()),
+                         "union_ct": pa.array(un, pa.int64()),
+                         "jaccard": pa.array(jac, pa.float64())})
+
+    return (union.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pb").map_groups(fold, batch_format="pandas")
+            .sort(["jaccard", "src_id", "dst_id"],
+                  descending=[True, False, False])
+            .limit(k))

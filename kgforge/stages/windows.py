@@ -392,3 +392,56 @@ def grouped_rank(ds: Dataset, group_col: str, value_col: str,
               .map_batches(add_bucket, batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(fold, batch_format="pandas"))
+
+
+def scd2_intervals(ds: Dataset, key_col: str, state_col: str,
+                   ts_col: str, id_col: str) -> Dataset:
+    """Slowly-changing-dimension (type 2) intervalization of an event
+    stream: per key, collapse consecutive runs of the same state into
+    validity intervals ``(key, state, valid_from_us, valid_to_us,
+    n_events)`` where ``valid_to_us`` is the start of the next run
+    (-1 for the currently-open interval — kept integer, never a null
+    that pandas would promote to float).  The reference has no
+    read-side analytics (`graphrag_sdk/kg.py` stops at upsert); this
+    is the standard dimension-history operator a warehouse derives
+    from the same event log.  One coarse-bucket shuffle; the fold
+    sorts its bucket once by (key, ts, id) and derives run boundaries
+    with vectorized masks across ALL keys at once (gaps-and-islands
+    without per-key groups).  Integer-exact (epoch-us), so the DuckDB
+    lag/lead window oracle matches bit-for-bit.  Partitioning
+    assumption: one key's history fits one worker."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=np.int64),
+                state_col: pd.Series([], dtype=object),
+                "valid_from_us": pd.Series([], dtype=np.int64),
+                "valid_to_us": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        ts_us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        key = g[key_col].to_numpy(np.int64)
+        st = g[state_col].to_numpy()
+        n = len(g)
+        brk = np.empty(n, np.bool_)
+        brk[0] = True
+        brk[1:] = (key[1:] != key[:-1]) | (st[1:] != st[:-1])
+        starts = np.flatnonzero(brk)
+        seg_key = key[starts]
+        seg_from = ts_us[starts]
+        seg_n = np.diff(np.append(starts, n)).astype(np.int64)
+        to_us = np.full(len(starts), -1, np.int64)
+        same_key = seg_key[1:] == seg_key[:-1]
+        to_us[:-1][same_key] = seg_from[1:][same_key]
+        return pd.DataFrame({
+            key_col: seg_key,
+            state_col: st[starts],
+            "valid_from_us": seg_from,
+            "valid_to_us": to_us,
+            "n_events": seg_n})
+
+    return (_bucketed(ds.select_columns(
+                [key_col, state_col, ts_col, id_col]), key_col)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas"))

@@ -487,3 +487,52 @@ def test_bm25_scores_vs_independent_reference():
     ss = [s for _, s in got]
     gaps = [a - b2 for a, b2 in zip(ss, ss[1:]) if a != b2]
     assert all(g > 1e-9 for g in gaps)
+
+
+def test_scd2_intervals_hand_built():
+    """Known gaps-and-islands: runs collapse, state may recur later
+    (new interval), open interval ends at -1."""
+    from kgforge.stages.windows import scd2_intervals
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array([10, 20, 30, 40, 50, 15], pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7, 7, 8], pa.int64()),
+        "event_type": ["a", "a", "b", "a", "a", "z"]})
+    out = (scd2_intervals(ray.data.from_arrow(t), "user_id",
+                          "event_type", "ts", "event_id")
+           .to_pandas().sort_values(["user_id", "valid_from_us"]))
+    rows = list(zip(out.user_id.astype(int), out.event_type,
+                    out.valid_from_us.astype(int),
+                    out.valid_to_us.astype(int),
+                    out.n_events.astype(int)))
+    assert rows == [(7, "a", 10, 30, 2), (7, "b", 30, 40, 1),
+                    (7, "a", 40, -1, 2), (8, "z", 15, -1, 1)]
+
+
+def test_triangle_counts_hand_built():
+    """Two triangles sharing edge (2,3); self-loop and duplicate
+    direction must not affect counts; node 5 (no triangle) omitted."""
+    from kgforge.stages.graph import triangle_counts
+    e = pa.table({
+        "src_id": pa.array([1, 1, 2, 2, 3, 3, 4, 2], pa.uint64()),
+        "dst_id": pa.array([2, 3, 3, 4, 4, 3, 5, 1], pa.uint64())})
+    out = (triangle_counts(ray.data.from_arrow(e))
+           .to_pandas().sort_values("node_id"))
+    got = dict(zip(out.node_id.astype(int), out.n_triangles.astype(int)))
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_neighborhood_jaccard_hand_built():
+    """Square 1-2-3-4-1: the two diagonals are the only candidates,
+    each sharing both neighbors (jaccard 1.0); edges themselves are
+    excluded.  Pendant 5 on node 1 adds (2,5)/(4,5)/(3,5)? no — 5
+    only neighbors 1, so (2,5),(4,5) share neighbor 1."""
+    from kgforge.stages.graph import neighborhood_jaccard
+    e = pa.table({"src_id": pa.array([1, 2, 3, 4], pa.uint64()),
+                  "dst_id": pa.array([2, 3, 4, 1], pa.uint64())})
+    out = (neighborhood_jaccard(ray.data.from_arrow(e), k=10)
+           .to_pandas())
+    rows = sorted(zip(out.src_id.astype(int), out.dst_id.astype(int),
+                      out.inter.astype(int), out.union_ct.astype(int),
+                      out.jaccard))
+    assert rows == [(1, 3, 2, 2, 1.0), (2, 4, 2, 2, 1.0)]
