@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": Q.kg_triangles,
         "kg_link_prediction": Q.kg_link_prediction,
         "kg_mentions": Q.kg_mentions,
+        "kg_incremental_nodes": Q.kg_incremental_nodes,
+        "kg_incremental_edges": Q.kg_incremental_edges,
         "kg_ontology_detect": Q.kg_ontology_detect,
         "html_text_pages": Q.html_text_pages,
         # extract/canonicalize/join semantics, SQL-oracled on testdata
@@ -141,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_no_events": Q.orders_no_events,
         "chunk_docs": Q.chunk_docs,
         "bigram_frequencies_docs": Q.bigram_frequencies_docs,
+        "pmi_bigrams_docs": Q.pmi_bigrams_docs,
         "tpch_q3_revenue": Q.tpch_q3_revenue,
         "sample_documents": Q.sample_documents,
         # training-data curation (round 3, second wave)
@@ -365,7 +368,7 @@ _EMB_PAIRS_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         # Flagship KG pipeline oracles.  The kg_nodes/kg_edges queries
         # export a per-mention normalized long-format parquet to the
         # fixed gate path (kgforge/pipelines/oracle_export.py documents
@@ -1146,6 +1149,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, count(*) AS n
             FROM g GROUP BY ngram ORDER BY n DESC, ngram LIMIT 100
         """,
+        # PMI ratio = (c_xy*U*U)/(B*c_x*c_y), the log-free monotone of
+        # PMI: every float op left-assoc mirrored by the engine, so
+        # scores are bit-exact (ints convert to DOUBLE exactly here)
+        "pmi_bigrams_docs": r"""
+            WITH d AS (SELECT regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            uni AS (SELECT unnest(toks) AS t FROM d),
+            ucnt AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS U FROM uni),
+            btot AS (SELECT CAST(sum(CASE WHEN len(toks) >= 2
+                                     THEN len(toks) - 1 ELSE 0 END)
+                          AS DOUBLE) AS B FROM d),
+            big AS (SELECT unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS ngram
+                    FROM d WHERE len(toks) >= 2),
+            bcnt AS (SELECT ngram, count(*) AS n FROM big
+                     GROUP BY ngram HAVING count(*) >= 5),
+            sc AS (SELECT split_part(ngram, ' ', 1) AS x,
+                          split_part(ngram, ' ', 2) AS y, n
+                   FROM bcnt)
+            SELECT sc.x, sc.y, CAST(sc.n AS BIGINT) AS n_xy,
+                   CAST(cx.c AS BIGINT) AS n_x,
+                   CAST(cy.c AS BIGINT) AS n_y,
+                   (CAST(sc.n AS DOUBLE) * U * U) /
+                       (B * cx.c * cy.c) AS pmi_ratio
+            FROM sc JOIN ucnt cx ON sc.x = cx.t
+                    JOIN ucnt cy ON sc.y = cy.t, tot, btot
+            ORDER BY pmi_ratio DESC, x, y LIMIT 100
+        """,
         "tpch_q3_revenue": """
             SELECT l.l_orderkey,
                    CAST(sum(CAST(round(l.l_extendedprice *
@@ -1408,3 +1440,8 @@ def oracle_sql() -> dict[str, str]:
             FROM gated GROUP BY text ORDER BY doc_id
         """,
     }
+    # the incremental build must be bit-identical to the full rebuild:
+    # it shares the flagship oracles verbatim
+    sqls["kg_incremental_nodes"] = sqls["kg_nodes"]
+    sqls["kg_incremental_edges"] = sqls["kg_edges"]
+    return sqls

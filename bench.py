@@ -43,6 +43,8 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "curate_training_docs", "events_user_sequence",
              "events_value_percent_rank", "customer_events_left_join",
              "bm25_topk_docs", "events_value_rank",
+             "pmi_bigrams_docs", "events_scd2_intervals",
+             "kg_incremental_nodes",
              # kg_* secondary times include the mention-extraction /
              # KG-build prefix (fresh session each, no cached result)
              "kg_cooccurrence", "kg_pagerank"]

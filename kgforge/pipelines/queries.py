@@ -1409,6 +1409,72 @@ def kg_triangles(sf_dir: str):
     return triangle_counts(edges)
 
 
+_KG_INCR_CACHE: dict = {}
+
+
+def _kg_incremental(sf_dir: str):
+    """Two-batch incremental build: snapshot state from the even-url
+    half of the corpus, then the odd half applied as a delta.  Because
+    the LWW state merge is associative/commutative, the result is
+    bit-identical to the full rebuild — the gate reuses the full
+    kg_nodes/kg_edges oracles to prove it."""
+    if sf_dir in _KG_INCR_CACHE:
+        return _KG_INCR_CACHE[sf_dir]
+    from ..keys import hash64
+    from .kg_build import KGBuildConfig, _fused_normalized
+    from .kg_update import apply_delta, compact_state
+    corpus_dir, pages_path = pages_for_sf(sf_dir)
+    with open(f"{corpus_dir}/ontology.json") as fh:
+        ontology_json = fh.read()
+    with open(f"{corpus_dir}/aliases.json") as fh:
+        alias_map = json.load(fh)
+    cfg = KGBuildConfig(ontology_json=ontology_json, alias_map=alias_map)
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            urls = t.column("url").to_pylist()
+            keep = [hash64(u) % 2 == parity for u in urls]
+            return t.filter(pa.array(keep))
+        return f
+
+    pages = ray.data.read_parquet(pages_path)
+    state = compact_state(
+        _fused_normalized(pages.map_batches(half(0),
+                                            batch_format="pyarrow"),
+                          cfg), cfg).materialize()
+    delta = _fused_normalized(pages.map_batches(half(1),
+                                                batch_format="pyarrow"),
+                              cfg)
+    nodes, edges, _new_state = apply_delta(state, delta, cfg)
+    res = (nodes, edges.materialize())
+    _KG_INCR_CACHE.clear()
+    _KG_INCR_CACHE[sf_dir] = res
+    return res
+
+
+def kg_incremental_nodes(sf_dir: str):
+    """Node table from the two-batch incremental build — must equal
+    the full-rebuild kg_nodes oracle exactly."""
+    _ensure_gate_artifact(sf_dir)
+    return _kg_incremental(sf_dir)[0]
+
+
+def kg_incremental_edges(sf_dir: str):
+    """Edge table from the two-batch incremental build — must equal
+    the full-rebuild kg_edges oracle exactly."""
+    _ensure_gate_artifact(sf_dir)
+    return _kg_incremental(sf_dir)[1]
+
+
+def pmi_bigrams_docs(sf_dir: str):
+    """Top-100 collocations by PMI ratio (the log-free monotone
+    equivalent — bit-exact against DuckDB, unlike ln-based scores)."""
+    from ..stages.relational import pmi_collocations
+    return pmi_collocations(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]),
+                            min_count=5, k=100)
+
+
 def kg_link_prediction(sf_dir: str):
     """Top-20 predicted links of the built KG by neighborhood Jaccard
     (non-edge distance-2 pairs; inter/union integer-exact, jaccard is

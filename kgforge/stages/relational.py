@@ -647,3 +647,117 @@ def deterministic_shuffle(ds: Dataset, id_col: str = "doc_id",
               .map_batches(keyed, batch_format="pyarrow")
               .groupby("shard")
               .map_groups(fold, batch_format="pandas"))
+
+
+def pmi_collocations(ds: Dataset, text_col: str = "text",
+                     min_count: int = 5, k: int = 100,
+                     n_buckets: int = N_BUCKETS) -> Dataset:
+    """Top-k collocations by pointwise mutual information.  PMI =
+    ``ln(P(xy) / (P(x)P(y)))`` is monotone in the exact rational
+    ``(c_xy * U * U) / (B * c_x * c_y)`` (U = total tokens, B = total
+    bigrams), so the emitted ``pmi_ratio`` skips the log entirely:
+    every float op is mirrored left-associatively against the DuckDB
+    oracle, making score, order and values bit-exact (no ulp caveat —
+    the BM25 rank-only compromise is unnecessary here).
+    Log-monotone equivalence: report ``ln(pmi_ratio)`` downstream if
+    true PMI units are needed; top-k and ties are unaffected.
+
+    One corpus scan emits tagged count partials (unigrams + bigrams +
+    the two scalar totals) that fold in ONE coarse-bucket exchange;
+    the unigram vocabulary is collected and broadcast (~16 B/term —
+    at a 10M-term web vocabulary ~300 MB, the documented driver
+    bound; the scale path joins bigrams to unigram counts by token
+    bucket instead), while the larger bigram table stays distributed
+    through scoring and the final vocabulary-sized sort/limit."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(col, ""),
+                                       pattern="[ \t\n\f\r]+")
+        toks_per_doc = [[tk for tk in toks if tk]
+                        for toks in lists.to_pylist()]
+        uni: list[str] = []
+        grams: list[str] = []
+        n_bigrams = 0
+        for toks in toks_per_doc:
+            uni.extend(toks)
+            if len(toks) >= 2:
+                n_bigrams += len(toks) - 1
+                grams.extend(f"{a} {b}"
+                             for a, b in zip(toks, toks[1:]))
+        terms = [" U", " B"]
+        kinds = ["t", "t"]
+        ns = [len(uni), n_bigrams]
+        if uni:
+            vc = pd.Series(uni).value_counts()
+            terms += vc.index.tolist()
+            kinds += ["u"] * len(vc)
+            ns += [int(v) for v in vc.to_numpy()]
+        if grams:
+            vc = pd.Series(grams).value_counts()
+            terms += vc.index.tolist()
+            kinds += ["b"] * len(vc)
+            ns += [int(v) for v in vc.to_numpy()]
+        buckets = [zlib.crc32(f"{kd}\x1f{tm}".encode("utf-8"))
+                   % n_buckets for kd, tm in zip(kinds, terms)]
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "kind": pa.array(kinds, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby(["kind", "term"], as_index=False)["n"].sum()
+        a["n"] = a["n"].astype(np.int64)
+        return a[["kind", "term", "n"]]
+
+    counts = (ds.select_columns([text_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(fold, batch_format="pandas")
+                .materialize())
+
+    small = counts.filter(
+        expr="kind != 'b'").to_pandas()
+    tot = dict(zip(small[small["kind"] == "t"]["term"],
+                   small[small["kind"] == "t"]["n"]))
+    u_total = float(int(tot.get(" U", 0)))
+    b_total = float(int(tot.get(" B", 0)))
+    uc = small[small["kind"] == "u"]
+    uni_map = dict(zip(uc["term"], uc["n"].astype(np.int64)))
+    uni_ref = ray.put(uni_map)
+
+    def score(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t.column("kind"), "b"),
+                       pc.greater_equal(t.column("n"), min_count))
+        t = t.filter(mask)
+        if t.num_rows == 0 or b_total == 0.0:
+            return pa.table({"x": pa.array([], pa.string()),
+                             "y": pa.array([], pa.string()),
+                             "n_xy": pa.array([], pa.int64()),
+                             "n_x": pa.array([], pa.int64()),
+                             "n_y": pa.array([], pa.int64()),
+                             "pmi_ratio": pa.array([], pa.float64())})
+        um = ray.get(uni_ref)
+        grams = t.column("term").to_pylist()
+        xs, ys = zip(*(g.split(" ", 1) for g in grams))
+        cxy = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cx = np.array([um[x] for x in xs], np.float64)
+        cy = np.array([um[y] for y in ys], np.float64)
+        # mirror of SQL left-assoc: (c_xy * U * U) / (B * c_x * c_y)
+        ratio = ((cxy * u_total) * u_total) / ((b_total * cx) * cy)
+        return pa.table({
+            "x": pa.array(list(xs), pa.string()),
+            "y": pa.array(list(ys), pa.string()),
+            "n_xy": pa.array(cxy.astype(np.int64), pa.int64()),
+            "n_x": pa.array(cx.astype(np.int64), pa.int64()),
+            "n_y": pa.array(cy.astype(np.int64), pa.int64()),
+            "pmi_ratio": pa.array(ratio, pa.float64())})
+
+    return (counts.map_batches(score, batch_format="pyarrow")
+            .sort(["pmi_ratio", "x", "y"],
+                  descending=[True, False, False])
+            .limit(k))

@@ -536,3 +536,51 @@ def test_neighborhood_jaccard_hand_built():
                       out.inter.astype(int), out.union_ct.astype(int),
                       out.jaccard))
     assert rows == [(1, 3, 2, 2, 1.0), (2, 4, 2, 2, 1.0)]
+
+
+def test_incremental_kg_state_roundtrip(tmp_path):
+    """Three-batch incremental build with the state persisted to
+    Parquet between deltas == one full rebuild (bit-identical node
+    table) — and delta order must not matter (LWW is commutative)."""
+    import json as _json
+    from kgforge.keys import hash64
+    from kgforge.pipelines.kg_build import (KGBuildConfig,
+                                            _fused_normalized, build_kg)
+    from kgforge.pipelines.kg_update import (apply_delta, compact_state,
+                                             read_state, write_state)
+    from kgforge.testing.corpus import write_corpus
+    d = str(tmp_path / "corpus")
+    write_corpus(d, n_pages=120, seed=23, n_files=3)
+    cfg = KGBuildConfig(
+        ontology_json=open(f"{d}/ontology.json").read(),
+        alias_map=_json.load(open(f"{d}/aliases.json")))
+    pages = ray.data.read_parquet(f"{d}/pages")
+
+    def part(r):
+        def f(t: pa.Table) -> pa.Table:
+            urls = t.column("url").to_pylist()
+            return t.filter(pa.array([hash64(u) % 3 == r for u in urls]))
+        return f
+
+    def nodes_df(ds):
+        return (ds.to_pandas().sort_values("node_key")
+                .reset_index(drop=True))
+
+    full = nodes_df(build_kg(pages, cfg).nodes)
+
+    for order in ([0, 1, 2], [2, 0, 1]):        # delta order irrelevant
+        state = compact_state(_fused_normalized(
+            pages.map_batches(part(order[0]), batch_format="pyarrow"),
+            cfg), cfg)
+        sp = str(tmp_path / f"state_{order[0]}")
+        write_state(state, sp)
+        nodes = None
+        for r in order[1:]:
+            state = read_state(sp)
+            delta = _fused_normalized(
+                pages.map_batches(part(r), batch_format="pyarrow"), cfg)
+            nodes, _edges, state = apply_delta(state, delta, cfg)
+            sp = str(tmp_path / f"state_{order[0]}_{r}")
+            write_state(state, sp)
+        pd.testing.assert_frame_equal(nodes_df(nodes), full,
+                                      check_exact=True)
