@@ -85,7 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": Q.kg_components,
         "kg_khop": Q.kg_khop,
         "kg_triangles": Q.kg_triangles,
+        "kg_clustering": Q.kg_clustering,
         "kg_link_prediction": Q.kg_link_prediction,
+        "events_winsorized_stats": Q.events_winsorized_stats,
         "kg_mentions": Q.kg_mentions,
         "kg_incremental_nodes": Q.kg_incremental_nodes,
         "kg_incremental_edges": Q.kg_incremental_edges,
@@ -487,6 +489,56 @@ def oracle_sql() -> dict[str, str]:
                         UNION ALL SELECT z FROM tri)
             SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles
             FROM corners GROUP BY node_id
+        """,
+        # local clustering coefficient over the co-mention graph:
+        # triangle counts LEFT JOINed onto degree->=2 nodes; the
+        # coefficient is one division of exact ints -> bit-equal
+        "kg_clustering": """
+            WITH pm AS (SELECT DISTINCT url_hash, node_id
+                        FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
+                        WHERE attr = ''),
+            c AS (SELECT DISTINCT x.node_id AS a, y.node_id AS b
+                  FROM pm x JOIN pm y ON x.url_hash = y.url_hash
+                   AND x.node_id < y.node_id),
+            nb AS (SELECT a AS u, b AS v FROM c
+                   UNION ALL SELECT b, a FROM c),
+            dg AS (SELECT u, count(*) AS d FROM nb GROUP BY u),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM c e1
+                    JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (SELECT x AS node_id FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri),
+            tc AS (SELECT node_id, count(*) AS t FROM corners
+                   GROUP BY node_id)
+            SELECT dg.u AS node_id, CAST(dg.d AS BIGINT) AS degree,
+                   CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+                   CAST(2 * coalesce(tc.t, 0) AS DOUBLE) /
+                       (dg.d * (dg.d - 1)) AS clustering
+            FROM dg LEFT JOIN tc ON dg.u = tc.node_id
+            WHERE dg.d >= 2
+        """,
+        # winsorized per-group stats: discrete P5/P95 clip, integer
+        # cents, one final division
+        "events_winsorized_stats": """
+            WITH th AS (SELECT event_type,
+                               quantile_disc(value, 0.05) AS lo,
+                               quantile_disc(value, 0.95) AS hi
+                        FROM events WHERE value IS NOT NULL
+                        GROUP BY event_type),
+            c AS (SELECT e.event_type,
+                         CAST(round(least(greatest(e.value, th.lo),
+                                          th.hi) * 100) AS BIGINT)
+                             AS cents
+                  FROM events e JOIN th USING (event_type)
+                  WHERE e.value IS NOT NULL)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS win_sum_cents,
+                   CAST(sum(cents) AS DOUBLE) / count(*)
+                       AS win_mean_cents
+            FROM c GROUP BY event_type
         """,
         # neighborhood-Jaccard link prediction over the (re-derived)
         # KG edge oracle: symmetrized adjacency, shared-neighbor

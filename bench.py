@@ -44,6 +44,7 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "events_value_percent_rank", "customer_events_left_join",
              "bm25_topk_docs", "events_value_rank",
              "pmi_bigrams_docs", "events_scd2_intervals",
+             "events_winsorized_stats",
              "kg_incremental_nodes",
              # kg_* secondary times include the mention-extraction /
              # KG-build prefix (fresh session each, no cached result)

@@ -1355,18 +1355,13 @@ def events_value_rank(sf_dir: str):
     return grouped_rank(events, "event_type", "value", "event_id")
 
 
-def kg_triangles(sf_dir: str):
-    """Per-node triangle participation counts over the entity
-    CO-MENTION graph (two entities adjacent iff some page mentions
-    both) — the KG edge table itself is bipartite Person->Movie and
-    has no triangles, so the density analytics run on the co-mention
-    projection.  Degree-ordered orientation, wedge/edge tag-union
-    closing join (stages/graph.triangle_counts)."""
+def _comention_edges(sf_dir: str):
+    """(src_id, dst_id) co-mention pair list: two entities adjacent
+    iff some page mentions both (the KG edge table itself is bipartite
+    Person->Movie, so density analytics run on this projection)."""
     import pyarrow.compute as pc
-    from ..stages.graph import triangle_counts
     from .kg_build import KGBuildConfig, extract_mentions
     from .oracle_export import MentionOracleRows
-    _ensure_gate_artifact(sf_dir)
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
         ontology_json = fh.read()
@@ -1403,10 +1398,36 @@ def kg_triangles(sf_dir: str):
             "dst_id": pa.array(m["node_id_y"].to_numpy(np.uint64),
                                pa.uint64())})
 
-    edges = (pm.map_batches(bucket, batch_format="pyarrow")
-               .groupby("bucket").map_groups(pairs,
-                                             batch_format="pandas"))
-    return triangle_counts(edges)
+    return (pm.map_batches(bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(pairs,
+                                            batch_format="pandas"))
+
+
+def kg_triangles(sf_dir: str):
+    """Per-node triangle participation counts over the entity
+    co-mention graph — degree-ordered orientation, wedge/edge
+    tag-union closing join (stages/graph.triangle_counts)."""
+    from ..stages.graph import triangle_counts
+    _ensure_gate_artifact(sf_dir)
+    return triangle_counts(_comention_edges(sf_dir))
+
+
+def kg_clustering(sf_dir: str):
+    """Per-node local clustering coefficient of the co-mention graph
+    (nodes with degree >= 2; 2T/(d(d-1)) — one IEEE division of exact
+    integers, bit-exact vs the oracle)."""
+    from ..stages.graph import clustering_coefficient
+    _ensure_gate_artifact(sf_dir)
+    return clustering_coefficient(_comention_edges(sf_dir))
+
+
+def events_winsorized_stats(sf_dir: str):
+    """Per-event-type winsorized (P5/P95-clipped) count, integer-cents
+    sum and mean — grouped exact quantiles broadcast back over one
+    clipping scan."""
+    from ..stages.relational import winsorized_group_stats
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    return winsorized_group_stats(events, "event_type", "value")
 
 
 _KG_INCR_CACHE: dict = {}

@@ -369,7 +369,7 @@ def _node_degrees(canon: Dataset) -> tuple[np.ndarray, np.ndarray]:
 
 def triangle_counts(edges: Dataset, src_col: str = "src_id",
                     dst_col: str = "dst_id",
-                    n_buckets: int = 64) -> Dataset:
+                    n_buckets: int = 64, _precomputed=None) -> Dataset:
     """Per-node triangle participation counts (node_id, n_triangles)
     over the undirected simple graph — nodes in no triangle are
     omitted.  Degree-ordered orientation bounds wedge volume to
@@ -384,9 +384,12 @@ def triangle_counts(edges: Dataset, src_col: str = "src_id",
     triangle counting is the standard clustering-coefficient /
     community-density read-side primitive."""
     MIX = np.uint64(0x9E3779B97F4A7C15)
-    canon = _canonical_edges(edges, src_col, dst_col, n_buckets)
-    canon = canon.materialize()
-    nodes, deg = _node_degrees(canon)
+    if _precomputed is not None:
+        canon, nodes, deg = _precomputed
+    else:
+        canon = _canonical_edges(edges, src_col, dst_col,
+                                 n_buckets).materialize()
+        nodes, deg = _node_degrees(canon)
     if len(nodes) == 0:
         return ray.data.from_arrow(pa.table({
             "node_id": pa.array([], pa.uint64()),
@@ -608,3 +611,40 @@ def neighborhood_jaccard(edges: Dataset, src_col: str = "src_id",
             .sort(["jaccard", "src_id", "dst_id"],
                   descending=[True, False, False])
             .limit(k))
+
+
+def clustering_coefficient(edges: Dataset, src_col: str = "src_id",
+                           dst_col: str = "dst_id",
+                           n_buckets: int = 64) -> pd.DataFrame:
+    """Per-node local clustering coefficient
+    ``2*T(v) / (deg(v) * (deg(v)-1))`` for every node with degree >= 2
+    (isolated/leaf nodes have no defined coefficient) — the standard
+    community-density read-out on top of :func:`triangle_counts`.
+    Returns a node-sized pandas DataFrame (node_id, degree,
+    n_triangles, clustering), the same driver bound as
+    :func:`pagerank` / :func:`connected_components`.  The numerator
+    and denominator are exact integers; the coefficient is ONE IEEE
+    division, so the DuckDB oracle matches bit-for-bit."""
+    canon = _canonical_edges(edges, src_col, dst_col,
+                             n_buckets).materialize()
+    nodes, deg = _node_degrees(canon)
+    if len(nodes) == 0:
+        return pd.DataFrame({
+            "node_id": pd.Series([], dtype=np.uint64),
+            "degree": pd.Series([], dtype=np.int64),
+            "n_triangles": pd.Series([], dtype=np.int64),
+            "clustering": pd.Series([], dtype=np.float64)})
+    tri = triangle_counts(edges, src_col, dst_col, n_buckets,
+                          _precomputed=(canon, nodes, deg)).to_pandas()
+    t = np.zeros(len(nodes), np.int64)
+    if len(tri):
+        pos = np.searchsorted(nodes, tri["node_id"].to_numpy(np.uint64))
+        t[pos] = tri["n_triangles"].to_numpy(np.int64)
+    keep = deg >= 2
+    d = deg[keep]
+    tk = t[keep]
+    cc = (2 * tk).astype(np.float64) / (d * (d - 1)).astype(np.float64)
+    return pd.DataFrame({"node_id": nodes[keep],
+                         "degree": d,
+                         "n_triangles": tk,
+                         "clustering": cc})

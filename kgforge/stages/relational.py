@@ -761,3 +761,67 @@ def pmi_collocations(ds: Dataset, text_col: str = "text",
             .sort(["pmi_ratio", "x", "y"],
                   descending=[True, False, False])
             .limit(k))
+
+
+def winsorized_group_stats(ds: Dataset, group_col: str, col: str,
+                           lo_q: float = 0.05, hi_q: float = 0.95,
+                           n_buckets: int = N_BUCKETS) -> Dataset:
+    """Per-group winsorized (percentile-clipped) statistics — the
+    robust aggregate a curation pipeline uses when raw means are
+    outlier-dominated.  Exact discrete P_lo/P_hi per group come from
+    ONE :func:`grouped_quantiles` pass (group-count-sized result,
+    broadcast back); a second scan clips values to [lo, hi], converts
+    to integer cents (the repo's exact-sum trick) and pre-aggregates
+    per batch, then one tiny group fold emits
+    ``(group, n, win_sum_cents, win_mean_cents)``.  Counts and sums
+    are integer-exact; the mean is ONE IEEE division, so the DuckDB
+    oracle matches bit-for-bit."""
+    import ray
+
+    th = grouped_quantiles(ds, group_col, col,
+                           [lo_q, hi_q], n_buckets).to_pandas()
+    lo_map = dict(zip(th[th["q"] == lo_q][group_col],
+                      th[th["q"] == lo_q]["value"]))
+    hi_map = dict(zip(th[th["q"] == hi_q][group_col],
+                      th[th["q"] == hi_q]["value"]))
+    th_ref = ray.put((lo_map, hi_map))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, col]).filter(t.column(col).is_valid())
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        lo_m, hi_m = ray.get(th_ref)
+        g = t.column(group_col).to_pylist()
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        lo = np.array([lo_m[x] for x in g], np.float64)
+        hi = np.array([hi_m[x] for x in g], np.float64)
+        clipped = np.minimum(np.maximum(v, lo), hi)
+        cents = np.floor(clipped * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({group_col: g, "c": cents})
+        agg = df.groupby(group_col).agg(n=("c", "size"), s=("c", "sum"))
+        return pa.table({
+            group_col: pa.array(agg.index.tolist(), pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(agg["s"].to_numpy(np.int64), pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(group_col).agg(n=("n", "sum"), s=("s", "sum"))
+        n = agg["n"].to_numpy(np.int64)
+        s = agg["s"].to_numpy(np.int64)
+        mean = s.astype(np.float64) / n.astype(np.float64)
+        return pa.table({
+            group_col: pa.array(agg.index.tolist(), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "win_sum_cents": pa.array(s, pa.int64()),
+            "win_mean_cents": pa.array(mean, pa.float64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", _key_bucket(t.column(group_col), n_buckets))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(fold, batch_format="pandas"))

@@ -584,3 +584,29 @@ def test_incremental_kg_state_roundtrip(tmp_path):
             write_state(state, sp)
         pd.testing.assert_frame_equal(nodes_df(nodes), full,
                                       check_exact=True)
+
+
+def test_clustering_coefficient_hand_built():
+    """Triangle {1,2,3} + pendant 3-4: cc(1)=cc(2)=1.0, cc(3)=1/3,
+    node 4 (degree 1) excluded."""
+    from kgforge.stages.graph import clustering_coefficient
+    e = pa.table({"src_id": pa.array([1, 2, 1, 3], pa.uint64()),
+                  "dst_id": pa.array([2, 3, 3, 4], pa.uint64())})
+    out = clustering_coefficient(ray.data.from_arrow(e))
+    got = dict(zip(out.node_id.astype(int), out.clustering))
+    assert got == {1: 1.0, 2: 1.0, 3: 2 / 6}
+
+
+def test_winsorized_group_stats_clips():
+    """An outlier is clipped to the group's P95 before the mean."""
+    from kgforge.stages.relational import winsorized_group_stats
+    vals = [1.0] * 19 + [1000.0]
+    t = pa.table({"event_type": ["a"] * 20,
+                  "value": pa.array(vals, pa.float64())})
+    out = (winsorized_group_stats(ray.data.from_arrow(t),
+                                  "event_type", "value")
+           .to_pandas())
+    # P95 of 20 sorted values = rank ceil(.95*20)-1 = 18 -> 1.0
+    assert int(out.n[0]) == 20
+    assert int(out.win_sum_cents[0]) == 2000
+    assert float(out.win_mean_cents[0]) == 100.0
