@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering": Q.kg_clustering,
         "kg_link_prediction": Q.kg_link_prediction,
         "events_winsorized_stats": Q.events_winsorized_stats,
+        "events_funnel": Q.events_funnel,
         "kg_mentions": Q.kg_mentions,
         "kg_incremental_nodes": Q.kg_incremental_nodes,
         "kg_incremental_edges": Q.kg_incremental_edges,
@@ -519,6 +520,28 @@ def oracle_sql() -> dict[str, str]:
                        (dg.d * (dg.d - 1)) AS clustering
             FROM dg LEFT JOIN tc ON dg.u = tc.node_id
             WHERE dg.d >= 2
+        """,
+        # greedy earliest-completion funnel: each step's reach-set is
+        # min-ts per user filtered strictly after the previous step
+        "events_funnel": """
+            WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS ts
+                   FROM events e JOIN t1 ON e.user_id = t1.user_id
+                    AND e.ts > t1.ts
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS ts
+                   FROM events e JOIN t2 ON e.user_id = t2.user_id
+                    AND e.ts > t2.ts
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 'view',
+               CAST((SELECT count(*) FROM t1) AS BIGINT)),
+              (CAST(2 AS BIGINT), 'click',
+               CAST((SELECT count(*) FROM t2) AS BIGINT)),
+              (CAST(3 AS BIGINT), 'purchase',
+               CAST((SELECT count(*) FROM t3) AS BIGINT)))
+              AS v(step, event_type, n_users)
         """,
         # winsorized per-group stats: discrete P5/P95 clip, integer
         # cents, one final division

@@ -1421,6 +1421,17 @@ def kg_clustering(sf_dir: str):
     return clustering_coefficient(_comention_edges(sf_dir))
 
 
+def events_funnel(sf_dir: str):
+    """view -> click -> purchase conversion funnel (greedy
+    earliest-completion, strictly-later steps) — per-step user
+    counts, integer-exact."""
+    from ..stages.windows import funnel_counts
+    events = _read(sf_dir, "events",
+                   columns=["user_id", "event_type", "ts"])
+    return funnel_counts(events, "user_id", "event_type", "ts",
+                         ["view", "click", "purchase"])
+
+
 def events_winsorized_stats(sf_dir: str):
     """Per-event-type winsorized (P5/P95-clipped) count, integer-cents
     sum and mean — grouped exact quantiles broadcast back over one

@@ -445,3 +445,52 @@ def scd2_intervals(ds: Dataset, key_col: str, state_col: str,
                 [key_col, state_col, ts_col, id_col]), key_col)
             .groupby("bucket")
             .map_groups(fold, batch_format="pandas"))
+
+
+def funnel_counts(ds: Dataset, key_col: str, type_col: str,
+                  ts_col: str, steps: list[str]) -> Dataset:
+    """Ordered conversion funnel: for each step i, the number of keys
+    that performed ``steps[0]``, then ``steps[1]`` STRICTLY later,
+    then ``steps[2]`` strictly later than that, ... (greedy
+    earliest-completion semantics — the standard product-analytics
+    funnel).  Output: one row per step (step, event_type, n_users).
+
+    One coarse-bucket shuffle co-locates each key's events; the fold
+    resolves every step for ALL its keys with vectorized pandas
+    merges (min-ts per key, filter ts > previous step's ts, min
+    again — no per-key loop) and emits per-bucket partial counts;
+    the 3-row final fold is trivial.  Partitioning assumption: one
+    key's history fits one worker."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out_n = []
+        cur = None            # DataFrame [key, _ts] of keys at step i
+        for i, s in enumerate(steps):
+            ev = g[g[type_col] == s][[key_col, ts_col]]
+            if cur is not None:
+                ev = ev.merge(cur, on=key_col, suffixes=("", "_prev"))
+                ev = ev[ev[ts_col] > ev[f"{ts_col}_prev"]]
+                ev = ev[[key_col, ts_col]]
+            cur = (ev.groupby(key_col, as_index=False)[ts_col].min()
+                   if len(ev) else ev.iloc[:0])
+            out_n.append(len(cur))
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "event_type": steps,
+            "n_users": np.asarray(out_n, np.int64)})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby(["step", "event_type"], as_index=False)[
+            "n_users"].sum()
+        a["step"] = a["step"].astype(np.int64)
+        a["n_users"] = a["n_users"].astype(np.int64)
+        return a
+
+    return (_bucketed(ds.select_columns(
+                [key_col, type_col, ts_col]), key_col)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas")
+            .groupby("step")
+            .map_groups(final, batch_format="pandas"))

@@ -610,3 +610,20 @@ def test_winsorized_group_stats_clips():
     assert int(out.n[0]) == 20
     assert int(out.win_sum_cents[0]) == 2000
     assert float(out.win_mean_cents[0]) == 100.0
+
+
+def test_funnel_counts_hand_built():
+    """User 1 completes all 3 steps; user 2 clicks BEFORE viewing (no
+    step-2 credit); user 3 views only; purchase before click (user 1's
+    second purchase path) requires strict ordering."""
+    from kgforge.stages.windows import funnel_counts
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 1], pa.int64()),
+        "event_type": ["view", "click", "purchase",
+                       "click", "view", "view", "purchase"],
+        "ts": pa.array([10, 20, 30, 5, 8, 1, 15], pa.timestamp("us"))})
+    out = (funnel_counts(ray.data.from_arrow(t), "user_id",
+                         "event_type", "ts",
+                         ["view", "click", "purchase"])
+           .to_pandas().sort_values("step"))
+    assert list(out.n_users.astype(int)) == [3, 1, 1]
