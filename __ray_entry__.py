@@ -901,6 +901,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
             ORDER BY id_a, id_b
         """,
+        # simhash gate: the engine's token hash is the first 8 bytes of
+        # md5(token) (hashing.token_hash64_md5) precisely so DuckDB can
+        # re-derive the full signature; 4×16-bit band blocking is EXACT
+        # for Hamming<=3 by pigeonhole, so the brute-force all-pairs SQL
+        # is the true semantics, not an approximation of it
+        "dedup_simhash_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                         AS tok
+              FROM documents),
+            th AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+              FROM toks),
+            votes AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+              GROUP BY 1, 2),
+            sig0 AS (
+              SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                                  END), 0)::UBIGINT AS sig
+              FROM votes GROUP BY doc_id),
+            sig AS (
+              SELECT d.doc_id, COALESCE(s.sig, 0::UBIGINT) AS sig
+              FROM documents d LEFT JOIN sig0 s USING (doc_id))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+            ORDER BY id_a, id_b
+        """,
         "token_stats_docs": r"""
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)

@@ -7,6 +7,7 @@ blake2 based, with numpy-vectorized minhash/simhash kernels.
 from __future__ import annotations
 
 import hashlib
+import re
 import zlib
 
 import numpy as np
@@ -86,32 +87,40 @@ def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
     return band_hash_matrix(sig[None, :], n_bands)[0].tolist()
 
 
-_SIMHASH_A = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
-_SIMHASH_B = np.uint64(0xBF58476D1CE4E5B9)
 _BIT_IDX = np.arange(64, dtype=np.uint64)
+# RE2 '\S+' semantics ([^ \t\n\f\r]) — matches the DuckDB oracle's
+# regexp_extract_all(text, '\S+'); Python str.split() would also split
+# on Unicode whitespace (NBSP,  , …) and silently disagree.
+_TOKEN_SPLIT = re.compile(r"[^ \t\n\f\r]+")
+
+
+def token_hash64_md5(token: str) -> int:
+    """First 8 bytes (big-endian) of md5(token) as a uint64 — chosen so
+    a SQL engine can replicate it exactly:
+    ``('0x' || substr(md5(tok), 1, 16))::UBIGINT`` in DuckDB."""
+    return int.from_bytes(
+        hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
 
 
 def simhash64(text: str) -> int:
-    """64-bit simhash over whitespace tokens.
+    """64-bit simhash over RE2-``\\S+`` tokens with md5-derived token
+    hashes (oracle-able: every step is replicable in plain SQL, see
+    :func:`token_hash64_md5`).  Bit ``i`` of the signature is set when
+    ``sum over token occurrences of (2*((h>>i)&1) - 1) > 0``.
 
-    Token → crc32 → splitmix-style uint64 mix (vectorized); bit votes
-    summed as a (tokens × 64) matrix — no per-token Python hashing."""
-    toks = text.split()
+    Duplicate tokens vote once per occurrence (occurrence counts weight
+    the votes); the md5 loop runs once per UNIQUE token."""
+    toks = _TOKEN_SPLIT.findall(text)
     if not toks:
         return 0
-    crcs = np.fromiter((zlib.crc32(t.encode("utf-8")) for t in toks),
-                       dtype=np.uint64, count=len(toks))
-    with np.errstate(over="ignore"):
-        h = (crcs * _SIMHASH_A + _SIMHASH_B)
-        h ^= h >> np.uint64(31)
-        h = h * _SIMHASH_B
-        h ^= h >> np.uint64(29)
-    bits = ((h[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int64)
-    votes = (bits * 2 - 1).sum(axis=0)
-    out = np.uint64(0)
+    uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+    hs = np.fromiter((token_hash64_md5(t) for t in uniq),
+                     dtype=np.uint64, count=len(uniq))
+    bits = ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
     mask = votes > 0
-    out = int(np.sum((np.uint64(1) << _BIT_IDX)[mask]))
-    return out
+    return int(np.sum((np.uint64(1) << _BIT_IDX)[mask]))
 
 
 def hamming64(a: int, b: int) -> int:
