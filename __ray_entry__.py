@@ -167,6 +167,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": Q.multimodal_decode,
         "multimodal_audio_energy": Q.multimodal_audio_energy,
         "curate_training_docs": Q.curate_training_docs,
+        # wave 4: bloom membership, feature normalization, rollup,
+        # histogram, robust stats, running totals, full outer join
+        "bloom_probe_customers": Q.bloom_probe_customers,
+        "events_zscore_by_type": Q.events_zscore_by_type,
+        "events_rollup": Q.events_rollup,
+        "events_value_histogram": Q.events_value_histogram,
+        "events_mad_by_type": Q.events_mad_by_type,
+        "events_user_running_total": Q.events_user_running_total,
+        "customer_events_full_outer": Q.customer_events_full_outer,
     }
 
 
@@ -987,6 +996,31 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang
         """,
+        # winnowing fingerprint: the engine keeps the md5 prefix AS a
+        # fixed-width lowercase hex STRING so lexicographic MIN equals
+        # numeric MIN — every step below is the exact engine semantics
+        "fingerprint_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(COALESCE(text, ''), '\S+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, array_to_string(toks[i + 1:i + 5], ' ') AS gram
+              FROM t, UNNEST(range(len(toks) - 4)) AS u(i)
+              WHERE len(toks) >= 5
+              UNION ALL
+              SELECT doc_id, array_to_string(toks, ' ') AS gram
+              FROM t WHERE len(toks) BETWEEN 1 AND 4),
+            f AS (
+              SELECT doc_id, MIN(substr(md5(gram), 1, 16)) AS fingerprint,
+                     COUNT(*) AS n_grams
+              FROM g GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(f.fingerprint, '') AS fingerprint,
+                   CAST(COALESCE(f.n_grams, 0) AS BIGINT) AS n_grams
+            FROM documents d LEFT JOIN f USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         # stopword-profile language ID: per-language stopword hit counts,
         # winner = alphabetically-first argmax (matching the scorer's
         # first-strictly-greater scan), 'und' when no stopword hits
@@ -1547,6 +1581,115 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_dups,
                    CAST(min(n_tokens) AS BIGINT) AS n_tokens
             FROM gated GROUP BY text ORDER BY doc_id
+        """,
+        # Bloom filter: bit positions are md5-derived (see
+        # sketches._bloom_positions) so the WHOLE filter — false
+        # positives included — re-derives in SQL; a probe key hits iff
+        # every one of its 4 positions is set by SOME build key
+        "bloom_probe_customers": r"""
+            WITH js AS (SELECT unnest(range(4)) AS j),
+            bbits AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)
+                          || ':' || CAST(j AS VARCHAR)), 1, 16))::UBIGINT
+                         % CAST(65536 AS UBIGINT) AS pos
+              FROM orders, js),
+            pbits AS (
+              SELECT c_custkey,
+                     ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                          || ':' || CAST(j AS VARCHAR)), 1, 16))::UBIGINT
+                         % CAST(65536 AS UBIGINT) AS pos
+              FROM customer, js)
+            SELECT p.c_custkey,
+                   BOOL_AND(b.pos IS NOT NULL) AS bloom_hit
+            FROM pbits p LEFT JOIN bbits b USING (pos)
+            GROUP BY p.c_custkey ORDER BY p.c_custkey
+        """,
+        # z-score: integer-exact moments (HUGEINT sumsq), then the
+        # engine's EXACT IEEE expression tree — mean = s/n, var =
+        # (ss - s*s/n)/n, std = sqrt(var) guarded var>0, z = (c-mean)/std
+        "events_zscore_by_type": r"""
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL),
+            st AS (
+              SELECT event_type, COUNT(*) AS n, SUM(cents) AS s,
+                     SUM(CAST(cents AS HUGEINT) * cents) AS ss
+              FROM c GROUP BY event_type),
+            sv AS (
+              SELECT event_type, CAST(s AS DOUBLE) / n AS mean,
+                     (CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n
+                         AS var
+              FROM st),
+            sz AS (
+              SELECT event_type, mean,
+                     CASE WHEN var > 0 THEN sqrt(var) ELSE 0.0 END AS std
+              FROM sv)
+            SELECT c.event_id, c.event_type, c.cents AS value_cents,
+                   CASE WHEN sz.std = 0 THEN 0.0
+                        ELSE (CAST(c.cents AS DOUBLE) - sz.mean) / sz.std
+                   END AS z
+            FROM c JOIN sz USING (event_type) ORDER BY c.event_id
+        """,
+        "events_rollup": r"""
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   CAST(COALESCE(hour, -1) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hour,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL)
+            GROUP BY ROLLUP(event_type, hour)
+            ORDER BY event_type, hour
+        """,
+        "events_value_histogram": r"""
+            WITH c AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL)
+            SELECT CAST(floor(cents / 500.0) AS BIGINT) AS bin,
+                   CAST(CAST(floor(cents / 500.0) AS BIGINT) * 500
+                        AS BIGINT) AS lo_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM c GROUP BY 1, 2 ORDER BY bin
+        """,
+        # both medians are quantile_disc (rank ceil(q*n)-1) on integer
+        # cents — the same rank formula grouped_quantiles implements
+        "events_mad_by_type": r"""
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL),
+            m AS (
+              SELECT event_type, quantile_disc(cents, 0.5) AS med
+              FROM c GROUP BY event_type),
+            d AS (
+              SELECT c.event_type, abs(c.cents - m.med) AS dev
+              FROM c JOIN m USING (event_type))
+            SELECT m.event_type, CAST(m.med AS BIGINT) AS median_cents,
+                   CAST(quantile_disc(d.dev, 0.5) AS BIGINT) AS mad_cents
+            FROM d JOIN m USING (event_type)
+            GROUP BY m.event_type, m.med ORDER BY m.event_type
+        """,
+        "events_user_running_total": r"""
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS running_cents
+            FROM events ORDER BY event_id
+        """,
+        "customer_events_full_outer": r"""
+            WITH uc AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY user_id)
+            SELECT COALESCE(c.c_custkey, uc.user_id) AS cust_key,
+                   COALESCE(c.c_name, '') AS c_name,
+                   CAST(COALESCE(uc.n_events, 0) AS BIGINT) AS n_events
+            FROM customer c FULL OUTER JOIN uc ON c.c_custkey = uc.user_id
+            ORDER BY cust_key
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

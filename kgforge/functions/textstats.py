@@ -9,6 +9,7 @@ are compiled once at module import.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
@@ -100,19 +101,40 @@ class LangIdScorer:
         return batch
 
 
-def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Deterministic 64-bit rolling document fingerprint: crc32 of each
-    whitespace token folded with a polynomial rolling combine — stable
-    across processes (no salted ``hash()``)."""
+_FP_TOKEN_SPLIT = re.compile(r"[^ \t\n\f\r]+")  # RE2 '\S+' semantics
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      gram_n: int = 5) -> pa.Table:
+    """Winnowing-style document fingerprint (Schleimer et al., MOSS):
+    the minimum md5-derived hash over the document's rolling token
+    ``gram_n``-gram windows, plus the window count.
+
+    The hash is the first 16 hex chars of ``md5(gram)`` kept AS a hex
+    string — fixed-width lowercase hex makes lexicographic MIN equal to
+    numeric MIN, so DuckDB re-derives the fingerprint exactly
+    (``MIN(substr(md5(gram), 1, 16))`` over the same windows); min is
+    order-independent, which is what makes a rolling scheme
+    SQL-checkable at all.  Shorter-than-``gram_n`` docs fingerprint the
+    whole token list as one window; token-less docs get ``""``/0."""
     texts = batch.column(text_col).to_pylist()
-    prints = np.zeros(len(texts), dtype=np.uint64)
+    fps: list[str] = []
+    ngrams = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        h = np.uint64(1469598103934665603)  # FNV-1a offset basis
-        for tok in (t or "").split():
-            c = np.uint64(zlib.crc32(tok.encode("utf-8")))
-            h = np.uint64((int(h) * 1099511628211 ^ int(c)) & 0xFFFFFFFFFFFFFFFF)
-        prints[i] = h
-    return batch.append_column("fingerprint", pa.array(prints, pa.uint64()))
+        toks = _FP_TOKEN_SPLIT.findall(t or "")
+        if not toks:
+            fps.append("")
+            continue
+        if len(toks) < gram_n:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[j:j + gram_n])
+                     for j in range(len(toks) - gram_n + 1)]
+        fps.append(min(hashlib.md5(g.encode("utf-8")).hexdigest()[:16]
+                       for g in grams))
+        ngrams[i] = len(grams)
+    batch = batch.append_column("fingerprint", pa.array(fps, pa.string()))
+    return batch.append_column("n_grams", pa.array(ngrams, pa.int64()))
 
 
 def repetition_stats_batch(batch: pa.Table,

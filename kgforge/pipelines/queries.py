@@ -470,9 +470,11 @@ def langid_docs(sf_dir: str):
 
 
 def fingerprint_docs(sf_dir: str):
+    """Winnowing document fingerprints — SQL-oracled (min of md5-hex
+    token-5-gram hashes; see ``fingerprint_batch``)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return (docs.map_batches(fingerprint_batch, batch_format="pyarrow")
-                .select_columns(["doc_id", "fingerprint"]))
+                .select_columns(["doc_id", "fingerprint", "n_grams"]))
 
 
 def normalize_docs(sf_dir: str):
@@ -1545,3 +1547,124 @@ def bm25_topk_docs(sf_dir: str):
                  "q_sort": ["merge", "sort"],
                  "q_stream": ["batch", "stream", "window"]})
     return out[["query_id", "doc_id", "rnk"]]
+
+
+# ---------------------------------------------------------------------------
+# wave-4 operators: bloom membership, feature normalization, rollup,
+# histogram, robust stats, running totals, full outer join
+# ---------------------------------------------------------------------------
+
+
+def bloom_probe_customers(sf_dir: str):
+    """Bloom-filter membership: build over ``orders.o_custkey``
+    (mergeable per-block bitmaps, fixed m/8 bytes each), probe every
+    ``customer.c_custkey``.  md5-derived bit positions make the whole
+    filter SQL-re-derivable, so the gate checks the exact verdict
+    per key (false positives included)."""
+    from ..stages.sketches import bloom_build, bloom_probe
+    bm = bloom_build(_read(sf_dir, "orders", columns=["o_custkey"]),
+                     "o_custkey")
+    return (bloom_probe(_read(sf_dir, "customer", columns=["c_custkey"]),
+                        "c_custkey", bm)
+            .select_columns(["c_custkey", "bloom_hit"]))
+
+
+def events_zscore_by_type(sf_dir: str):
+    """Per-event-type z-score feature normalization (exact integer
+    moments, IEEE-mirrored mean/std/z expression tree)."""
+    from ..stages.relational import grouped_zscore
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "value"])
+    return grouped_zscore(events, "event_type", "value",
+                          keep_cols=["event_id"])
+
+
+def events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, hour) counts + exact cents sums;
+    sentinel 'ALL' / -1 marks the rolled-up levels."""
+    from ..stages.relational import rollup_aggregate
+    events = _read(sf_dir, "events",
+                   columns=["ts", "event_type", "value"])
+
+    def with_hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour",
+                               pc.hour(t.column("ts")).cast(pa.int64()))
+
+    return rollup_aggregate(
+        events.map_batches(with_hour, batch_format="pyarrow"),
+        [("event_type", "ALL"), ("hour", -1)], "value")
+
+
+def events_value_histogram(sf_dir: str):
+    """Fixed-width (5.00) histogram of event values: per-bin count and
+    exact cents sum."""
+    from ..stages.relational import fixed_width_histogram
+    return fixed_width_histogram(
+        _read(sf_dir, "events", columns=["value"]), "value",
+        width_cents=500)
+
+
+def events_mad_by_type(sf_dir: str):
+    """Per-type median + MAD on integer cents — exact discrete
+    quantiles both passes."""
+    from ..stages.relational import grouped_mad
+    out = grouped_mad(_read(sf_dir, "events",
+                            columns=["event_type", "value"]),
+                      "event_type", "value")
+    # one row per group (grouped_quantiles emits one row per (g, q))
+    return out
+
+
+def events_user_running_total(sf_dir: str):
+    """Per-user running value total ordered by (ts, event_id) — the
+    cumulative-sum window on exact cents."""
+    from ..stages.windows import grouped_running_sum
+    return grouped_running_sum(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]))
+
+
+def customer_events_full_outer(sf_dir: str):
+    """FULL OUTER join of the customer dimension with per-user event
+    counts: customers with no events keep n_events = 0, event users
+    with no customer row keep c_name = '' — both sides survive.  The
+    per-user counts pre-aggregate with the usual combiner → bucket
+    fold, so the join's right side is user-count-sized, not
+    event-count-sized."""
+    from ..stages.joins import full_outer_join
+    events = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+        vc = _pd.Series(t.column("user_id").to_pylist()).value_counts()
+        return pa.table({
+            "user_id": pa.array(vc.index.to_numpy(np.int64), pa.int64()),
+            "n": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_bucket",
+                               pa.array(u % 32, pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("user_id")["n"].sum()
+        return pa.table({
+            "user_id": pa.array(agg.index.to_numpy(np.int64), pa.int64()),
+            "n_events": pa.array(agg.to_numpy(np.int64), pa.int64())})
+
+    counts = (events.map_batches(partial, batch_format="pyarrow")
+                    .map_batches(bucket, batch_format="pyarrow")
+                    .groupby("_bucket")
+                    .map_groups(fold, batch_format="pandas"))
+    joined = full_outer_join(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        counts, "c_custkey", "user_id", ["c_name"], ["n_events"],
+        key_name="cust_key")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust_key": t.column("cust_key"),
+            "c_name": t.column("c_name").fill_null(""),
+            "n_events": t.column("n_events").fill_null(0)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -17,6 +17,7 @@ Two exact strategies, picked by node-table size:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -358,3 +359,73 @@ def left_outer_join(left: Dataset, right: Dataset, left_col: str,
             merge_bucket, batch_format="pandas")
 
     raise ValueError(f"unknown left-join strategy {strategy!r}")
+
+
+def full_outer_join(left: Dataset, right: Dataset, left_col: str,
+                    right_col: str, left_vals: list[str],
+                    right_vals: list[str], num_partitions: int = 32,
+                    key_name: str = "key") -> Dataset:
+    """General FULL OUTER equi-join: rows from BOTH sides survive,
+    matches pair up (duplicated keys produce the SQL cartesian per
+    key), one-sided keys fill the other side's columns with null.
+
+    Same macro shape as :func:`left_outer_join`'s shuffle path — ONE
+    tag-union sort shuffle (``Dataset.join`` deliberately avoided, see
+    :func:`_semi_join_shuffle`) with a per-bucket vectorized pandas
+    outer merge; every output column is rebuilt at its declared arrow
+    type so block schemas are identical whatever mix of matched /
+    left-only / right-only keys a bucket holds.  int64 value columns
+    above 2^53 would lose precision through pandas' null-promotion to
+    float — keep such ids on the key, not in ``*_vals`` (same caveat
+    as the left join)."""
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = {n: arrow_type_of(t)
+              for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: arrow_type_of(t)
+              for n, t in zip(rschema.names, rschema.types)}
+    key_type = ltypes[left_col]
+    final_cols = [key_name] + left_vals + right_vals
+
+    def _prep(col, vals, side):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column(col).cast(key_type)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            cols = {key_name: k}
+            for v in left_vals:
+                cols[v] = (t.column(v) if side == 0
+                           else pa.nulls(len(k), ltypes[v]))
+            for v in right_vals:
+                cols[v] = (t.column(v) if side == 1
+                           else pa.nulls(len(k), rtypes[v]))
+            cols["_side"] = pa.array(np.full(len(k), side, np.int8))
+            out = pa.table(cols)
+            return out.append_column("_bucket",
+                                     key_bucket(k, num_partitions))
+        return f
+
+    tagged = (left.select_columns([left_col] + left_vals)
+              .map_batches(_prep(left_col, left_vals, 0),
+                           batch_format="pyarrow")
+              .union(right.select_columns([right_col] + right_vals)
+                     .map_batches(_prep(right_col, right_vals, 1),
+                                  batch_format="pyarrow")))
+
+    vtypes = {**{v: ltypes[v] for v in left_vals},
+              **{v: rtypes[v] for v in right_vals}}
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
+        l = g.loc[g["_side"] == 0, [key_name] + left_vals]
+        r = g.loc[g["_side"] == 1, [key_name] + right_vals]
+        m = l.merge(r, how="outer", on=key_name)[final_cols]
+        cols = {key_name: pa.Array.from_pandas(m[key_name],
+                                               type=key_type)}
+        for v in left_vals + right_vals:
+            arr = pa.Array.from_pandas(m[v])
+            cols[v] = (pa.nulls(len(arr), vtypes[v])
+                       if pa.types.is_null(arr.type)
+                       else arr.cast(vtypes[v], safe=False))
+        return pa.table(cols)
+
+    return tagged.groupby("_bucket").map_groups(
+        merge_bucket, batch_format="pandas")

@@ -825,3 +825,233 @@ def winsorized_group_stats(ds: Dataset, group_col: str, col: str,
               .map_batches(bucket, batch_format="pyarrow")
               .groupby("_bucket")
               .map_groups(fold, batch_format="pandas"))
+
+
+def _cents(v: np.ndarray) -> np.ndarray:
+    """The repo's exact-sum representation: ``round(value * 100)`` as
+    int64 (mirrors DuckDB ``CAST(round(value*100) AS BIGINT)`` for the
+    non-negative values this corpus carries)."""
+    return np.floor(np.asarray(v, np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+def grouped_zscore(ds: Dataset, group_col: str, col: str,
+                   keep_cols: list[str] | None = None) -> Dataset:
+    """Per-group z-score feature normalization with EXACT integer
+    moments — the standard feature-scaling pass of a training-data
+    pipeline, kept bit-identical to its SQL oracle.
+
+    Pass 1 is a per-batch combiner emitting ``(group, n, sum_cents,
+    sumsq)`` int64 partials — O(blocks × groups) rows ever leave the
+    workers, never O(rows).  The driver folds them with Python ints
+    (arbitrary precision) and broadcasts ``{group: (mean, std)}`` where
+    every float op mirrors the oracle's expression tree exactly::
+
+        mean = CAST(s AS DOUBLE) / n
+        var  = (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) / n
+        z    = (CAST(c AS DOUBLE) - mean) / sqrt(var)   -- 0 when var = 0
+
+    Pass 2 attaches ``value_cents`` and ``z`` per row (vectorized IEEE
+    ops — identical results to the scalar tree).  int64 partial bound:
+    ``n_block × max_cents² < 2^63`` (holds to ~10^8 rows/block at
+    cents ≤ 10^5; decompose sumsq hi/lo beyond that)."""
+    import math
+
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, col]).filter(t.column(col).is_valid())
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "ss": pa.array([], pa.int64())})
+        c = _cents(t.column(col).to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({group_col: t.column(group_col).to_pylist(),
+                           "c": c, "c2": c * c})
+        agg = df.groupby(group_col).agg(n=("c", "size"), s=("c", "sum"),
+                                        ss=("c2", "sum"))
+        return pa.table({
+            group_col: pa.array(agg.index.tolist(), pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(agg["s"].to_numpy(np.int64), pa.int64()),
+            "ss": pa.array(agg["ss"].to_numpy(np.int64), pa.int64())})
+
+    folded: dict[str, list[int]] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        e = folded.setdefault(row[group_col], [0, 0, 0])
+        e[0] += row["n"]; e[1] += row["s"]; e[2] += row["ss"]
+    stats = {}
+    for g, (n, s, ss) in folded.items():
+        mean = float(s) / float(n)
+        var = (float(ss) - float(s) * float(s) / float(n)) / float(n)
+        stats[g] = (mean, math.sqrt(var) if var > 0.0 else 0.0)
+    ref = ray.put(stats)
+
+    keep = keep_cols if keep_cols is not None else []
+
+    def attach(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        t = t.filter(t.column(col).is_valid())
+        c = _cents(t.column(col).to_numpy(zero_copy_only=False))
+        groups = t.column(group_col).to_pylist()
+        mean = np.array([st[g][0] for g in groups], np.float64)
+        std = np.array([st[g][1] for g in groups], np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(std == 0.0, 0.0, (c.astype(np.float64) - mean) / std)
+        out = t.select(keep + [group_col])
+        out = out.append_column("value_cents", pa.array(c, pa.int64()))
+        return out.append_column("z", pa.array(z, pa.float64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def rollup_aggregate(ds: Dataset, dims: list[tuple[str, object]],
+                     col: str, n_buckets: int = N_BUCKETS) -> Dataset:
+    """``GROUP BY ROLLUP(d1, .., dk)`` — count + exact cents sum at
+    every rollup level, coarser levels marked with per-dim sentinel
+    values (``dims`` is ``[(name, sentinel), ...]``; SQL mirrors with
+    ``COALESCE(dim, sentinel)``).
+
+    Two-shuffle plan that never rescans the input for coarser levels:
+    per-batch combiner → one coarse-bucket fold produces the FINEST
+    aggregate; each finest row then expands to its k+1 rollup rows
+    (k+1 × distinct-combo rows, tiny relative to input) and a second
+    small fold sums them — sum/count associativity is what makes
+    deriving coarse levels from fine exact."""
+    names = [d[0] for d in dims]
+    sentinels = {d[0]: d[1] for d in dims}
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(names + [col]).filter(t.column(col).is_valid())
+        df = pd.DataFrame({n: t.column(n).to_pylist() for n in names})
+        df["c"] = _cents(t.column(col).to_numpy(zero_copy_only=False))
+        agg = (df.groupby(names, sort=False)
+                 .agg(n=("c", "size"), s=("c", "sum")).reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def _with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[names[0]].astype(str)
+        for n in names[1:]:
+            key = key + "\x1f" + df[n].astype(str)
+        df["_bucket"] = [zlib.crc32(k.encode("utf-8")) % n_buckets
+                         for k in key]
+        return df
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = (g.groupby(names, sort=False)
+                .agg(n=("n", "sum"), s=("s", "sum")).reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+                .map_batches(lambda t: pa.Table.from_pandas(
+                    _with_bucket(t.to_pandas()), preserve_index=False),
+                    batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(fold, batch_format="pandas"))
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        levels = []
+        for lvl in range(len(names) + 1):   # lvl = how many dims kept
+            d = df.copy()
+            for n in names[lvl:]:
+                d[n] = sentinels[n]
+            levels.append(d)
+        out = pd.concat(levels, ignore_index=True)[names + ["n", "s"]]
+        return pa.Table.from_pandas(_with_bucket(out), preserve_index=False)
+
+    return (finest.map_batches(expand, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(fold, batch_format="pandas")
+                  .map_batches(lambda t: t.rename_columns(
+                      names + ["n", "sum_cents"]), batch_format="pyarrow"))
+
+
+def fixed_width_histogram(ds: Dataset, col: str,
+                          width_cents: int = 500) -> Dataset:
+    """Fixed-width value histogram: ``bin = floor(cents / width)`` with
+    per-bin count and exact cents sum.  Per-batch combiner → one tiny
+    fold over O(bins) rows; floor (not truncate) division on both the
+    engine (``np.floor_divide``) and the oracle
+    (``CAST(floor(cents / (width*1.0)) AS BIGINT)``) so negatives bin
+    identically."""
+    w = int(width_cents)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([col]).filter(t.column(col).is_valid())
+        c = _cents(t.column(col).to_numpy(zero_copy_only=False))
+        b = np.floor_divide(c, w)
+        df = pd.DataFrame({"bin": b, "c": c})
+        agg = df.groupby("bin").agg(n=("c", "size"), s=("c", "sum"))
+        return pa.table({
+            "bin": pa.array(agg.index.to_numpy(np.int64), pa.int64()),
+            "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(agg["s"].to_numpy(np.int64), pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("bin").agg(n=("n", "sum"), s=("s", "sum"))
+        bins = agg.index.to_numpy(np.int64)
+        return pa.table({
+            "bin": pa.array(bins, pa.int64()),
+            "lo_cents": pa.array(bins * w, pa.int64()),
+            "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "sum_cents": pa.array(agg["s"].to_numpy(np.int64), pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy(zero_copy_only=False)
+        return t.append_column("_bucket",
+                               pa.array(np.abs(b) % 16, pa.int64()))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(fold, batch_format="pandas"))
+
+
+def grouped_mad(ds: Dataset, group_col: str, col: str,
+                n_buckets: int = N_BUCKETS) -> Dataset:
+    """Per-group median + MAD (median absolute deviation) — the robust
+    dispersion pair used to gate outliers when std is itself
+    outlier-dominated.  Both medians are EXACT discrete quantiles on
+    integer cents: pass 1 reuses :func:`grouped_quantiles` (rank
+    ``ceil(0.5 n) - 1``, DuckDB ``quantile_disc`` semantics), the
+    group-count-sized median map broadcasts back, pass 2 runs the same
+    machinery over ``|cents - median|``.  All-integer → bit-exact."""
+    import ray
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, col]).filter(t.column(col).is_valid())
+        return pa.table({
+            group_col: t.column(group_col),
+            "cents": pa.array(_cents(
+                t.column(col).to_numpy(zero_copy_only=False)), pa.int64())})
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    med = grouped_quantiles(cents_ds, group_col, "cents", [0.5],
+                            n_buckets).to_pandas()
+    med_map = {g: int(v) for g, v in zip(med[group_col], med["value"])}
+    ref = ray.put(med_map)
+
+    def to_dev(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        groups = t.column(group_col).to_pylist()
+        meds = np.array([m[g] for g in groups], np.int64)
+        return pa.table({group_col: t.column(group_col),
+                         "dev": pa.array(np.abs(c - meds), pa.int64())})
+
+    mad = grouped_quantiles(cents_ds.map_batches(to_dev,
+                                                 batch_format="pyarrow"),
+                            group_col, "dev", [0.5], n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        groups = t.column(group_col).to_pylist()
+        return pa.table({
+            group_col: t.column(group_col),
+            "median_cents": pa.array([m[g] for g in groups], pa.int64()),
+            "mad_cents": pa.array(
+                t.column("value").to_numpy(zero_copy_only=False)
+                 .astype(np.int64), pa.int64())})
+
+    return mad.map_batches(finish, batch_format="pyarrow")

@@ -191,3 +191,68 @@ def approx_quantiles(ds: Dataset, col: str, qs: list[float],
     return pa.table({"q": pa.array(qs, pa.float64()),
                      "value": pa.array([merged.query(q) for q in qs],
                                        pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable bitmap)
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_positions(key, m_bits: int, k: int) -> list[int]:
+    """Bit positions of ``key``: the j-th position is the first 8 bytes
+    of ``md5(f"{key}:{j}")`` mod ``m_bits`` — md5-derived precisely so a
+    SQL engine can re-derive the whole filter
+    (``('0x' || substr(md5(key || ':' || j), 1, 16))::UBIGINT % m``)."""
+    import hashlib
+    return [int(hashlib.md5(f"{key}:{j}".encode("utf-8")).hexdigest()[:16],
+                16) % m_bits for j in range(k)]
+
+
+def bloom_build(ds: Dataset, col: str, m_bits: int = BLOOM_M_BITS,
+                k: int = BLOOM_K) -> np.ndarray:
+    """Distributed Bloom-filter build: each batch ORs its keys into a
+    local ``m_bits``-wide bitmap (one uint64 word array); the per-block
+    bitmaps — ``m_bits/8`` bytes each, FIXED size regardless of row
+    count — are the only thing that leaves the workers, and bitwise OR
+    is associative/commutative so any merge tree works.  At 100 TB the
+    shuffle volume is O(blocks × m/8), never O(rows); the returned
+    driver-side bitmap is broadcast once via ``ray.put`` for probing."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+        for key in t.column(col).to_pylist():
+            for pos in _bloom_positions(key, m_bits, k):
+                bitmap[pos >> 6] |= np.uint64(1) << np.uint64(pos & 63)
+        return pa.table({"bitmap": pa.array([bitmap.tobytes()],
+                                            pa.binary())})
+
+    out = np.zeros(m_bits // 64, dtype=np.uint64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    return out
+
+
+def bloom_probe(ds: Dataset, col: str, bitmap: np.ndarray,
+                m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K,
+                out_col: str = "bloom_hit") -> Dataset:
+    """Append a boolean membership verdict per row (no false negatives;
+    false-positive rate ~``(1 - e^{-kn/m})^k``).  The bitmap ships once
+    (``ray.put``), each probe batch reads it zero-copy from the object
+    store — the classic broadcast-small-side pattern that replaces a
+    shuffle join when only an existence verdict is needed."""
+    import ray
+    ref = ray.put(bitmap)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        hits = []
+        for key in t.column(col).to_pylist():
+            hits.append(all(
+                bool(bm[p >> 6] >> np.uint64(p & 63) & np.uint64(1))
+                for p in _bloom_positions(key, m_bits, k)))
+        return t.append_column(out_col, pa.array(hits, pa.bool_()))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

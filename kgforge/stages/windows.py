@@ -494,3 +494,33 @@ def funnel_counts(ds: Dataset, key_col: str, type_col: str,
             .map_groups(fold, batch_format="pandas")
             .groupby("step")
             .map_groups(final, batch_format="pandas"))
+
+
+def grouped_running_sum(ds: Dataset, key_col: str = "user_id",
+                        ts_col: str = "ts", value_col: str = "value",
+                        id_col: str = "event_id",
+                        n_buckets: int = 64) -> Dataset:
+    """Per-key running (cumulative) sum ordered by ``(ts, id)`` — the
+    ``SUM(x) OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)`` window, on exact integer cents.  One key-bucket
+    shuffle co-locates each key's history; the in-bucket fold is one
+    vectorized sort + ``groupby().cumsum()`` (same one-key-fits-one-
+    worker contract as every keyed window here).  The ``id`` tie-break
+    makes equal-timestamp ordering deterministic on both the engine and
+    the oracle."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        cents = np.floor(g[value_col].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        g = g.assign(_c=cents)
+        run = g.groupby(key_col, sort=False)["_c"].cumsum()
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            key_col: g[key_col].to_numpy(np.int64),
+            "running_cents": run.to_numpy(np.int64)})
+
+    return (_bucketed(ds.select_columns(
+                [id_col, key_col, ts_col, value_col]), key_col, n_buckets)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas"))
