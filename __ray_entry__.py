@@ -176,6 +176,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_by_type": Q.events_mad_by_type,
         "events_user_running_total": Q.events_user_running_total,
         "customer_events_full_outer": Q.customer_events_full_outer,
+        # wave 5: correlation, cohorts, journeys, grouped vocab,
+        # sentence segmentation, weighted sampling, count-min sketch
+        "lineitem_corr": Q.lineitem_corr,
+        "events_retention_cohorts": Q.events_retention_cohorts,
+        "events_user_journey": Q.events_user_journey,
+        "lang_token_frequencies": Q.lang_token_frequencies,
+        "sentences_docs": Q.sentences_docs,
+        "weighted_sample_docs": Q.weighted_sample_docs,
+        "cms_user_counts": Q.cms_user_counts,
     }
 
 
@@ -1690,6 +1699,116 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(uc.n_events, 0) AS BIGINT) AS n_events
             FROM customer c FULL OUTER JOIN uc ON c.c_custkey = uc.user_id
             ORDER BY cust_key
+        """,
+        # Pearson correlation: every inner term is an exact integer
+        # (HUGEINT), then the engine's exact conversion/sqrt/mul/div tree
+        "lineitem_corr": r"""
+            WITH c AS (
+              SELECT l_returnflag AS g,
+                     CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            st AS (
+              SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy
+              FROM c GROUP BY g)
+            SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+                          OR n * syy - CAST(sy AS HUGEINT) * sy = 0
+                        THEN 0.0
+                        ELSE CAST(n * sxy - CAST(sx AS HUGEINT) * sy
+                                  AS DOUBLE)
+                             / (sqrt(CAST(n * sxx
+                                    - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy
+                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                   END AS corr
+            FROM st ORDER BY l_returnflag
+        """,
+        # integer week arithmetic (µs // week) — no float week boundary
+        "events_retention_cohorts": r"""
+            WITH w AS (
+              SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+              FROM events),
+            c AS (SELECT user_id, MIN(wk) AS cw FROM w GROUP BY user_id),
+            a AS (
+              SELECT DISTINCT w.user_id, c.cw, w.wk - c.cw AS off
+              FROM w JOIN c USING (user_id))
+            SELECT CAST(cw AS BIGINT) AS cohort_week,
+                   CAST(off AS BIGINT) AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_user_journey": r"""
+            SELECT user_id,
+                   STRING_AGG(event_type, '>' ORDER BY ts, event_id)
+                       AS journey,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "lang_token_frequencies": r"""
+            WITH tok AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                         AS token
+              FROM documents),
+            cnt AS (
+              SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tok GROUP BY lang, token),
+            rk AS (
+              SELECT lang, token, n,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, token) AS r
+              FROM cnt)
+            SELECT lang, token, n FROM rk WHERE r <= 10
+            ORDER BY lang, n DESC, token
+        """,
+        "sentences_docs": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     regexp_extract_all(COALESCE(text, ''),
+                                        '[^.!?]+[.!?]*') AS sents
+              FROM documents)
+            SELECT doc_id, sent_idx, sentence,
+                   CAST(length(sentence) AS BIGINT) AS n_chars_sent
+            FROM (SELECT doc_id,
+                         CAST(generate_subscripts(sents, 1) AS BIGINT)
+                             AS sent_idx,
+                         unnest(sents) AS sentence
+                  FROM s)
+            ORDER BY doc_id, sent_idx
+        """,
+        # pure-integer Bernoulli decision: u52 * scale < w * 2^52
+        "weighted_sample_docs": r"""
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || ':ws'), 1, 13))::UBIGINT AS HUGEINT) * 4000
+                  < CAST(n_chars AS HUGEINT) * 4503599627370496
+            ORDER BY doc_id
+        """,
+        # count-min estimates re-derived exactly: cell counts from the
+        # same md5 positions, estimate = MIN over the 4 rows
+        "cms_user_counts": r"""
+            WITH rows_ AS (
+              SELECT CAST(unnest(range(4)) AS BIGINT) AS r),
+            h AS (
+              SELECT e.user_id, r.r,
+                     CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)
+                          || ':' || CAST(r.r AS VARCHAR)), 1, 16))::UBIGINT
+                          % CAST(1024 AS UBIGINT) AS BIGINT) AS pos
+              FROM events e, rows_ r),
+            cells AS (
+              SELECT r, pos, CAST(COUNT(*) AS BIGINT) AS c
+              FROM h GROUP BY r, pos),
+            kh AS (SELECT DISTINCT user_id, r, pos FROM h)
+            SELECT kh.user_id, CAST(MIN(cells.c) AS BIGINT) AS cms_count
+            FROM kh JOIN cells ON cells.r = kh.r AND cells.pos = kh.pos
+            GROUP BY kh.user_id ORDER BY kh.user_id
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

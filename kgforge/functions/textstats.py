@@ -230,3 +230,30 @@ def redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         "n_longnums",
         pc.count_substring_regex(t, LONGNUM_RE).cast(pa.int64()))
+
+
+_SENT_RE = re.compile(r"[^.!?]+[.!?]*")
+
+
+def sentences_batch(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Sentence segmentation: document → one row per sentence with a
+    1-based ordinal.  The splitter is the single RE2-compatible pattern
+    ``[^.!?]+[.!?]*`` (maximal runs up to and including their
+    terminator punctuation) — identical semantics to DuckDB
+    ``regexp_extract_all``, so the whole exploded table is
+    SQL-re-derivable including the ordinals
+    (``generate_subscripts``)."""
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_id, out_idx, out_s = [], [], []
+    for i, t in zip(ids, texts):
+        for j, s in enumerate(_SENT_RE.findall(t or ""), start=1):
+            out_id.append(i)
+            out_idx.append(j)
+            out_s.append(s)
+    return pa.table({
+        id_col: pa.array(out_id, pa.int64()),
+        "sent_idx": pa.array(out_idx, pa.int64()),
+        "sentence": pa.array(out_s, pa.string()),
+        "n_chars_sent": pa.array([len(s) for s in out_s], pa.int64())})

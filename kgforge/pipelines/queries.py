@@ -1668,3 +1668,92 @@ def customer_events_full_outer(sf_dir: str):
             "n_events": t.column("n_events").fill_null(0)})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# wave-5 operators: correlation, cohorts, journeys, grouped vocab,
+# sentence segmentation, weighted sampling, count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def lineitem_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extended
+    price — exact integer moments, mirrored IEEE finish."""
+    from ..stages.relational import grouped_corr
+    return grouped_corr(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity", "l_extendedprice"]),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def events_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix (cohort week × week offset ×
+    distinct active users) — integer week arithmetic end to end."""
+    from ..stages.windows import retention_cohorts
+    return retention_cohorts(_read(sf_dir, "events",
+                                   columns=["user_id", "ts"]))
+
+
+def events_user_journey(sf_dir: str):
+    """Per-user ordered event-type journey string (ordered STRING_AGG
+    with (ts, event_id) ordering) + event count."""
+    from ..stages.windows import grouped_journey
+    return grouped_journey(_read(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "event_type", "ts"]))
+
+
+def lang_token_frequencies(sf_dir: str):
+    """Top-10 tokens per language by (count DESC, token ASC) — the
+    grouped vocabulary profile."""
+    from ..stages.relational import grouped_token_frequencies
+    return grouped_token_frequencies(
+        _read(sf_dir, "documents", columns=["lang", "text"]),
+        "lang", "text", k=10)
+
+
+def sentences_docs(sf_dir: str):
+    """Sentence segmentation with 1-based ordinals — RE2 pattern
+    shared verbatim with the oracle's regexp_extract_all."""
+    from ..functions.textstats import sentences_batch
+    return _read(sf_dir, "documents",
+                 columns=["doc_id", "text"]).map_batches(
+        sentences_batch, batch_format="pyarrow")
+
+
+def weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted Bernoulli sample: keep probability
+    min(1, n_chars/4000), decided by pure-integer comparison of an
+    md5-derived 52-bit uniform — no float boundary, SQL-exact."""
+    from ..stages.relational import weighted_bernoulli_sample
+    return weighted_bernoulli_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        "doc_id", "n_chars", scale=4000)
+
+
+def cms_user_counts(sf_dir: str):
+    """Count-min sketch frequency estimates for every distinct user —
+    the mergeable-counter-matrix sketch, estimates SQL-re-derived
+    EXACTLY (deterministic md5 cells make even the collision
+    overcounts reproducible)."""
+    from ..stages.sketches import cms_build, cms_estimate
+    events = _read(sf_dir, "events", columns=["user_id"])
+    mat = cms_build(events, "user_id")
+
+    def part(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(t.column("user_id"))})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_b", pa.array(u % 32, pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        return pa.table({"user_id": pa.array(
+            sorted(set(g["user_id"])), pa.int64())})
+
+    distinct = (events.map_batches(part, batch_format="pyarrow")
+                      .map_batches(bucket, batch_format="pyarrow")
+                      .groupby("_b")
+                      .map_groups(fold, batch_format="pandas"))
+    return (cms_estimate(distinct, "user_id", mat)
+            .select_columns(["user_id", "cms_count"]))

@@ -1055,3 +1055,161 @@ def grouped_mad(ds: Dataset, group_col: str, col: str,
                  .astype(np.int64), pa.int64())})
 
     return mad.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_corr(ds: Dataset, group_col: str, x_col: str, y_col: str,
+                 n_buckets: int = 16) -> Dataset:
+    """Per-group Pearson correlation with EXACT integer moments.
+
+    Both columns convert to integer cents; the per-batch combiner emits
+    ``(group, n, sx, sy, sxx, syy, sxy)`` partials where the three
+    second-order sums are accumulated as arbitrary-precision Python
+    ints and stored as ``decimal128(38)`` (price-cents squares overflow
+    int64 at ~10^5 rows — the decimal column is the honest carrier, and
+    DuckDB's HUGEINT matches its range).  The driver folds the tiny
+    O(blocks × groups) partial table with Python ints, then emits::
+
+        corr = CAST(n*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+
+    — inner terms exact, three rounded conversions + sqrt/mul/div
+    mirrored in the oracle, so the float gates bit-exactly."""
+    import math
+
+    dec = pa.decimal128(38, 0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, x_col, y_col])
+        t = t.filter(pc.and_(t.column(x_col).is_valid(),
+                             t.column(y_col).is_valid()))
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64()),
+                             "sy": pa.array([], pa.int64()),
+                             "sxx": pa.array([], dec),
+                             "syy": pa.array([], dec),
+                             "sxy": pa.array([], dec)})
+        x = _cents(t.column(x_col).to_numpy(zero_copy_only=False))
+        y = _cents(t.column(y_col).to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({group_col: t.column(group_col).to_pylist()})
+        gname, ns, sxs, sys_, sxxs, syys, sxys = [], [], [], [], [], [], []
+        for g, idx in df.groupby(group_col, sort=False).groups.items():
+            xi = x[np.asarray(idx)]
+            yi = y[np.asarray(idx)]
+            xo = xi.astype(object)
+            yo = yi.astype(object)
+            gname.append(g)
+            ns.append(len(xi))
+            sxs.append(int(xi.sum()))
+            sys_.append(int(yi.sum()))
+            sxxs.append(int((xo * xo).sum()))
+            syys.append(int((yo * yo).sum()))
+            sxys.append(int((xo * yo).sum()))
+        return pa.table({group_col: pa.array(gname, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "sx": pa.array(sxs, pa.int64()),
+                         "sy": pa.array(sys_, pa.int64()),
+                         "sxx": pa.array(sxxs, dec),
+                         "syy": pa.array(syys, dec),
+                         "sxy": pa.array(sxys, dec)})
+
+    folded: dict[str, list[int]] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        e = folded.setdefault(row[group_col], [0, 0, 0, 0, 0, 0])
+        e[0] += int(row["n"]); e[1] += int(row["sx"])
+        e[2] += int(row["sy"]); e[3] += int(row["sxx"])
+        e[4] += int(row["syy"]); e[5] += int(row["sxy"])
+    groups = sorted(folded)
+    ns, corrs = [], []
+    for g in groups:
+        n, sx, sy, sxx, syy, sxy = folded[g]
+        num = float(n * sxy - sx * sy)
+        den = (math.sqrt(float(n * sxx - sx * sx))
+               * math.sqrt(float(n * syy - sy * sy)))
+        corrs.append(num / den if den != 0.0 else 0.0)
+        ns.append(n)
+    import ray
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(groups, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "corr": pa.array(corrs, pa.float64())}))
+
+
+def grouped_token_frequencies(ds: Dataset, group_col: str = "lang",
+                              text_col: str = "text", k: int = 10,
+                              n_buckets: int = N_BUCKETS) -> Dataset:
+    """Top-``k`` tokens PER GROUP by ``(count DESC, token ASC)`` — the
+    per-language vocabulary profile of a corpus.  Same combiner shape
+    as :func:`token_frequencies` with the group riding the key: per-
+    batch ``(group, token)`` value_counts → one (group, token)-bucket
+    fold sums exact counts → one small group-bucket pass ranks and
+    heads each group's list.  Shuffle volume is O(batches × distinct
+    pairs), never O(tokens)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.coalesce(t.column(text_col), pa.scalar("")), r"[ \t\n\f\r]+")
+        rows_g, rows_t = [], []
+        groups = t.column(group_col).to_pylist()
+        for g, tl in zip(groups, toks.to_pylist()):
+            for tok in tl:
+                if tok:
+                    rows_g.append(g)
+                    rows_t.append(tok)
+        df = pd.DataFrame({"g": rows_g, "tok": rows_t})
+        agg = (df.groupby(["g", "tok"], sort=False)
+                 .size().reset_index(name="n"))
+        agg["_bucket"] = [
+            zlib.crc32(f"{a}\x1f{b}".encode("utf-8")) % n_buckets
+            for a, b in zip(agg["g"], agg["tok"])]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = (g.groupby(["g", "tok"], sort=False)["n"].sum()
+                .reset_index())
+        agg["_gb"] = [zlib.crc32(x.encode("utf-8")) % 16
+                      for x in agg["g"]]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def head(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["g", "n", "tok"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        out = g.groupby("g", sort=False).head(k)
+        return pa.table({
+            group_col: pa.array(out["g"].tolist(), pa.string()),
+            "token": pa.array(out["tok"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(fold, batch_format="pandas")
+              .groupby("_gb")
+              .map_groups(head, batch_format="pandas"))
+
+
+def weighted_bernoulli_sample(ds: Dataset, id_col: str, weight_col: str,
+                              scale: int, salt: str = "ws") -> Dataset:
+    """Deterministic weighted Bernoulli sampling: row ``i`` survives
+    with probability ``min(1, w_i / scale)`` — decided by comparing an
+    md5-derived 52-bit uniform against the weight with PURE INTEGER
+    math (``u52 * scale < w_i * 2^52``), so there is no float boundary
+    and the SQL oracle reproduces the exact sample.  Embarrassingly
+    parallel (no shuffle); reproducible across runs/cluster sizes by
+    construction — the property a resumable 100-TB sampling pass
+    needs."""
+    import hashlib
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        keep = []
+        for i, wi in zip(ids, w):
+            u52 = int(hashlib.md5(f"{i}:{salt}".encode("utf-8"))
+                      .hexdigest()[:13], 16)
+            keep.append(u52 * scale < int(wi) * (1 << 52))
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

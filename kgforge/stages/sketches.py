@@ -256,3 +256,56 @@ def bloom_probe(ds: Dataset, col: str, bitmap: np.ndarray,
         return t.append_column(out_col, pa.array(hits, pa.bool_()))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable counter matrix)
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+
+
+def cms_build(ds: Dataset, col: str, width: int = CMS_WIDTH,
+              depth: int = CMS_DEPTH) -> np.ndarray:
+    """Distributed count-min sketch build: each block accumulates a
+    local ``depth × width`` int64 counter matrix (fixed size regardless
+    of rows — shuffle volume O(blocks × d·w·8), never O(rows)); counter
+    matrices merge by elementwise SUM, so any merge tree works.  Cell
+    positions reuse the md5 scheme of :func:`_bloom_positions` (row j's
+    position = md5-derived), which makes every counter — and therefore
+    every estimate — re-derivable in plain SQL."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = np.zeros((depth, width), dtype=np.int64)
+        for key in t.column(col).to_pylist():
+            for j, pos in enumerate(_bloom_positions(key, width, depth)):
+                mat[j, pos] += 1
+        return pa.table({"mat": pa.array([mat.tobytes()], pa.binary())})
+
+    out = np.zeros((depth, width), dtype=np.int64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out += np.frombuffer(row["mat"],
+                             dtype=np.int64).reshape(depth, width)
+    return out
+
+
+def cms_estimate(ds: Dataset, col: str, mat: np.ndarray,
+                 width: int = CMS_WIDTH, depth: int = CMS_DEPTH,
+                 out_col: str = "cms_count") -> Dataset:
+    """Append the CMS frequency estimate per (distinct-keyed) row:
+    ``min over rows j of counter[j, pos_j(key)]`` — never undercounts,
+    overcounts by colliding keys' mass with probability bounded by the
+    standard (ε = e/width, δ = e^-depth) guarantee.  The matrix ships
+    once via ``ray.put``."""
+    import ray
+    ref = ray.put(mat)
+
+    def probe(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        est = [int(min(m[j, p] for j, p in
+                       enumerate(_bloom_positions(k, width, depth))))
+               for k in t.column(col).to_pylist()]
+        return t.append_column(out_col, pa.array(est, pa.int64()))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -524,3 +524,72 @@ def grouped_running_sum(ds: Dataset, key_col: str = "user_id",
                 [id_col, key_col, ts_col, value_col]), key_col, n_buckets)
             .groupby("bucket")
             .map_groups(fold, batch_format="pandas"))
+
+
+_WEEK_US = 604_800_000_000
+
+
+def retention_cohorts(ds: Dataset, key_col: str = "user_id",
+                      ts_col: str = "ts",
+                      n_buckets: int = 64) -> Dataset:
+    """Weekly cohort retention: users cohort by their FIRST active week
+    (floor of epoch-µs / week — integer floor division on both the
+    engine and the oracle, no float week boundaries), and each
+    (cohort_week, week_offset) cell counts the distinct users active
+    ``offset`` weeks after joining.  One key-bucket shuffle co-locates
+    each user's history; the per-bucket fold is vectorized (min-week
+    per user + dedup of (user, offset)); a second tiny fold sums the
+    per-bucket partial cells — each user lives in exactly one bucket so
+    the partial counts are disjoint and SUM is exact."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        us = g[key_col].to_numpy(np.int64)
+        wk = (g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+              // _WEEK_US)
+        df = pd.DataFrame({"u": us, "wk": wk})
+        cohort = df.groupby("u")["wk"].transform("min")
+        cells = (pd.DataFrame({"cw": cohort, "off": df["wk"] - cohort,
+                               "u": us})
+                 .drop_duplicates()
+                 .groupby(["cw", "off"]).size().reset_index(name="n"))
+        return pd.DataFrame({"cohort_week": cells["cw"].astype(np.int64),
+                             "week_offset": cells["off"].astype(np.int64),
+                             "n": cells["n"].astype(np.int64)})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["cohort_week", "week_offset"], as_index=False)
+                ["n"].sum())
+        agg["n_users"] = agg.pop("n").astype(np.int64)
+        return agg
+
+    return (_bucketed(ds.select_columns([key_col, ts_col]), key_col,
+                      n_buckets)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas")
+            .groupby("cohort_week")
+            .map_groups(final, batch_format="pandas"))
+
+
+def grouped_journey(ds: Dataset, key_col: str = "user_id",
+                    type_col: str = "event_type", ts_col: str = "ts",
+                    id_col: str = "event_id", sep: str = ">",
+                    n_buckets: int = 64) -> Dataset:
+    """Per-key ordered event-type journey string (the ordered
+    ``collect_list``/``STRING_AGG(x, sep ORDER BY ts, id)`` aggregate)
+    plus the event count.  One key-bucket shuffle; in-bucket the rows
+    sort once by ``(key, ts, id)`` and each key's types join into one
+    string — output is key-sized, not event-sized."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        agg = g.groupby(key_col, sort=False)[type_col].agg(
+            journey=sep.join, n_events="size").reset_index()
+        return pd.DataFrame({
+            key_col: agg[key_col].to_numpy(np.int64),
+            "journey": agg["journey"].astype(str),
+            "n_events": agg["n_events"].to_numpy(np.int64)})
+
+    return (_bucketed(ds.select_columns(
+                [key_col, type_col, ts_col, id_col]), key_col, n_buckets)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas"))
