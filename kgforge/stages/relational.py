@@ -923,19 +923,33 @@ def rollup_aggregate(ds: Dataset, dims: list[tuple[str, object]],
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.select(names + [col]).filter(t.column(col).is_valid())
+        if t.num_rows == 0:
+            # schema-typed empty partial (untyped pd empties infer null
+            # columns and clash with typed blocks at the groupby)
+            cols = {n: pa.array([], arrow_type_of(t.schema.field(n).type))
+                    for n in names}
+            cols["n"] = pa.array([], pa.int64())
+            cols["s"] = pa.array([], pa.int64())
+            return pa.table(cols)
         df = pd.DataFrame({n: t.column(n).to_pylist() for n in names})
         df["c"] = _cents(t.column(col).to_numpy(zero_copy_only=False))
         agg = (df.groupby(names, sort=False)
                  .agg(n=("c", "size"), s=("c", "sum")).reset_index())
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    def _with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def _bucket_of(df: pd.DataFrame) -> list[int]:
         key = df[names[0]].astype(str)
         for n in names[1:]:
             key = key + "\x1f" + df[n].astype(str)
-        df["_bucket"] = [zlib.crc32(k.encode("utf-8")) % n_buckets
-                         for k in key]
-        return df
+        return [zlib.crc32(k.encode("utf-8")) % n_buckets for k in key]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # arrow-preserving (to_pandas→from_pandas would degrade typed
+        # EMPTY blocks back to null-typed columns)
+        if t.num_rows == 0:
+            return t.append_column("_bucket", pa.array([], pa.int64()))
+        return t.append_column(
+            "_bucket", pa.array(_bucket_of(t.to_pandas()), pa.int64()))
 
     def fold(g: pd.DataFrame) -> pa.Table:
         agg = (g.groupby(names, sort=False)
@@ -943,9 +957,7 @@ def rollup_aggregate(ds: Dataset, dims: list[tuple[str, object]],
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     finest = (ds.map_batches(partial, batch_format="pyarrow")
-                .map_batches(lambda t: pa.Table.from_pandas(
-                    _with_bucket(t.to_pandas()), preserve_index=False),
-                    batch_format="pyarrow")
+                .map_batches(add_bucket, batch_format="pyarrow")
                 .groupby("_bucket")
                 .map_groups(fold, batch_format="pandas"))
 
@@ -958,7 +970,8 @@ def rollup_aggregate(ds: Dataset, dims: list[tuple[str, object]],
                 d[n] = sentinels[n]
             levels.append(d)
         out = pd.concat(levels, ignore_index=True)[names + ["n", "s"]]
-        return pa.Table.from_pandas(_with_bucket(out), preserve_index=False)
+        out["_bucket"] = _bucket_of(out)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (finest.map_batches(expand, batch_format="pyarrow")
                   .groupby("_bucket")
@@ -1148,7 +1161,15 @@ def grouped_token_frequencies(ds: Dataset, group_col: str = "lang",
     heads each group's list.  Shuffle volume is O(batches × distinct
     pairs), never O(tokens)."""
 
+    def _empty() -> pa.Table:
+        return pa.table({"g": pa.array([], pa.string()),
+                         "tok": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "_bucket": pa.array([], pa.int64())})
+
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
         toks = pc.split_pattern_regex(
             pc.coalesce(t.column(text_col), pa.scalar("")), r"[ \t\n\f\r]+")
         rows_g, rows_t = [], []
@@ -1158,6 +1179,8 @@ def grouped_token_frequencies(ds: Dataset, group_col: str = "lang",
                 if tok:
                     rows_g.append(g)
                     rows_t.append(tok)
+        if not rows_t:
+            return _empty()
         df = pd.DataFrame({"g": rows_g, "tok": rows_t})
         agg = (df.groupby(["g", "tok"], sort=False)
                  .size().reset_index(name="n"))
