@@ -185,6 +185,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentences_docs": Q.sentences_docs,
         "weighted_sample_docs": Q.weighted_sample_docs,
         "cms_user_counts": Q.cms_user_counts,
+        # wave 6: cube, grouped mode, grouped exact distinct
+        "events_cube": Q.events_cube,
+        "events_mode_by_type": Q.events_mode_by_type,
+        "events_type_distinct_users": Q.events_type_distinct_users,
     }
 
 
@@ -1809,6 +1813,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT kh.user_id, CAST(MIN(cells.c) AS BIGINT) AS cms_count
             FROM kh JOIN cells ON cells.r = kh.r AND cells.pos = kh.pos
             GROUP BY kh.user_id ORDER BY kh.user_id
+        """,
+        "events_cube": r"""
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   CAST(COALESCE(hour, -1) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hour,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL)
+            GROUP BY CUBE(event_type, hour)
+            ORDER BY event_type, hour
+        """,
+        # mode tie-break mirrored: highest count, then smallest value
+        "events_mode_by_type": r"""
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL),
+            cnt AS (
+              SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n
+              FROM c GROUP BY event_type, cents),
+            rk AS (
+              SELECT event_type, cents, n,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY n DESC, cents) AS r
+              FROM cnt)
+            SELECT event_type, cents AS mode_cents, n AS mode_n
+            FROM rk WHERE r = 1 ORDER BY event_type
+        """,
+        "events_type_distinct_users": r"""
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

@@ -1757,3 +1757,37 @@ def cms_user_counts(sf_dir: str):
                       .map_groups(fold, batch_format="pandas"))
     return (cms_estimate(distinct, "user_id", mat)
             .select_columns(["user_id", "cms_count"]))
+
+
+def events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, hour) — all four grouping sets via the
+    derive-coarse-from-fine expansion."""
+    from ..stages.relational import rollup_aggregate
+    events = _read(sf_dir, "events",
+                   columns=["ts", "event_type", "value"])
+
+    def with_hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour",
+                               pc.hour(t.column("ts")).cast(pa.int64()))
+
+    return rollup_aggregate(
+        events.map_batches(with_hour, batch_format="pyarrow"),
+        [("event_type", "ALL"), ("hour", -1)], "value", mode="cube")
+
+
+def events_mode_by_type(sf_dir: str):
+    """Per-type modal value (cents) with (count DESC, value ASC)
+    tie-break."""
+    from ..stages.relational import grouped_mode
+    return grouped_mode(_read(sf_dir, "events",
+                              columns=["event_type", "value"]),
+                        "event_type", "value")
+
+
+def events_type_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type via disjoint
+    pair-bucket partial counts."""
+    from ..stages.relational import grouped_distinct_count
+    return grouped_distinct_count(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id")

@@ -906,20 +906,31 @@ def grouped_zscore(ds: Dataset, group_col: str, col: str,
 
 
 def rollup_aggregate(ds: Dataset, dims: list[tuple[str, object]],
-                     col: str, n_buckets: int = N_BUCKETS) -> Dataset:
-    """``GROUP BY ROLLUP(d1, .., dk)`` — count + exact cents sum at
-    every rollup level, coarser levels marked with per-dim sentinel
-    values (``dims`` is ``[(name, sentinel), ...]``; SQL mirrors with
-    ``COALESCE(dim, sentinel)``).
+                     col: str, n_buckets: int = N_BUCKETS,
+                     mode: str = "rollup") -> Dataset:
+    """``GROUP BY ROLLUP/CUBE(d1, .., dk)`` — count + exact cents sum
+    at every grouping level, coarser levels marked with per-dim
+    sentinel values (``dims`` is ``[(name, sentinel), ...]``; SQL
+    mirrors with ``COALESCE(dim, sentinel)``).  ``mode="rollup"``
+    emits the k+1 prefix levels; ``mode="cube"`` all 2^k dim subsets.
 
     Two-shuffle plan that never rescans the input for coarser levels:
     per-batch combiner → one coarse-bucket fold produces the FINEST
-    aggregate; each finest row then expands to its k+1 rollup rows
-    (k+1 × distinct-combo rows, tiny relative to input) and a second
+    aggregate; each finest row then expands to its level rows
+    (levels × distinct-combo rows, tiny relative to input) and a second
     small fold sums them — sum/count associativity is what makes
     deriving coarse levels from fine exact."""
+    if mode not in ("rollup", "cube"):
+        raise ValueError(f"unknown mode {mode!r}")
     names = [d[0] for d in dims]
     sentinels = {d[0]: d[1] for d in dims}
+    if mode == "rollup":
+        level_masks = [names[lvl:] for lvl in range(len(names) + 1)]
+    else:                       # cube: every subset of dims rolled up
+        level_masks = []
+        for bits in range(1 << len(names)):
+            level_masks.append([n for i, n in enumerate(names)
+                                if bits & (1 << i)])
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.select(names + [col]).filter(t.column(col).is_valid())
@@ -964,9 +975,9 @@ def rollup_aggregate(ds: Dataset, dims: list[tuple[str, object]],
     def expand(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         levels = []
-        for lvl in range(len(names) + 1):   # lvl = how many dims kept
+        for masked in level_masks:
             d = df.copy()
-            for n in names[lvl:]:
+            for n in masked:
                 d[n] = sentinels[n]
             levels.append(d)
         out = pd.concat(levels, ignore_index=True)[names + ["n", "s"]]
@@ -1236,3 +1247,98 @@ def weighted_bernoulli_sample(ds: Dataset, id_col: str, weight_col: str,
         return t.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def grouped_mode(ds: Dataset, group_col: str, col: str,
+                 n_buckets: int = N_BUCKETS) -> Dataset:
+    """Per-group MODE with a deterministic tie-break (highest count,
+    then SMALLEST value) — the categorical summary statistic.  Same
+    combiner shape as the frequency operators: per-batch
+    ``(group, value)`` counts → one pair-bucket fold sums exact counts
+    → one group-bucket argmax pass.  Shuffle volume is
+    O(batches × distinct pairs)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, col]).filter(t.column(col).is_valid())
+        if t.num_rows == 0:
+            return pa.table({
+                "g": pa.array([], pa.string()),
+                "v": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "_bucket": pa.array([], pa.int64())})
+        df = pd.DataFrame({"g": t.column(group_col).to_pylist(),
+                           "v": _cents(t.column(col).to_numpy(
+                               zero_copy_only=False))})
+        agg = df.groupby(["g", "v"], sort=False).size().reset_index(
+            name="n")
+        agg["_bucket"] = [
+            zlib.crc32(f"{a}\x1f{b}".encode("utf-8")) % n_buckets
+            for a, b in zip(agg["g"], agg["v"])]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["g", "v"], sort=False)["n"].sum().reset_index()
+        agg["_gb"] = [zlib.crc32(x.encode("utf-8")) % 16
+                      for x in agg["g"]]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def argmax(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["g", "n", "v"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        top = g.groupby("g", sort=False).head(1)
+        return pa.table({
+            group_col: pa.array(top["g"].tolist(), pa.string()),
+            "mode_cents": pa.array(top["v"].to_numpy(np.int64),
+                                   pa.int64()),
+            "mode_n": pa.array(top["n"].to_numpy(np.int64), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(fold, batch_format="pandas")
+              .groupby("_gb")
+              .map_groups(argmax, batch_format="pandas"))
+
+
+def grouped_distinct_count(ds: Dataset, group_col: str, col: str,
+                           n_buckets: int = N_BUCKETS) -> Dataset:
+    """EXACT ``COUNT(DISTINCT col)`` per group: per-batch
+    ``(group, value)`` dedup (partial size bounded by true pair
+    cardinality, not rows) → one pair-bucket fold dedups across
+    batches and partial-counts per group → a tiny per-group sum.
+    The cross-batch partial counts are disjoint because each (group,
+    value) pair lives in exactly one bucket."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, col]).filter(t.column(col).is_valid())
+        if t.num_rows == 0:
+            return pa.table({
+                "g": pa.array([], pa.string()),
+                "v": pa.array([], pa.int64()),
+                "_bucket": pa.array([], pa.int64())})
+        df = (pd.DataFrame({"g": t.column(group_col).to_pylist(),
+                            "v": t.column(col).to_pylist()})
+              .drop_duplicates())
+        df["_bucket"] = [
+            zlib.crc32(f"{a}\x1f{b}".encode("utf-8")) % n_buckets
+            for a, b in zip(df["g"], df["v"])]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = (g.drop_duplicates(subset=["g", "v"])
+                .groupby("g").size().reset_index(name="nd"))
+        agg["_gb"] = [zlib.crc32(x.encode("utf-8")) % 16
+                      for x in agg["g"]]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("g")["nd"].sum()
+        return pa.table({
+            group_col: pa.array(agg.index.tolist(), pa.string()),
+            "n_distinct": pa.array(agg.to_numpy(np.int64), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(fold, batch_format="pandas")
+              .groupby("_gb")
+              .map_groups(final, batch_format="pandas"))

@@ -54,13 +54,12 @@ def test_retention_cohorts_small():
            .reset_index(drop=True))
     got = {(r.cohort_week, r.week_offset): r.n_users
            for r in out.itertuples()}
-    base = 0  # epoch week of ts=10 is 2914-ish? no — unit='s' from epoch 0
     # cohort weeks are absolute epoch weeks: u1 joins week 0, u2 week 1,
     # u3 week 3
     assert got[(0, 0)] == 1 and got[(0, 1)] == 1 and got[(0, 3)] == 1
     assert got[(1, 0)] == 1          # u2 active only its join week
     assert got[(3, 0)] == 1          # u3
-    assert len(got) == 5 and base == 0
+    assert len(got) == 5
 
 
 def test_grouped_journey_order_and_ties():
@@ -146,3 +145,41 @@ def test_cms_never_undercounts_and_merge():
     # and with 300 keys in 4×1024 cells, overcounts should be rare
     assert (sum(est[k] - true[k] for k in true.index)
             / true.sum() < 0.2)
+
+
+def test_cube_levels():
+    from kgforge.stages.relational import rollup_aggregate
+    df = pd.DataFrame({"a": ["x", "x", "y"],
+                       "b": np.array([1, 2, 1], np.int64),
+                       "value": [1.0, 2.0, 4.0]})
+    out = rollup_aggregate(ray.data.from_pandas(df),
+                           [("a", "ALL"), ("b", -1)], "value",
+                           mode="cube").to_pandas()
+    # cube(2 dims): 3 finest + 2 by-a + 2 by-b + 1 grand = 8
+    assert len(out) == 8
+    byb = out[(out["a"] == "ALL") & (out["b"] == 1)]
+    assert byb["n"].iloc[0] == 2 and byb["sum_cents"].iloc[0] == 500
+    grand = out[(out["a"] == "ALL") & (out["b"] == -1)]
+    assert grand["n"].iloc[0] == 3 and grand["sum_cents"].iloc[0] == 700
+
+
+def test_grouped_mode_tiebreak():
+    from kgforge.stages.relational import grouped_mode
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 3,
+                       # group a: 2.0 ×2 ties 1.0 ×2 → smaller value wins
+                       "value": [2.0, 2.0, 1.0, 1.0, 7.0, 7.0, 3.0]})
+    out = (grouped_mode(ray.data.from_pandas(df), "g", "value")
+           .to_pandas().set_index("g"))
+    assert out.loc["a", "mode_cents"] == 100 and out.loc["a", "mode_n"] == 2
+    assert out.loc["b", "mode_cents"] == 700 and out.loc["b", "mode_n"] == 2
+
+
+def test_grouped_distinct_count():
+    from kgforge.stages.relational import grouped_distinct_count
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 1000),
+                       "u": rng.integers(0, 40, 1000).astype(np.int64)})
+    out = (grouped_distinct_count(ray.data.from_pandas(df), "g", "u")
+           .to_pandas().set_index("g"))
+    for g, sub in df.groupby("g"):
+        assert out.loc[g, "n_distinct"] == sub["u"].nunique()
