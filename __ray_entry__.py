@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": Q.kg_components,
         "kg_khop": Q.kg_khop,
         "kg_triangles": Q.kg_triangles,
+        "kg_kcore": Q.kg_kcore,
         "kg_clustering": Q.kg_clustering,
         "kg_link_prediction": Q.kg_link_prediction,
         "events_winsorized_stats": Q.events_winsorized_stats,
@@ -229,6 +230,47 @@ _KG_EDGES_SQL = """
             LEFT JOIN lww USING (label, src_key, dst_key)
             ORDER BY marks.edge_id
         """
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Mechanically-unrolled k-core peel over the co-mention graph:
+    ``a_{i+1}`` keeps the nodes of ``a_i`` with ≥ k neighbours still in
+    ``a_i`` — a monotone fixpoint DuckDB's recursive CTEs can't express
+    (they only see the last iteration's rows), so the rounds unroll as
+    a generated CTE chain; the engine's peel converges well inside the
+    budget (asserted in pytest), making ``a_rounds`` THE fixpoint."""
+    parts = ["""
+        WITH pm AS (SELECT DISTINCT url_hash, node_id
+                    FROM read_parquet(
+               '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
+                    WHERE attr = ''),
+        c AS (SELECT DISTINCT x.node_id AS a, y.node_id AS b
+              FROM pm x JOIN pm y ON x.url_hash = y.url_hash
+               AND x.node_id < y.node_id),
+        nb AS (SELECT a AS u, b AS v FROM c
+               UNION ALL SELECT b, a FROM c),"""]
+    # AS MATERIALIZED is load-bearing: each a_{i+1} references a_i
+    # twice, and DuckDB's default CTE inlining would re-evaluate the
+    # whole chain exponentially (2^rounds expansions)
+    parts.append(f"""
+        a0 AS MATERIALIZED (SELECT u AS n FROM nb GROUP BY u
+               HAVING count(*) >= {k}),""")
+    for i in range(rounds):
+        parts.append(f"""
+        a{i + 1} AS MATERIALIZED (SELECT nb.u AS n FROM nb
+                     JOIN a{i} p ON nb.u = p.n
+                     JOIN a{i} q ON nb.v = q.n
+                     GROUP BY nb.u HAVING count(*) >= {k}),""")
+    last = f"a{rounds}"
+    parts.append(f"""
+        fin AS (SELECT nb.u AS node_id,
+                       CAST(count(*) AS BIGINT) AS core_degree
+                FROM nb
+                JOIN {last} p ON nb.u = p.n
+                JOIN {last} q ON nb.v = q.n
+                GROUP BY nb.u)
+        SELECT node_id, core_degree FROM fin ORDER BY node_id""")
+    return "".join(parts)
+
 
 _KG_MENTIONS_SQL = r"""
 WITH pages AS (
@@ -1847,6 +1889,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        # k-core by bounded-unroll peeling: a_{i+1} = nodes of a_i with
+        # >= k neighbours still in a_i; 10 unrolled rounds reach the
+        # fixpoint (engine converges in <=2 rounds on this graph;
+        # convergence within the budget asserted in pytest)
+        "kg_kcore": _kcore_sql(12, 10),
     }
     # the incremental build must be bit-identical to the full rebuild:
     # it shares the flagship oracles verbatim

@@ -1791,3 +1791,17 @@ def events_type_distinct_users(sf_dir: str):
     return grouped_distinct_count(
         _read(sf_dir, "events", columns=["event_type", "user_id"]),
         "event_type", "user_id")
+
+
+KCORE_K = 12
+
+
+def kg_kcore(sf_dir: str):
+    """k-core (k=12) of the entity co-mention graph — iterative
+    distributed peel; the oracle replays the same fixpoint as a
+    bounded-unroll SQL chain (convergence within the unroll budget is
+    asserted in tests/test_wave5_ops.py)."""
+    from ..stages.graph import k_core
+    _ensure_gate_artifact(sf_dir)
+    out, _rounds = k_core(_comention_edges(sf_dir), k=KCORE_K)
+    return out

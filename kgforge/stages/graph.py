@@ -648,3 +648,69 @@ def clustering_coefficient(edges: Dataset, src_col: str = "src_id",
                          "degree": d,
                          "n_triangles": tk,
                          "clustering": cc})
+
+
+def k_core(edges: Dataset, k: int, src_col: str = "src_id",
+           dst_col: str = "dst_id", max_rounds: int = 40,
+           n_buckets: int = 64) -> tuple[Dataset, int]:
+    """The k-core of the undirected graph: the maximal subgraph where
+    every node has degree ≥ k, found by iterative peeling.
+
+    Distributed shape: the canonical edge set is materialized ONCE and
+    stays put; each round broadcasts the surviving-node set (node-sized,
+    the same documented driver bound as :func:`pagerank`'s rank vector),
+    one ``map_batches`` pass over the edge blocks computes surviving-
+    degree partials with sorted-array membership (``searchsorted``, no
+    per-edge Python), and the driver folds a node-sized degree vector
+    and peels.  Rounds are data-dependent but small in practice
+    (each round removes every node made deficient by the previous
+    round); the loop stops at the fixpoint.
+
+    Returns ``(dataset of (node_id, core_degree), rounds_used)`` —
+    ``core_degree`` is the node's degree INSIDE the k-core.  The
+    bounded-unroll SQL oracle replays exactly this fixpoint; pytest
+    asserts convergence within its round budget."""
+    canon = edges if {"a", "b"} <= set(edges.schema().names) else \
+        _canonical_edges(edges, src_col, dst_col, n_buckets)
+    canon = canon.materialize()
+    nodes, deg = _node_degrees(canon)
+    active_ids = nodes[deg >= k] if k > 0 else nodes
+    rounds = 0
+    last_deg = np.zeros(0, dtype=np.int64)
+    while rounds < max_rounds:
+        rounds += 1
+        ref = ray.put(active_ids)          # sorted
+
+        def part(t: pa.Table) -> pa.Table:
+            act = ray.get(ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(act, a)
+            ib = np.searchsorted(act, b)
+            ka = (ia < len(act)) & (act[np.minimum(ia, len(act) - 1)] == a) \
+                if len(act) else np.zeros(len(a), bool)
+            kb = (ib < len(act)) & (act[np.minimum(ib, len(act) - 1)] == b) \
+                if len(act) else np.zeros(len(b), bool)
+            keep = ka & kb
+            ids = np.concatenate([a[keep], b[keep]])
+            u, c = np.unique(ids, return_counts=True)
+            return pa.table({"node_id": pa.array(u, pa.uint64()),
+                             "n": pa.array(c, pa.int64())})
+
+        agg = (canon.map_batches(part, batch_format="pyarrow")
+                    .to_pandas().groupby("node_id", sort=True)["n"].sum())
+        cur_ids = agg.index.to_numpy(np.uint64)
+        cur_deg = agg.to_numpy(np.int64)
+        ok = cur_deg >= k
+        new_active = cur_ids[ok]
+        if len(new_active) == len(active_ids) and \
+                np.array_equal(new_active, active_ids):
+            last_deg = cur_deg[ok]
+            break
+        active_ids = new_active
+        last_deg = cur_deg[ok]
+        if len(active_ids) == 0:
+            break
+    out = pa.table({"node_id": pa.array(active_ids, pa.uint64()),
+                    "core_degree": pa.array(last_deg, pa.int64())})
+    return ray.data.from_arrow(out), rounds

@@ -183,3 +183,43 @@ def test_grouped_distinct_count():
            .to_pandas().set_index("g"))
     for g, sub in df.groupby("g"):
         assert out.loc[g, "n_distinct"] == sub["u"].nunique()
+
+
+def test_k_core_planted_clique_and_parity():
+    from kgforge.stages.graph import k_core
+    rng = np.random.default_rng(4)
+    # sparse random graph + a planted 8-clique on nodes 100..107
+    src = rng.integers(0, 60, 150).astype(np.int64)
+    dst = rng.integers(0, 60, 150).astype(np.int64)
+    cl = np.arange(100, 108, dtype=np.int64)
+    ca, cb = map(np.ravel, np.meshgrid(cl, cl))
+    m = ca < cb
+    edges = pd.DataFrame({
+        "src_id": np.concatenate([src, ca[m]]),
+        "dst_id": np.concatenate([dst, cb[m]])})
+    out, rounds = k_core(ray.data.from_pandas(edges), k=7)
+    df = out.to_pandas()
+    assert rounds < 40
+    # the 8-clique IS the 7-core unless the random part conspires
+    assert set(df["node_id"].astype(np.int64)) >= set(cl.tolist())
+    assert all(df["core_degree"] >= 7)
+
+    # brute-force peel parity on the full undirected simple graph
+    und = set()
+    for s, d in edges.itertuples(index=False):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active = set(adj)
+    while True:
+        drop = {v for v in active
+                if len(adj[v] & active) < 7}
+        if not drop:
+            break
+        active -= drop
+    assert set(df["node_id"].astype(np.int64)) == active
+    for r in df.itertuples():
+        assert r.core_degree == len(adj[int(r.node_id)] & active)
