@@ -435,6 +435,7 @@ _EMB_PAIRS_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from kgforge.pipelines import queries as Q
     sqls = {
         # Flagship KG pipeline oracles.  The kg_nodes/kg_edges queries
         # export a per-mention normalized long-format parquet to the
@@ -1734,7 +1735,7 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS running_cents
-            FROM events ORDER BY event_id
+            FROM events WHERE value IS NOT NULL ORDER BY event_id
         """,
         "customer_events_full_outer": r"""
             WITH uc AS (
@@ -1755,7 +1756,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(round(l_extendedprice * 100) AS BIGINT) AS y
               FROM lineitem
               WHERE l_quantity IS NOT NULL
-                AND l_extendedprice IS NOT NULL),
+                AND l_extendedprice IS NOT NULL
+                AND l_returnflag IS NOT NULL),
             st AS (
               SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
                      SUM(CAST(x AS HUGEINT) * x) AS sxx,
@@ -1801,7 +1803,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang,
                      unnest(regexp_extract_all(COALESCE(text, ''), '\S+'))
                          AS token
-              FROM documents),
+              FROM documents WHERE lang IS NOT NULL),
             cnt AS (
               SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
               FROM tok GROUP BY lang, token),
@@ -1872,7 +1874,8 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (
               SELECT event_type,
                      CAST(round(value * 100) AS BIGINT) AS cents
-              FROM events WHERE value IS NOT NULL),
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
             cnt AS (
               SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n
               FROM c GROUP BY event_type, cents),
@@ -1887,13 +1890,15 @@ def oracle_sql() -> dict[str, str]:
         "events_type_distinct_users": r"""
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
-            FROM events GROUP BY event_type ORDER BY event_type
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         # k-core by bounded-unroll peeling: a_{i+1} = nodes of a_i with
-        # >= k neighbours still in a_i; 10 unrolled rounds reach the
-        # fixpoint (engine converges in <=2 rounds on this graph;
-        # convergence within the budget asserted in pytest)
-        "kg_kcore": _kcore_sql(12, 10),
+        # >= k neighbours still in a_i; the unroll budget is enforced
+        # at run time (queries.kg_kcore raises if the engine's peel
+        # exceeds it) and asserted on the gate graph in pytest
+        "kg_kcore": _kcore_sql(Q.KCORE_K, Q.KCORE_SQL_ROUNDS),
     }
     # the incremental build must be bit-identical to the full rebuild:
     # it shares the flagship oracles verbatim

@@ -1794,14 +1794,21 @@ def events_type_distinct_users(sf_dir: str):
 
 
 KCORE_K = 12
+KCORE_SQL_ROUNDS = 10     # unroll budget of the __ray_entry__ oracle
 
 
 def kg_kcore(sf_dir: str):
     """k-core (k=12) of the entity co-mention graph — iterative
     distributed peel; the oracle replays the same fixpoint as a
-    bounded-unroll SQL chain (convergence within the unroll budget is
-    asserted in tests/test_wave5_ops.py)."""
+    bounded-unroll SQL chain.  The unroll is only exact if the engine
+    converges inside it, so the rounds-used count is CHECKED here (and
+    on the gate graph in tests/test_wave5_ops.py), not assumed."""
     from ..stages.graph import k_core
     _ensure_gate_artifact(sf_dir)
-    out, _rounds = k_core(_comention_edges(sf_dir), k=KCORE_K)
+    out, rounds = k_core(_comention_edges(sf_dir), k=KCORE_K)
+    if rounds > KCORE_SQL_ROUNDS:
+        raise RuntimeError(
+            f"k-core peel took {rounds} rounds; the SQL oracle unrolls "
+            f"only {KCORE_SQL_ROUNDS} — raise KCORE_SQL_ROUNDS to keep "
+            "the gate exact")
     return out

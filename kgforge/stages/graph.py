@@ -711,6 +711,13 @@ def k_core(edges: Dataset, k: int, src_col: str = "src_id",
         last_deg = cur_deg[ok]
         if len(active_ids) == 0:
             break
+    else:
+        # a silent non-converged result would be a subgraph that is NOT
+        # a k-core, with degrees counted against already-peeled nodes
+        raise RuntimeError(
+            f"k_core did not reach its fixpoint in {max_rounds} rounds; "
+            "raise max_rounds (long path-like peel chains need ~diameter "
+            "rounds)")
     out = pa.table({"node_id": pa.array(active_ids, pa.uint64()),
                     "core_degree": pa.array(last_deg, pa.int64())})
     return ray.data.from_arrow(out), rounds

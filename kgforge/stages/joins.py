@@ -386,7 +386,7 @@ def full_outer_join(left: Dataset, right: Dataset, left_col: str,
     key_type = ltypes[left_col]
     final_cols = [key_name] + left_vals + right_vals
 
-    def _prep(col, vals, side):
+    def _prep(col, side):
         def f(t: pa.Table) -> pa.Table:
             k = t.column(col).cast(key_type)
             if isinstance(k, pa.ChunkedArray):
@@ -405,10 +405,10 @@ def full_outer_join(left: Dataset, right: Dataset, left_col: str,
         return f
 
     tagged = (left.select_columns([left_col] + left_vals)
-              .map_batches(_prep(left_col, left_vals, 0),
+              .map_batches(_prep(left_col, 0),
                            batch_format="pyarrow")
               .union(right.select_columns([right_col] + right_vals)
-                     .map_batches(_prep(right_col, right_vals, 1),
+                     .map_batches(_prep(right_col, 1),
                                   batch_format="pyarrow")))
 
     vtypes = {**{v: ltypes[v] for v in left_vals},
@@ -417,7 +417,18 @@ def full_outer_join(left: Dataset, right: Dataset, left_col: str,
     def merge_bucket(g: pd.DataFrame) -> pa.Table:
         l = g.loc[g["_side"] == 0, [key_name] + left_vals]
         r = g.loc[g["_side"] == 1, [key_name] + right_vals]
-        m = l.merge(r, how="outer", on=key_name)[final_cols]
+        # SQL equi-join semantics: NULL keys never match (pandas merge
+        # would pair NaN keys with each other) — null-key rows from
+        # either side pass through unmatched
+        ln, rn = l[key_name].isna(), r[key_name].isna()
+        m = l[~ln].merge(r[~rn], how="outer", on=key_name)
+        if ln.any():
+            m = pd.concat([m, l[ln].reindex(columns=final_cols)],
+                          ignore_index=True)
+        if rn.any():
+            m = pd.concat([m, r[rn].reindex(columns=final_cols)],
+                          ignore_index=True)
+        m = m[final_cols]
         cols = {key_name: pa.Array.from_pandas(m[key_name],
                                                type=key_type)}
         for v in left_vals + right_vals:

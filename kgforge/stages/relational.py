@@ -859,7 +859,9 @@ def grouped_zscore(ds: Dataset, group_col: str, col: str,
     import ray
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.select([group_col, col]).filter(t.column(col).is_valid())
+        t = t.select([group_col, col]).filter(
+            pc.and_(t.column(col).is_valid(),
+                    t.column(group_col).is_valid()))
         if t.num_rows == 0:
             return pa.table({group_col: pa.array([], pa.string()),
                              "n": pa.array([], pa.int64()),
@@ -891,7 +893,10 @@ def grouped_zscore(ds: Dataset, group_col: str, col: str,
 
     def attach(t: pa.Table) -> pa.Table:
         st = ray.get(ref)
-        t = t.filter(t.column(col).is_valid())
+        # null groups drop exactly as the oracle's JOIN on the group
+        # key drops them (and the stats fold never saw them)
+        t = t.filter(pc.and_(t.column(col).is_valid(),
+                             t.column(group_col).is_valid()))
         c = _cents(t.column(col).to_numpy(zero_copy_only=False))
         groups = t.column(group_col).to_pylist()
         mean = np.array([st[g][0] for g in groups], np.float64)
@@ -1044,7 +1049,9 @@ def grouped_mad(ds: Dataset, group_col: str, col: str,
     import ray
 
     def to_cents(t: pa.Table) -> pa.Table:
-        t = t.select([group_col, col]).filter(t.column(col).is_valid())
+        t = t.select([group_col, col]).filter(
+            pc.and_(t.column(col).is_valid(),
+                    t.column(group_col).is_valid()))
         return pa.table({
             group_col: t.column(group_col),
             "cents": pa.array(_cents(
@@ -1105,8 +1112,10 @@ def grouped_corr(ds: Dataset, group_col: str, x_col: str, y_col: str,
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.select([group_col, x_col, y_col])
-        t = t.filter(pc.and_(t.column(x_col).is_valid(),
-                             t.column(y_col).is_valid()))
+        t = t.filter(pc.and_(
+            pc.and_(t.column(x_col).is_valid(),
+                    t.column(y_col).is_valid()),
+            t.column(group_col).is_valid()))
         if t.num_rows == 0:
             return pa.table({group_col: pa.array([], pa.string()),
                              "n": pa.array([], pa.int64()),
@@ -1179,6 +1188,7 @@ def grouped_token_frequencies(ds: Dataset, group_col: str = "lang",
                          "_bucket": pa.array([], pa.int64())})
 
     def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column(group_col).is_valid())
         if t.num_rows == 0:
             return _empty()
         toks = pc.split_pattern_regex(
@@ -1259,7 +1269,9 @@ def grouped_mode(ds: Dataset, group_col: str, col: str,
     O(batches × distinct pairs)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.select([group_col, col]).filter(t.column(col).is_valid())
+        t = t.select([group_col, col]).filter(
+            pc.and_(t.column(col).is_valid(),
+                    t.column(group_col).is_valid()))
         if t.num_rows == 0:
             return pa.table({
                 "g": pa.array([], pa.string()),
@@ -1310,7 +1322,9 @@ def grouped_distinct_count(ds: Dataset, group_col: str, col: str,
     value) pair lives in exactly one bucket."""
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.select([group_col, col]).filter(t.column(col).is_valid())
+        t = t.select([group_col, col]).filter(
+            pc.and_(t.column(col).is_valid(),
+                    t.column(group_col).is_valid()))
         if t.num_rows == 0:
             return pa.table({
                 "g": pa.array([], pa.string()),

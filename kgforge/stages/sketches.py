@@ -13,6 +13,7 @@ O(rows)).
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import numpy as np
@@ -206,7 +207,6 @@ def _bloom_positions(key, m_bits: int, k: int) -> list[int]:
     of ``md5(f"{key}:{j}")`` mod ``m_bits`` — md5-derived precisely so a
     SQL engine can re-derive the whole filter
     (``('0x' || substr(md5(key || ':' || j), 1, 16))::UBIGINT % m``)."""
-    import hashlib
     return [int(hashlib.md5(f"{key}:{j}".encode("utf-8")).hexdigest()[:16],
                 16) % m_bits for j in range(k)]
 

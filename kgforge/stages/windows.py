@@ -507,13 +507,17 @@ def grouped_running_sum(ds: Dataset, key_col: str = "user_id",
     vectorized sort + ``groupby().cumsum()`` (same one-key-fits-one-
     worker contract as every keyed window here).  The ``id`` tie-break
     makes equal-timestamp ordering deterministic on both the engine and
-    the oracle."""
+    the oracle.  Null values are dropped up front (mirrored by the
+    oracle's ``WHERE value IS NOT NULL``) — without the filter a NaN
+    would poison every later running sum of its key."""
+    from .relational import _cents
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(t.column(value_col).is_valid())
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
-        cents = np.floor(g[value_col].to_numpy(np.float64) * 100.0
-                         + 0.5).astype(np.int64)
-        g = g.assign(_c=cents)
+        g = g.assign(_c=_cents(g[value_col].to_numpy(np.float64)))
         run = g.groupby(key_col, sort=False)["_c"].cumsum()
         return pd.DataFrame({
             id_col: g[id_col].to_numpy(np.int64),
@@ -521,7 +525,9 @@ def grouped_running_sum(ds: Dataset, key_col: str = "user_id",
             "running_cents": run.to_numpy(np.int64)})
 
     return (_bucketed(ds.select_columns(
-                [id_col, key_col, ts_col, value_col]), key_col, n_buckets)
+                [id_col, key_col, ts_col, value_col])
+                .map_batches(drop_null, batch_format="pyarrow"),
+                key_col, n_buckets)
             .groupby("bucket")
             .map_groups(fold, batch_format="pandas"))
 

@@ -223,3 +223,61 @@ def test_k_core_planted_clique_and_parity():
     assert set(df["node_id"].astype(np.int64)) == active
     for r in df.itertuples():
         assert r.core_degree == len(adj[int(r.node_id)] & active)
+
+
+def test_kg_kcore_rounds_within_sql_unroll():
+    """The bounded-unroll oracle is only exact if the engine's peel
+    converges inside the budget — check it on the actual gate graph."""
+    from kgforge.pipelines import queries as Q
+    from kgforge.stages.graph import k_core
+    _, rounds = k_core(Q._comention_edges("/root/testdata/sf0.001"),
+                       k=Q.KCORE_K)
+    assert rounds <= Q.KCORE_SQL_ROUNDS
+
+
+def test_running_sum_skips_null_values():
+    from kgforge.stages.windows import grouped_running_sum
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([5, 5, 5], pa.int64()),
+        "ts": pa.array(pd.to_datetime([10, 20, 30], unit="s")),
+        "value": pa.array([1.0, None, 2.0], pa.float64())})
+    out = (grouped_running_sum(ray.data.from_arrow(t))
+           .to_pandas().sort_values("event_id"))
+    # the NULL row is dropped (oracle: WHERE value IS NOT NULL) and
+    # does NOT poison later sums
+    assert out["event_id"].tolist() == [1, 3]
+    assert out["running_cents"].tolist() == [100, 300]
+
+
+def test_full_outer_join_null_keys_never_match():
+    from kgforge.stages.joins import full_outer_join
+    left = ray.data.from_arrow(pa.table({
+        "lk": pa.array([1, None], pa.int64()),
+        "lv": pa.array(["a", "b"], pa.string())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1, None], pa.int64()),
+        "rv": pa.array([10, 20], pa.int64())}))
+    out = full_outer_join(left, right, "lk", "rk",
+                          ["lv"], ["rv"]).to_pandas()
+    # 1<->1 matches; the two NULL-key rows pass through UNMATCHED
+    assert len(out) == 3
+    matched = out[out["key"] == 1]
+    assert matched["lv"].iloc[0] == "a" and matched["rv"].iloc[0] == 10
+    nulls = out[out["key"].isna()]
+    assert len(nulls) == 2
+    assert sorted(nulls["lv"].fillna("-")) == ["-", "b"]
+    assert sorted(nulls["rv"].fillna(-1).astype(int)) == [-1, 20]
+
+
+def test_grouped_zscore_null_group_dropped():
+    from kgforge.stages.relational import grouped_zscore
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "g": pa.array(["a", None, "a"], pa.string()),
+        "value": pa.array([1.0, 5.0, 3.0], pa.float64())})
+    out = grouped_zscore(ray.data.from_arrow(t), "g", "value",
+                         keep_cols=["event_id"]).to_pandas()
+    # no KeyError; the null-group row drops exactly as the oracle's
+    # JOIN on the group key drops it
+    assert out["event_id"].tolist() == [1, 3]
