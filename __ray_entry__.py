@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": Q.events_cube,
         "events_mode_by_type": Q.events_mode_by_type,
         "events_type_distinct_users": Q.events_type_distinct_users,
+        "tpch_q5_revenue": Q.tpch_q5_revenue,
     }
 
 
@@ -1899,6 +1900,22 @@ def oracle_sql() -> dict[str, str]:
         # at run time (queries.kg_kcore raises if the engine's peel
         # exceeds it) and asserted on the gate graph in pytest
         "kg_kcore": _kcore_sql(Q.KCORE_K, Q.KCORE_SQL_ROUNDS),
+        "tpch_q5_revenue": r"""
+            WITH f AS (
+              SELECT n.n_name, r.r_name,
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 100) AS BIGINT) AS cents
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE c.c_nationkey = s.s_nationkey)
+            SELECT r_name, n_name,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM f GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
     }
     # the incremental build must be bit-identical to the full rebuild:
     # it shares the flagship oracles verbatim

@@ -48,7 +48,12 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "kg_incremental_nodes",
              # kg_* secondary times include the mention-extraction /
              # KG-build prefix (fresh session each, no cached result)
-             "kg_cooccurrence", "kg_pagerank"]
+             "kg_cooccurrence", "kg_pagerank",
+             # wave 4-6 representatives (bloom/CMS sketches, exact
+             # moments, windows, star join)
+             "bloom_probe_customers", "events_zscore_by_type",
+             "events_user_running_total", "cms_user_counts",
+             "lineitem_corr", "tpch_q5_revenue"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,

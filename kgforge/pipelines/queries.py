@@ -1812,3 +1812,84 @@ def kg_kcore(sf_dir: str):
             f"only {KCORE_SQL_ROUNDS} — raise KCORE_SQL_ROUNDS to keep "
             "the gate exact")
     return out
+
+
+def tpch_q5_revenue(sf_dir: str):
+    """TPC-H Q5-style local-supplier revenue: per (region, nation)
+    revenue over customer⋈orders⋈lineitem⋈supplier⋈nation⋈region where
+    the customer's and supplier's nations match — the canonical
+    star-join showcase.  All four dimension sides (nation/region maps,
+    customer→nation, supplier→nation, orders→customer) broadcast once
+    via ``ray.put``; the ONE fact scan over lineitem does vectorized
+    map lookups + the locality filter + a cents combiner, so the only
+    exchange is the nation-sized partial fold (same bound note as
+    tpch_q3's order-date broadcast: at 10^9+ orders the orders map
+    becomes a tag-union shuffle join instead, dataflow otherwise
+    unchanged)."""
+    import pyarrow.parquet as _pq
+    from ..stages.joins import _broadcast_cache
+
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = _pq.read_table(f"{sf_dir}/region.parquet")
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    orders = _pq.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey"])
+    r_name = dict(zip(reg.column("r_regionkey").to_pylist(),
+                      reg.column("r_name").to_pylist()))
+    n_info = {int(k): (nm, r_name[int(rk)])
+              for k, nm, rk in zip(nat.column("n_nationkey").to_pylist(),
+                                   nat.column("n_name").to_pylist(),
+                                   nat.column("n_regionkey").to_pylist())}
+    maps_ref = ray.put((
+        pd.Series(cust.column("c_nationkey").to_numpy().astype(np.int64),
+                  index=cust.column("c_custkey").to_numpy()),
+        pd.Series(supp.column("s_nationkey").to_numpy().astype(np.int64),
+                  index=supp.column("s_suppkey").to_numpy()),
+        pd.Series(orders.column("o_custkey").to_numpy(),
+                  index=orders.column("o_orderkey").to_numpy())))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cust_nat, supp_nat, ord_cust = _broadcast_cache(maps_ref)
+        ok = pd.Series(batch.column("l_orderkey").to_numpy(
+            zero_copy_only=False))
+        sk = pd.Series(batch.column("l_suppkey").to_numpy(
+            zero_copy_only=False))
+        cnat = ok.map(ord_cust).map(cust_nat)
+        snat = sk.map(supp_nat)
+        keep = (cnat == snat) & cnat.notna()
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        df = pd.DataFrame({
+            "natkey": cnat[keep].astype(np.int64).to_numpy(),
+            "cents": _cents(rev).to_numpy(
+                zero_copy_only=False)[keep.to_numpy()]})
+        agg = df.groupby("natkey", as_index=False)["cents"].sum()
+        return pa.table({
+            "natkey": pa.array(agg["natkey"].to_numpy(np.int64),
+                               pa.int64()),
+            "cents": pa.array(agg["cents"].to_numpy(np.int64),
+                              pa.int64())})
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("natkey")
+             .aggregate(Sum("cents", alias_name="revenue_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ks = t.column("natkey").to_pylist()
+        return pa.table({
+            "r_name": pa.array([n_info[int(k)][1] for k in ks],
+                               pa.string()),
+            "n_name": pa.array([n_info[int(k)][0] for k in ks],
+                               pa.string()),
+            "revenue_cents": t.column("revenue_cents").cast(pa.int64())})
+
+    return finish(pa.Table.from_pandas(agg.to_pandas(),
+                                       preserve_index=False))
