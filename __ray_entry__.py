@@ -1310,13 +1310,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, q, value FROM (
               SELECT event_type, 0.25 AS q,
                      quantile_disc(value, 0.25) AS value
-              FROM events GROUP BY event_type
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY event_type
               UNION ALL
               SELECT event_type, 0.5, quantile_disc(value, 0.5)
-              FROM events GROUP BY event_type
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY event_type
               UNION ALL
               SELECT event_type, 0.9, quantile_disc(value, 0.9)
-              FROM events GROUP BY event_type)
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY event_type)
             ORDER BY event_type, q
         """,
         "orders_no_events": """

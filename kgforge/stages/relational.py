@@ -332,8 +332,11 @@ def grouped_quantiles(ds: Dataset, group_col: str, col: str,
     qs_arr = np.asarray(qs, dtype=np.float64)
 
     def bucket(t: pa.Table) -> pa.Table:
+        # quantile_disc ignores NULL values; null GROUPS drop as the
+        # gate oracles' WHERE <group> IS NOT NULL mirrors
         t = t.select([group_col, col]).filter(
-            t.column(col).is_valid())      # quantile_disc ignores NULLs
+            pc.and_(t.column(col).is_valid(),
+                    t.column(group_col).is_valid()))
         return t.append_column(
             "_bucket", _key_bucket(t.column(group_col), n_buckets))
 
@@ -787,7 +790,11 @@ def winsorized_group_stats(ds: Dataset, group_col: str, col: str,
     th_ref = ray.put((lo_map, hi_map))
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.select([group_col, col]).filter(t.column(col).is_valid())
+        # null GROUP keys drop too (grouped_quantiles never saw them,
+        # so the threshold lookup below would KeyError)
+        t = t.select([group_col, col]).filter(
+            pc.and_(t.column(col).is_valid(),
+                    t.column(group_col).is_valid()))
         if t.num_rows == 0:
             return pa.table({group_col: pa.array([], pa.string()),
                              "n": pa.array([], pa.int64()),
