@@ -102,25 +102,42 @@ def token_hash64_md5(token: str) -> int:
         hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
 
 
-def simhash64(text: str) -> int:
-    """64-bit simhash over RE2-``\\S+`` tokens with md5-derived token
-    hashes (oracle-able: every step is replicable in plain SQL, see
-    :func:`token_hash64_md5`).  Bit ``i`` of the signature is set when
-    ``sum over token occurrences of (2*((h>>i)&1) - 1) > 0``.
+def simhash64_batch(texts: list) -> np.ndarray:
+    """64-bit simhash per text, batch-vectorized: md5 runs ONCE per
+    token unique ACROSS THE WHOLE BATCH (corpus tokens repeat heavily,
+    so this cuts the hash count ~10×), bit votes accumulate with one
+    ``np.add.at`` scatter over a (unique-tokens × 64) sign matrix.
 
-    Duplicate tokens vote once per occurrence (occurrence counts weight
-    the votes); the md5 loop runs once per UNIQUE token."""
-    toks = _TOKEN_SPLIT.findall(text)
-    if not toks:
-        return 0
-    uniq, counts = np.unique(np.asarray(toks, dtype=object),
-                             return_counts=True)
+    Semantics are identical to :func:`simhash64` (RE2-``\\S+`` tokens,
+    md5-derived hashes, occurrence-weighted votes, bit set when the
+    vote sum is > 0) — oracle-able: every step replicates in plain SQL
+    via :func:`token_hash64_md5`."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    tok_lists = [_TOKEN_SPLIT.findall(t or "") for t in texts]
+    counts = np.fromiter((len(tl) for tl in tok_lists),
+                         dtype=np.int64, count=n)
+    if counts.sum() == 0:
+        return out
+    flat = np.asarray([tok for tl in tok_lists for tok in tl],
+                      dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
     hs = np.fromiter((token_hash64_md5(t) for t in uniq),
                      dtype=np.uint64, count=len(uniq))
-    bits = ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int64)
-    votes = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
-    mask = votes > 0
-    return int(np.sum((np.uint64(1) << _BIT_IDX)[mask]))
+    signs = (((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1))
+             .astype(np.int64) * 2 - 1)          # (uniq, 64) in {-1, 1}
+    votes = np.zeros((n, 64), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    np.add.at(votes, doc_idx, signs[inv])
+    bit_vals = (np.uint64(1) << _BIT_IDX)
+    return ((votes > 0).astype(np.uint64) * bit_vals[None, :]).sum(
+        axis=1, dtype=np.uint64)
+
+
+def simhash64(text: str) -> int:
+    """64-bit simhash over RE2-``\\S+`` tokens with md5-derived token
+    hashes — single-doc form of :func:`simhash64_batch`."""
+    return int(simhash64_batch([text])[0])
 
 
 def hamming64(a: int, b: int) -> int:

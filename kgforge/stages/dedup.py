@@ -465,19 +465,19 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id",
     8 bytes — it rides the band shuffle directly (no candidate join)."""
 
     def sign(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        id_o, band_o, key_o, sim_o = [], [], [], []
-        for i, t in zip(ids, texts):
-            s = H.simhash64(t or "")
-            for band in range(4):
-                id_o.append(i)
-                band_o.append(band)
-                key_o.append((s >> (band * 16)) & 0xFFFF)
-                sim_o.append(s)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        sigs = H.simhash64_batch(batch.column(text_col).to_pylist())
+        n = len(ids)
+        # 4 band rows per doc, fully vectorized
+        band = np.tile(np.arange(4, dtype=np.uint64), n)
+        rep_sig = np.repeat(sigs, 4)
+        key = ((rep_sig >> (band * np.uint64(16)))
+               & np.uint64(0xFFFF)).astype(np.int32)
         tbl = pa.Table.from_arrays(
-            [pa.array(id_o, pa.int64()), pa.array(band_o, pa.int32()),
-             pa.array(key_o, pa.int32()), pa.array(sim_o, pa.uint64())],
+            [pa.array(np.repeat(ids, 4), pa.int64()),
+             pa.array(band.astype(np.int32), pa.int32()),
+             pa.array(key, pa.int32()),
+             pa.array(rep_sig, pa.uint64())],
             names=[id_col, "band_id", "band_key", "simhash"])
         return _coarse_bucket(tbl, "band_key")
 
