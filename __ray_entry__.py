@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_khop": Q.kg_khop,
         "kg_triangles": Q.kg_triangles,
         "kg_kcore": Q.kg_kcore,
+        "kg_negative_samples": Q.kg_negative_samples,
         "kg_clustering": Q.kg_clustering,
         "kg_link_prediction": Q.kg_link_prediction,
         "events_winsorized_stats": Q.events_winsorized_stats,
@@ -1903,6 +1904,44 @@ def oracle_sql() -> dict[str, str]:
         # at run time (queries.kg_kcore raises if the engine's peel
         # exceeds it) and asserted on the gate graph in pytest
         "kg_kcore": _kcore_sql(Q.KCORE_K, Q.KCORE_SQL_ROUNDS),
+        # deterministic negative sampling: candidate index is md5-derived
+        # mod |nodes| into the rank-ordered node vector; self-loop and
+        # existing-edge candidates DROP (no resampling — that
+        # determinism is what makes the sample SQL-re-derivable).
+        # No least()/greatest() on the UBIGINT ids (DOUBLE promotion).
+        "kg_negative_samples": r"""
+            WITH pm AS (SELECT DISTINCT url_hash, node_id
+                        FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
+                        WHERE attr = ''),
+            c AS (SELECT DISTINCT x.node_id AS a, y.node_id AS b
+                  FROM pm x JOIN pm y ON x.url_hash = y.url_hash
+                   AND x.node_id < y.node_id),
+            nodes AS (SELECT DISTINCT n FROM
+                      (SELECT a AS n FROM c UNION ALL SELECT b FROM c)),
+            nn AS (SELECT n, row_number() OVER (ORDER BY n) - 1 AS rk
+                   FROM nodes),
+            cnt AS (SELECT COUNT(*) AS m FROM nn),
+            cand AS (
+              SELECT u.n AS src_id, j.j AS sample_j,
+                     CAST(('0x' || substr(md5(CAST(u.n AS VARCHAR)
+                          || ':' || CAST(j.j AS VARCHAR) || ':neg'),
+                          1, 16))::UBIGINT
+                          % CAST((SELECT m FROM cnt) AS UBIGINT)
+                          AS BIGINT) AS idx
+              FROM nn u,
+                   (SELECT CAST(unnest(range(5)) AS BIGINT) AS j) j),
+            res AS (
+              SELECT cd.src_id, cd.sample_j, nn2.n AS neg_id
+              FROM cand cd JOIN nn nn2 ON nn2.rk = cd.idx)
+            SELECT src_id, CAST(sample_j AS BIGINT) AS sample_j, neg_id
+            FROM res r
+            WHERE r.neg_id <> r.src_id
+              AND NOT EXISTS (SELECT 1 FROM c e
+                   WHERE (e.a = r.src_id AND e.b = r.neg_id)
+                      OR (e.a = r.neg_id AND e.b = r.src_id))
+            ORDER BY src_id, sample_j
+        """,
         "tpch_q5_revenue": r"""
             WITH f AS (
               SELECT n.n_name, r.r_name,

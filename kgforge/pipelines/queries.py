@@ -1893,3 +1893,14 @@ def tpch_q5_revenue(sf_dir: str):
 
     return finish(pa.Table.from_pandas(agg.to_pandas(),
                                        preserve_index=False))
+
+
+def kg_negative_samples(sf_dir: str):
+    """Deterministic negative-edge samples (k=5 proposals per node,
+    md5-derived, existing-edge/self drops) over the co-mention graph —
+    the contrastive-training counterpart of kg_link_prediction.
+    Identical output at any parallelism (pure-function sampling), and
+    the whole sample — drops included — re-derives in SQL."""
+    from ..stages.graph import negative_edge_samples
+    _ensure_gate_artifact(sf_dir)
+    return negative_edge_samples(_comention_edges(sf_dir), k=5)

@@ -721,3 +721,66 @@ def k_core(edges: Dataset, k: int, src_col: str = "src_id",
     out = pa.table({"node_id": pa.array(active_ids, pa.uint64()),
                     "core_degree": pa.array(last_deg, pa.int64())})
     return ray.data.from_arrow(out), rounds
+
+
+def negative_edge_samples(edges: Dataset, k: int = 5,
+                          src_col: str = "src_id",
+                          dst_col: str = "dst_id",
+                          salt: str = "neg") -> Dataset:
+    """Deterministic negative-edge sampling for link-prediction /
+    contrastive training: each node proposes ``k`` pseudo-random
+    candidate partners (md5-derived index into the sorted node vector),
+    then candidates that are self-loops or EXISTING edges are dropped
+    (no resampling — the deterministic drop is what keeps the sample
+    SQL-re-derivable and identical across cluster sizes/reruns).
+
+    Distributed shape: the sorted node vector broadcasts once
+    (node-sized, the pagerank bound); candidate generation is an
+    embarrassingly-parallel ``map_batches`` over the node list; the
+    existing-edge filter uses a broadcast pair set here (edge-sized —
+    fine to ~10^8 edges; beyond that swap in the tag-union
+    ``anti_join`` machinery keyed on the canonical pair, dataflow
+    otherwise unchanged)."""
+    import hashlib
+
+    canon = edges if {"a", "b"} <= set(edges.schema().names) else \
+        _canonical_edges(edges, src_col, dst_col)
+    canon = canon.materialize()
+    nodes, _deg = _node_degrees(canon)
+    pair_set = set()
+    for t in canon.to_arrow_refs():
+        tt = ray.get(t)
+        for a, b in zip(tt.column("a").to_pylist(),
+                        tt.column("b").to_pylist()):
+            pair_set.add((int(a), int(b)))
+    nodes_ref = ray.put(nodes)
+    pairs_ref = ray.put(pair_set)
+    n_nodes = len(nodes)
+
+    def gen(t: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        pairs = ray.get(pairs_ref)
+        out_u, out_j, out_v = [], [], []
+        for u in t.column("node_id").to_pylist():
+            ui = int(u)
+            for j in range(k):
+                idx = int(hashlib.md5(
+                    f"{ui}:{j}:{salt}".encode("utf-8")).hexdigest()[:16],
+                    16) % n_nodes
+                v = int(nd[idx])
+                key = (min(ui, v), max(ui, v))
+                if v == ui or key in pairs:
+                    continue
+                out_u.append(ui)
+                out_j.append(j)
+                out_v.append(v)
+        return pa.table({
+            "src_id": pa.array(np.asarray(out_u, dtype=np.uint64),
+                               pa.uint64()),
+            "sample_j": pa.array(out_j, pa.int64()),
+            "neg_id": pa.array(np.asarray(out_v, dtype=np.uint64),
+                               pa.uint64())})
+
+    node_ds = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(nodes, pa.uint64())}))
+    return node_ds.map_batches(gen, batch_format="pyarrow")

@@ -281,3 +281,23 @@ def test_grouped_zscore_null_group_dropped():
     # no KeyError; the null-group row drops exactly as the oracle's
     # JOIN on the group key drops it
     assert out["event_id"].tolist() == [1, 3]
+
+
+def test_negative_samples_properties():
+    from kgforge.stages.graph import negative_edge_samples
+    edges = pd.DataFrame({
+        "src_id": np.array([1, 2, 3, 4, 1], np.int64),
+        "dst_id": np.array([2, 3, 4, 5, 3], np.int64)})
+    ds = ray.data.from_pandas(edges)
+    a = negative_edge_samples(ds, k=8).to_pandas()
+    b = negative_edge_samples(ds, k=8).to_pandas()
+    key = ["src_id", "sample_j"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))     # deterministic
+    und = {(min(s, d), max(s, d))
+           for s, d in edges.itertuples(index=False)}
+    for r in a.itertuples():
+        assert r.src_id != r.neg_id
+        assert (min(r.src_id, r.neg_id),
+                max(r.src_id, r.neg_id)) not in und
