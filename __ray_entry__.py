@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_by_type": Q.events_mode_by_type,
         "events_type_distinct_users": Q.events_type_distinct_users,
         "tpch_q5_revenue": Q.tpch_q5_revenue,
+        "embedding_label_centroids": Q.embedding_label_centroids,
+        "mixture_sample_docs": Q.mixture_sample_docs,
     }
 
 
@@ -1957,6 +1959,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_name, n_name,
                    CAST(SUM(cents) AS BIGINT) AS revenue_cents
             FROM f GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        # floor-form quantization on BOTH sides (no round-half
+        # asymmetry on negative components); centroid is one mirrored
+        # IEEE division of exact integers
+        "embedding_label_centroids": r"""
+            WITH q AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS qv
+              FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qv) AS BIGINT) AS sum_q,
+                   CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS centroid_q
+            FROM q GROUP BY label, dim ORDER BY label, dim
+        """,
+        "mixture_sample_docs": r"""
+            SELECT doc_id, source
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || ':mix'), 1, 13))::UBIGINT AS HUGEINT) * 4
+                  < CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1
+                         AS HUGEINT) * 4503599627370496
+            ORDER BY doc_id
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

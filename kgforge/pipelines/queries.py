@@ -1904,3 +1904,77 @@ def kg_negative_samples(sf_dir: str):
     from ..stages.graph import negative_edge_samples
     _ensure_gate_artifact(sf_dir)
     return negative_edge_samples(_comention_edges(sf_dir), k=5)
+
+
+def embedding_label_centroids(sf_dir: str):
+    """Per-label embedding centroids on QUANTIZED integers — the
+    per-cluster statistics pass of a data-mixing/curriculum pipeline,
+    kept bit-exact: each float32 component quantizes as
+    ``floor(x*1e6 + 0.5)`` (floor form on BOTH engine and oracle — no
+    round-half asymmetry), per-batch combiners emit (label, dim)
+    integer partial sums (64 rows/label/batch, never vectors), and the
+    centroid is ONE mirrored IEEE division."""
+    emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        arr = t.column("embedding")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        dim = len(arr[0])
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        mat = np.floor(flat.astype(np.float64) * 1_000_000 + 0.5) \
+                .astype(np.int64).reshape(len(labels), dim)
+        out_l, out_d, out_n, out_s = [], [], [], []
+        for lb in np.unique(labels):
+            sel = mat[labels == lb]
+            out_l.extend([int(lb)] * dim)
+            out_d.extend(range(dim))
+            out_n.extend([sel.shape[0]] * dim)
+            out_s.extend(sel.sum(axis=0).tolist())
+        return pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "dim": pa.array(out_d, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "s": pa.array(out_s, pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        d = t.column("dim").to_numpy(zero_copy_only=False)
+        return t.append_column("_b", pa.array(d % 16, pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["label", "dim"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"))
+        n = agg["n"].to_numpy(np.int64)
+        s = agg["s"].to_numpy(np.int64)
+        return pa.table({
+            "label": pa.array(agg["label"].to_numpy(np.int64), pa.int64()),
+            "dim": pa.array(agg["dim"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "sum_q": pa.array(s, pa.int64()),
+            "centroid_q": pa.array(s.astype(np.float64)
+                                   / n.astype(np.float64), pa.float64())})
+
+    return (emb.map_batches(partial, batch_format="pyarrow")
+               .map_batches(bucket, batch_format="pyarrow")
+               .groupby("_b")
+               .map_groups(fold, batch_format="pandas"))
+
+
+def mixture_sample_docs(sf_dir: str):
+    """Source-mixture sampling: per-source keep rates (1..4)/4 derived
+    from the source's numeric suffix, decided per doc by the same
+    pure-integer md5 comparison as weighted_bernoulli_sample (salt
+    'mix') — the deterministic data-mixing pass that reweights corpus
+    composition without a shuffle."""
+    from ..stages.relational import weighted_bernoulli_sample
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def with_w(t: pa.Table) -> pa.Table:
+        w = [int(s[3:]) % 4 + 1 for s in t.column("source").to_pylist()]
+        return t.append_column("w", pa.array(w, pa.int64()))
+
+    out = weighted_bernoulli_sample(
+        docs.map_batches(with_w, batch_format="pyarrow"),
+        "doc_id", "w", scale=4, salt="mix")
+    return out.select_columns(["doc_id", "source"])
