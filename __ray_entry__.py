@@ -439,7 +439,6 @@ _EMB_PAIRS_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    from kgforge.pipelines import queries as Q
     sqls = {
         # Flagship KG pipeline oracles.  The kg_nodes/kg_edges queries
         # export a per-mention normalized long-format parquet to the
@@ -1742,7 +1741,9 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS running_cents
-            FROM events WHERE value IS NOT NULL ORDER BY event_id
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+            ORDER BY event_id
         """,
         "customer_events_full_outer": r"""
             WITH uc AS (
@@ -1911,7 +1912,7 @@ def oracle_sql() -> dict[str, str]:
         # existing-edge candidates DROP (no resampling — that
         # determinism is what makes the sample SQL-re-derivable).
         # No least()/greatest() on the UBIGINT ids (DOUBLE promotion).
-        "kg_negative_samples": r"""
+        "kg_negative_samples": rf"""
             WITH pm AS (SELECT DISTINCT url_hash, node_id
                         FROM read_parquet(
                    '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
@@ -1932,7 +1933,8 @@ def oracle_sql() -> dict[str, str]:
                           % CAST((SELECT m FROM cnt) AS UBIGINT)
                           AS BIGINT) AS idx
               FROM nn u,
-                   (SELECT CAST(unnest(range(5)) AS BIGINT) AS j) j),
+                   (SELECT CAST(unnest(range({Q.NEG_SAMPLE_K}))
+                           AS BIGINT) AS j) j),
             res AS (
               SELECT cd.src_id, cd.sample_j, nn2.n AS neg_id
               FROM cand cd JOIN nn nn2 ON nn2.rk = cd.idx)
@@ -1982,7 +1984,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
                      || ':mix'), 1, 13))::UBIGINT AS HUGEINT) * 4
-                  < CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1
+                  < CAST(TRY_CAST(substr(source, 4) AS BIGINT) % 4 + 1
                          AS HUGEINT) * 4503599627370496
             ORDER BY doc_id
         """,

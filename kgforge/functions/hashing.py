@@ -125,10 +125,15 @@ def simhash64_batch(texts: list) -> np.ndarray:
     hs = np.fromiter((token_hash64_md5(t) for t in uniq),
                      dtype=np.uint64, count=len(uniq))
     signs = (((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1))
-             .astype(np.int64) * 2 - 1)          # (uniq, 64) in {-1, 1}
+             .astype(np.float64) * 2.0 - 1.0)    # (uniq, 64) in {-1, 1}
     votes = np.zeros((n, 64), dtype=np.int64)
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-    np.add.at(votes, doc_idx, signs[inv])
+    # one bincount per bit keeps the transient at O(occurrences × 8 B);
+    # a single signs[inv] gather would be occurrences × 64 × 8 B —
+    # ~10 GB on a 128 MiB text block.  ±1 float sums are exact to 2^53.
+    for b in range(64):
+        votes[:, b] = np.bincount(doc_idx, weights=signs[inv, b],
+                                  minlength=n).astype(np.int64)
     bit_vals = (np.uint64(1) << _BIT_IDX)
     return ((votes > 0).astype(np.uint64) * bit_vals[None, :]).sum(
         axis=1, dtype=np.uint64)

@@ -1895,15 +1895,19 @@ def tpch_q5_revenue(sf_dir: str):
                                        preserve_index=False))
 
 
+NEG_SAMPLE_K = 5     # shared with the __ray_entry__ oracle's range()
+
+
 def kg_negative_samples(sf_dir: str):
-    """Deterministic negative-edge samples (k=5 proposals per node,
+    """Deterministic negative-edge samples (k proposals per node,
     md5-derived, existing-edge/self drops) over the co-mention graph —
     the contrastive-training counterpart of kg_link_prediction.
     Identical output at any parallelism (pure-function sampling), and
     the whole sample — drops included — re-derives in SQL."""
     from ..stages.graph import negative_edge_samples
     _ensure_gate_artifact(sf_dir)
-    return negative_edge_samples(_comention_edges(sf_dir), k=5)
+    return negative_edge_samples(_comention_edges(sf_dir),
+                                 k=NEG_SAMPLE_K)
 
 
 def embedding_label_centroids(sf_dir: str):
@@ -1917,6 +1921,11 @@ def embedding_label_centroids(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
         labels = t.column("label").to_numpy(zero_copy_only=False)
         arr = t.column("embedding")
         if isinstance(arr, pa.ChunkedArray):
@@ -1971,8 +1980,16 @@ def mixture_sample_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
 
     def with_w(t: pa.Table) -> pa.Table:
-        w = [int(s[3:]) % 4 + 1 for s in t.column("source").to_pylist()]
-        return t.append_column("w", pa.array(w, pa.int64()))
+        # null / non-'srcN' sources drop, exactly as the oracle's
+        # TRY_CAST(NULL-propagating substr) comparison drops them
+        ws, keep = [], []
+        for s in t.column("source").to_pylist():
+            suffix = s[3:] if isinstance(s, str) else ""
+            ok = suffix.isdigit()
+            keep.append(ok)
+            ws.append(int(suffix) % 4 + 1 if ok else 0)
+        t = t.append_column("w", pa.array(ws, pa.int64()))
+        return t.filter(pa.array(keep, pa.bool_()))
 
     out = weighted_bernoulli_sample(
         docs.map_batches(with_w, batch_format="pyarrow"),

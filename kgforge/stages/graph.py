@@ -747,6 +747,11 @@ def negative_edge_samples(edges: Dataset, k: int = 5,
         _canonical_edges(edges, src_col, dst_col)
     canon = canon.materialize()
     nodes, _deg = _node_degrees(canon)
+    if len(nodes) == 0:          # no (non-self-loop) edges at all
+        return ray.data.from_arrow(pa.table({
+            "src_id": pa.array([], pa.uint64()),
+            "sample_j": pa.array([], pa.int64()),
+            "neg_id": pa.array([], pa.uint64())}))
     pair_set = set()
     for t in canon.to_arrow_refs():
         tt = ray.get(t)

@@ -507,13 +507,18 @@ def grouped_running_sum(ds: Dataset, key_col: str = "user_id",
     vectorized sort + ``groupby().cumsum()`` (same one-key-fits-one-
     worker contract as every keyed window here).  The ``id`` tie-break
     makes equal-timestamp ordering deterministic on both the engine and
-    the oracle.  Null values are dropped up front (mirrored by the
-    oracle's ``WHERE value IS NOT NULL``) — without the filter a NaN
-    would poison every later running sum of its key."""
+    the oracle.  Null values AND null keys are dropped up front
+    (mirrored by the oracle's ``WHERE value IS NOT NULL AND key IS NOT
+    NULL``) — a NaN value would poison every later running sum of its
+    key, and a null key would crash the int cast after pandas groupby
+    silently dropped it."""
+    import pyarrow.compute as pc
+
     from .relational import _cents
 
     def drop_null(t: pa.Table) -> pa.Table:
-        return t.filter(t.column(value_col).is_valid())
+        return t.filter(pc.and_(t.column(value_col).is_valid(),
+                                t.column(key_col).is_valid()))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
