@@ -176,3 +176,45 @@ def test_range_join_bucketing_exactly_once(lefts, rights, lo, span):
                 surfaced.append((i, j))
     assert len(surfaced) == len(set(surfaced))      # exactly once
     assert set(surfaced) == brute                   # and complete
+
+
+@SETTINGS
+@given(st.lists(st.text(max_size=12), max_size=8))
+def test_simhash_batch_equals_single(texts):
+    batch = H.simhash64_batch(texts)
+    assert [int(x) for x in batch] == [H.simhash64(t) for t in texts]
+
+
+@SETTINGS
+@given(st.integers(min_value=0, max_value=2**62),
+       st.integers(min_value=0, max_value=10_000),
+       st.integers(min_value=1, max_value=10_000))
+def test_weighted_sample_decision_monotone_in_weight(doc_id, w, scale):
+    """Raising a doc's weight can only ADD it to the sample — the
+    membership-stability property incremental corpus reweighting
+    relies on (u52 is fixed per id, the comparison is monotone)."""
+    import hashlib
+    u52 = int(hashlib.md5(f"{doc_id}:ws".encode()).hexdigest()[:13], 16)
+    kept_w = u52 * scale < w * (1 << 52)
+    kept_w_plus = u52 * scale < (w + 1) * (1 << 52)
+    assert (not kept_w) or kept_w_plus
+    # weight >= scale → always kept (probability capped at 1)
+    assert u52 * scale < max(w, scale) * (1 << 52) or w < scale
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                min_size=1, max_size=300))
+def test_cms_estimate_never_undercounts(keys):
+    from kgforge.stages.sketches import _bloom_positions
+    width, depth = 64, 3        # tiny sketch → collisions guaranteed
+    mat = np.zeros((depth, width), dtype=np.int64)
+    for k in keys:
+        for j, p in enumerate(_bloom_positions(k, width, depth)):
+            mat[j, p] += 1
+    from collections import Counter
+    true = Counter(keys)
+    for k, n in true.items():
+        est = min(mat[j, p] for j, p in
+                  enumerate(_bloom_positions(k, width, depth)))
+        assert est >= n
