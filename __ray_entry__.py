@@ -1789,7 +1789,8 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_cohorts": r"""
             WITH w AS (
               SELECT user_id, epoch_us(ts) // 604800000000 AS wk
-              FROM events),
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
             c AS (SELECT user_id, MIN(wk) AS cw FROM w GROUP BY user_id),
             a AS (
               SELECT DISTINCT w.user_id, c.cw, w.wk - c.cw AS off
@@ -1804,7 +1805,8 @@ def oracle_sql() -> dict[str, str]:
                    STRING_AGG(event_type, '>' ORDER BY ts, event_id)
                        AS journey,
                    CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM events GROUP BY user_id ORDER BY user_id
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         "lang_token_frequencies": r"""
             WITH tok AS (

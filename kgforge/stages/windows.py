@@ -551,7 +551,14 @@ def retention_cohorts(ds: Dataset, key_col: str = "user_id",
     each user's history; the per-bucket fold is vectorized (min-week
     per user + dedup of (user, offset)); a second tiny fold sums the
     per-bucket partial cells — each user lives in exactly one bucket so
-    the partial counts are disjoint and SUM is exact."""
+    the partial counts are disjoint and SUM is exact.  Null keys /
+    timestamps drop (oracle mirror: ``WHERE user_id IS NOT NULL``) —
+    the int64 casts below would otherwise crash on NaN."""
+    import pyarrow.compute as pc
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(t.column(key_col).is_valid(),
+                                t.column(ts_col).is_valid()))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         us = g[key_col].to_numpy(np.int64)
@@ -573,8 +580,9 @@ def retention_cohorts(ds: Dataset, key_col: str = "user_id",
         agg["n_users"] = agg.pop("n").astype(np.int64)
         return agg
 
-    return (_bucketed(ds.select_columns([key_col, ts_col]), key_col,
-                      n_buckets)
+    return (_bucketed(ds.select_columns([key_col, ts_col])
+                      .map_batches(drop_null, batch_format="pyarrow"),
+                      key_col, n_buckets)
             .groupby("bucket")
             .map_groups(fold, batch_format="pandas")
             .groupby("cohort_week")
@@ -589,7 +597,13 @@ def grouped_journey(ds: Dataset, key_col: str = "user_id",
     ``collect_list``/``STRING_AGG(x, sep ORDER BY ts, id)`` aggregate)
     plus the event count.  One key-bucket shuffle; in-bucket the rows
     sort once by ``(key, ts, id)`` and each key's types join into one
-    string — output is key-sized, not event-sized."""
+    string — output is key-sized, not event-sized.  Null keys drop
+    (oracle mirror: ``WHERE user_id IS NOT NULL``; pandas groupby
+    would drop them silently while SQL GROUP BY keeps a NULL group)."""
+    import pyarrow.compute as pc
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(t.column(key_col).is_valid())
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
@@ -601,6 +615,8 @@ def grouped_journey(ds: Dataset, key_col: str = "user_id",
             "n_events": agg["n_events"].to_numpy(np.int64)})
 
     return (_bucketed(ds.select_columns(
-                [key_col, type_col, ts_col, id_col]), key_col, n_buckets)
+                [key_col, type_col, ts_col, id_col])
+                .map_batches(drop_null, batch_format="pyarrow"),
+                key_col, n_buckets)
             .groupby("bucket")
             .map_groups(fold, batch_format="pandas"))
