@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_revenue": Q.tpch_q5_revenue,
         "embedding_label_centroids": Q.embedding_label_centroids,
         "mixture_sample_docs": Q.mixture_sample_docs,
+        "lincls_score_docs": Q.lincls_score_docs,
     }
 
 
@@ -1989,6 +1990,35 @@ def oracle_sql() -> dict[str, str]:
                   < CAST(TRY_CAST(substr(source, 4) AS BIGINT) % 4 + 1
                          AS HUGEINT) * 4503599627370496
             ORDER BY doc_id
+        """,
+        # hashing-trick linear model: feature bucket = md5(token) %
+        # 4096, weight = md5int8('w:'||bucket) % 1001 - 500 — the whole
+        # model is integer and SQL-re-derivable, scores included
+        "lincls_score_docs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                         AS t
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 16))::UBIGINT
+                         % CAST(4096 AS UBIGINT) AS bk
+              FROM tok),
+            w AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('w:' ||
+                          CAST(bk AS VARCHAR)), 1, 8))::UBIGINT
+                          % CAST(1001 AS UBIGINT) AS BIGINT) - 500 AS wt
+              FROM b),
+            s AS (
+              SELECT doc_id, SUM(wt) AS sc, COUNT(*) AS n
+              FROM w GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.sc, 0) AS BIGINT) AS score_q,
+                   CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens_scored
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

@@ -256,3 +256,50 @@ def sentences_batch(batch: pa.Table, text_col: str = "text",
         "sent_idx": pa.array(out_idx, pa.int64()),
         "sentence": pa.array(out_s, pa.string()),
         "n_chars_sent": pa.array([len(s) for s in out_s], pa.int64())})
+
+
+class HashLinearScorer:
+    """Hash-feature linear text classifier (the fasttext/Vowpal-Wabbit
+    hashing trick) as an ACTOR-POOL scoring stage: the weight table
+    builds once per actor in ``__init__`` (the stateful-stage contract
+    — a real model checkpoint loads here), ``__call__`` scores batches
+    vectorized.
+
+    Weights are deterministic md5-derived integers
+    (``w[b] = md5int8("w:{b}") % 1001 - 500``) and features are md5
+    token buckets, so the WHOLE model — features, weights, scores — is
+    exact-integer and re-derivable in SQL; md5 runs once per
+    batch-unique token (same trick as ``simhash64_batch``)."""
+
+    def __init__(self, n_buckets: int = 4096, salt: str = "w"):
+        self.n_buckets = n_buckets
+        self.weights = np.fromiter(
+            (int(hashlib.md5(f"{salt}:{b}".encode("utf-8"))
+                 .hexdigest()[:8], 16) % 1001 - 500
+             for b in range(n_buckets)),
+            dtype=np.int64, count=n_buckets)
+
+    def __call__(self, batch: pa.Table,
+                 text_col: str = "text") -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = len(texts)
+        tok_lists = [_FP_TOKEN_SPLIT.findall(t or "") for t in texts]
+        counts = np.fromiter((len(tl) for tl in tok_lists),
+                             dtype=np.int64, count=n)
+        scores = np.zeros(n, dtype=np.int64)
+        if counts.sum():
+            flat = np.asarray([tok for tl in tok_lists for tok in tl],
+                              dtype=object)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            buckets = np.fromiter(
+                (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+                 % self.n_buckets for t in uniq),
+                dtype=np.int64, count=len(uniq))
+            per_tok_w = self.weights[buckets][inv].astype(np.float64)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            scores = np.bincount(doc_idx, weights=per_tok_w,
+                                 minlength=n).astype(np.int64)
+        batch = batch.append_column("score_q",
+                                    pa.array(scores, pa.int64()))
+        return batch.append_column("n_tokens_scored",
+                                   pa.array(counts, pa.int64()))

@@ -1995,3 +1995,18 @@ def mixture_sample_docs(sf_dir: str):
         docs.map_batches(with_w, batch_format="pyarrow"),
         "doc_id", "w", scale=4, salt="mix")
     return out.select_columns(["doc_id", "source"])
+
+
+def lincls_score_docs(sf_dir: str):
+    """Hash-feature linear classifier scoring over documents — the
+    batched-model-inference stage shape (weight table builds once per
+    ACTOR in __init__, scoring is vectorized per batch).  The md5
+    hashing-trick model is exact-integer end to end, so even the model
+    scores gate bit-for-bit against SQL."""
+    from ..functions.textstats import HashLinearScorer
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (docs.map_batches(HashLinearScorer, concurrency=2,
+                             batch_size=256, num_cpus=1,
+                             batch_format="pyarrow")
+                .select_columns(["doc_id", "score_q",
+                                 "n_tokens_scored"]))
