@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": Q.embedding_label_centroids,
         "mixture_sample_docs": Q.mixture_sample_docs,
         "lincls_score_docs": Q.lincls_score_docs,
+        "bottomk_sample_docs": Q.bottomk_sample_docs,
     }
 
 
@@ -2019,6 +2020,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens_scored
             FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "bottomk_sample_docs": r"""
+            SELECT doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                        substr(md5(CAST(doc_id AS VARCHAR) || ':bk'),
+                               1, 16)) AS BIGINT) AS sample_rank
+            FROM documents
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':bk'), 1, 16)
+            LIMIT 50
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

@@ -2010,3 +2010,13 @@ def lincls_score_docs(sf_dir: str):
                              batch_format="pyarrow")
                 .select_columns(["doc_id", "score_q",
                                  "n_tokens_scored"]))
+
+
+def bottomk_sample_docs(sf_dir: str):
+    """Deterministic fixed-size (k=50) uniform sample via bottom-k
+    md5 hashes — the mergeable reservoir-sampling equivalent."""
+    from ..stages.relational import bottom_k_sample
+    return (bottom_k_sample(_read(sf_dir, "documents",
+                                  columns=["doc_id", "n_chars"]),
+                            "doc_id", k=50)
+            .select_columns(["doc_id", "n_chars", "sample_rank"]))

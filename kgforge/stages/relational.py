@@ -1363,3 +1363,37 @@ def grouped_distinct_count(ds: Dataset, group_col: str, col: str,
               .map_groups(fold, batch_format="pandas")
               .groupby("_gb")
               .map_groups(final, batch_format="pandas"))
+
+
+def bottom_k_sample(ds: Dataset, id_col: str, k: int = 50,
+                    salt: str = "bk") -> Dataset:
+    """Deterministic fixed-size uniform sample: the ``k`` rows with the
+    SMALLEST md5-derived hash of their id (the classic bottom-k /
+    KMV sketch).  Statistically equivalent to reservoir sampling but
+    mergeable — min-k of per-block min-ks IS the global min-k, so the
+    per-batch combiner keeps only k rows per block and the only
+    exchange is the (blocks × k)-row final sort+limit.  Reproducible
+    across runs and cluster sizes; fixed-width lowercase hex keeps
+    lexicographic order equal to numeric order for the SQL oracle."""
+    import hashlib
+
+    def local_k(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        hk = [hashlib.md5(f"{i}:{salt}".encode("utf-8")).hexdigest()[:16]
+              for i in ids]
+        out = t.append_column("_hk", pa.array(hk, pa.string()))
+        order = np.argsort(np.asarray(hk, dtype=object),
+                           kind="stable")[:k]
+        return out.take(pa.array(np.sort(order), pa.int64()))
+
+    picked = (ds.map_batches(local_k, batch_format="pyarrow")
+                .sort("_hk").limit(k))
+
+    def rank(t: pa.Table) -> pa.Table:
+        # the limit(k) result is a single tiny block in hash order
+        return t.append_column(
+            "sample_rank", pa.array(np.arange(1, t.num_rows + 1,
+                                              dtype=np.int64), pa.int64()))
+
+    return picked.repartition(1).map_batches(rank,
+                                             batch_format="pyarrow")
