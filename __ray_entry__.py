@@ -1807,7 +1807,8 @@ def oracle_sql() -> dict[str, str]:
                    STRING_AGG(event_type, '>' ORDER BY ts, event_id)
                        AS journey,
                    CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM events WHERE user_id IS NOT NULL
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
             GROUP BY user_id ORDER BY user_id
         """,
         "lang_token_frequencies": r"""

@@ -267,7 +267,8 @@ def _paired_payloads(group: pd.DataFrame, payload_col: str = "payload"):
 
 
 def exact_dedup(ds: Dataset, id_col: str = "doc_id",
-                text_col: str = "text", keep_text: bool = True) -> Dataset:
+                text_col: str = "text", keep_text: bool = True,
+                keep_hash: bool = False) -> Dataset:
     """One row per distinct text: the smallest id wins (deterministic),
     plus the duplicate count.  Shuffle key = md5(text) — uniform even
     when text lengths are skewed.
@@ -276,7 +277,10 @@ def exact_dedup(ds: Dataset, id_col: str = "doc_id",
     rides the shuffle (~40 B/row instead of the document body) and the
     output is ``(doc_id, n_dups, text_hash)`` — re-join text for the
     kept ids afterwards.  ``keep_text=True`` ships the text because the
-    output contract includes it (the sf-scale oracle compares text)."""
+    output contract includes it (the sf-scale oracle compares text).
+    ``keep_hash=True`` additionally keeps ``text_hash`` alongside the
+    text so downstream consumers (e.g. content-hash sharding in
+    ``run_curation_job.py``) don't re-md5 the corpus."""
     payload = [text_col] if keep_text else []
 
     def add_hash(batch: pa.Table) -> pa.Table:
@@ -300,10 +304,14 @@ def exact_dedup(ds: Dataset, id_col: str = "doc_id",
         g["n_dups"] = g["n_dups"].astype(np.int64)
         cols = [id_col, "n_dups"] + (payload if keep_text
                                      else ["text_hash"])
+        if keep_text and keep_hash:
+            cols = cols + ["text_hash"]
         return g[cols]
 
     out_cols = [id_col, "n_dups"] + (payload if keep_text
                                      else ["text_hash"])
+    if keep_text and keep_hash:
+        out_cols = out_cols + ["text_hash"]
     return (ds.map_batches(add_hash, batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(keep_first, batch_format="pandas")

@@ -1390,10 +1390,12 @@ def bottom_k_sample(ds: Dataset, id_col: str, k: int = 50,
                 .sort("_hk").limit(k))
 
     def rank(t: pa.Table) -> pa.Table:
-        # the limit(k) result is a single tiny block in hash order
-        return t.append_column(
+        # the limit(k) result is a single tiny block in hash order; the
+        # _hk scratch key is dropped so callers get clean doc columns
+        t = t.append_column(
             "sample_rank", pa.array(np.arange(1, t.num_rows + 1,
                                               dtype=np.int64), pa.int64()))
+        return t.drop_columns(["_hk"])
 
     return picked.repartition(1).map_batches(rank,
                                              batch_format="pyarrow")

@@ -597,13 +597,16 @@ def grouped_journey(ds: Dataset, key_col: str = "user_id",
     ``collect_list``/``STRING_AGG(x, sep ORDER BY ts, id)`` aggregate)
     plus the event count.  One key-bucket shuffle; in-bucket the rows
     sort once by ``(key, ts, id)`` and each key's types join into one
-    string — output is key-sized, not event-sized.  Null keys drop
-    (oracle mirror: ``WHERE user_id IS NOT NULL``; pandas groupby
-    would drop them silently while SQL GROUP BY keeps a NULL group)."""
+    string — output is key-sized, not event-sized.  Null keys AND null
+    types drop (oracle mirror: ``WHERE user_id IS NOT NULL AND
+    event_type IS NOT NULL``; pandas groupby would drop null keys
+    silently while SQL GROUP BY keeps a NULL group, and a null type
+    would crash the string join where STRING_AGG merely skips it)."""
     import pyarrow.compute as pc
 
     def drop_null(t: pa.Table) -> pa.Table:
-        return t.filter(t.column(key_col).is_valid())
+        return t.filter(pc.and_(t.column(key_col).is_valid(),
+                                t.column(type_col).is_valid()))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")

@@ -19,11 +19,14 @@ Design notes (the 100-TB contract):
   ``map_batches``; their rows drop at the filter, so a resumed run
   streams the corpus once and pays gates/dedup only for unfinished
   shards (no per-shard rescan loop).
-- **Atomic completion**: each shard directory gets a ``_manifest.json``
-  (row count + file inventory) written AFTER its parquet lands;
-  ``clear_incomplete_shards`` removes partial output before rework, so
-  the stale-uuid-file append hazard of re-running ``write_parquet``
-  into a half-written directory cannot duplicate rows.
+- **Duplicate-safe completion**: each shard directory gets a
+  ``_manifest.json`` (row count + file inventory) written after the
+  run's parquet lands; ``clear_incomplete_shards`` removes partial
+  output before rework, so the stale-uuid-file append hazard of
+  re-running ``write_parquet`` into a half-written directory cannot
+  duplicate rows.  Commit granularity is per-ATTEMPT (manifests follow
+  the single ``write_parquet``): a crash mid-write recomputes the
+  attempt's unfinished shards on resume — never duplicates them.
 
 The script owns the Ray session (guarded — under ``ray job submit`` it
 already exists); the library never calls ``ray.init``.
@@ -56,7 +59,10 @@ def main() -> int:
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
+        # honour the cluster address under `ray job submit`; "local"
+        # only as the single-box fallback (same pattern as run_kg_job)
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
@@ -105,14 +111,14 @@ def main() -> int:
         return t.filter(keep).select(["doc_id", "text"])
 
     def reshard(t: pa.Table) -> pa.Table:
-        # shard is a pure function of text — recomputed after the dedup
-        # exchange rather than carried through it
-        texts = t.column("text").to_pylist()
+        # shard derives from the text_hash the dedup fold already
+        # computed — no second md5 pass over document bodies
         shards = np.fromiter(
-            (int(hashlib.md5((x or "").encode("utf-8"))
-                 .hexdigest()[:8], 16) % n_shards for x in texts),
-            dtype=np.int64, count=len(texts))
-        return t.append_column("shard", pa.array(shards, pa.int64()))
+            (int(h[:8], 16) % n_shards
+             for h in t.column("text_hash").to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        t = t.append_column("shard", pa.array(shards, pa.int64()))
+        return t.drop_columns(["text_hash"])
 
     ds = (ray.data.read_parquet(args.input,
                                 columns=["doc_id", "text", "lang"])
@@ -120,7 +126,8 @@ def main() -> int:
           .map_batches(gates, batch_format="pyarrow"))
     # duplicates share a text hash -> share a shard, so the global
     # dedup exchange only moves rows of unfinished shards on resume
-    kept = exact_dedup(ds).map_batches(reshard, batch_format="pyarrow")
+    kept = (exact_dedup(ds, keep_hash=True)
+            .map_batches(reshard, batch_format="pyarrow"))
     kept.write_parquet(args.output, partition_cols=["shard"])
 
     new_shards = sorted(set(range(n_shards)) - done)
