@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_docs": Q.mixture_sample_docs,
         "lincls_score_docs": Q.lincls_score_docs,
         "bottomk_sample_docs": Q.bottomk_sample_docs,
+        "events_json_stats": Q.events_json_stats,
     }
 
 
@@ -2030,6 +2031,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':bk'), 1, 16)
             LIMIT 50
+        """,
+        # JSON flatten + aggregate: malformed / missing / non-integer k
+        # drops on both sides (engine type guard; NULL-propagating
+        # json_extract + TRY_CAST here)
+        "events_json_stats": r"""
+            WITH x AS (
+              SELECT event_type,
+                     -- json_type gate: DuckDB's JSON→BIGINT cast is
+                     -- permissive (rounds 6.9→7, dequotes "42",
+                     -- true→1), so the engine's integers-only guard is
+                     -- mirrored by requiring an integral JSON type
+                     CASE WHEN json_type(props, '$.k')
+                               IN ('BIGINT', 'UBIGINT')
+                          THEN TRY_CAST(json_extract(props, '$.k')
+                                        AS BIGINT)
+                     END AS k
+              FROM events
+              WHERE event_type IS NOT NULL AND props IS NOT NULL)
+            SELECT event_type,
+                   CAST(COUNT(k) AS BIGINT) AS n_k,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k
+            FROM x WHERE k IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

@@ -2020,3 +2020,67 @@ def bottomk_sample_docs(sf_dir: str):
                                   columns=["doc_id", "n_chars"]),
                             "doc_id", k=50)
             .select_columns(["doc_id", "n_chars", "sample_rank"]))
+
+
+def events_json_stats(sf_dir: str):
+    """Semi-structured processing: parse the ``props`` JSON column,
+    extract ``k``, aggregate per event type (n with a k, exact
+    sum/min/max).  Parsing is a map-side linear pass with a compiled
+    stdlib decoder (the flatten step of any log/Common-Crawl metadata
+    pipeline); malformed / missing keys drop exactly as the oracle's
+    NULL-propagating ``json_extract`` + TRY_CAST drop them."""
+    import json as _json
+    events = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        types = t.column("event_type").to_pylist()
+        ks, gs = [], []
+        for g, p in zip(types, t.column("props").to_pylist()):
+            if g is None or p is None:
+                continue
+            try:
+                v = _json.loads(p).get("k")
+            except (ValueError, AttributeError):
+                continue
+            if isinstance(v, bool) or not isinstance(v, int) \
+                    or not (-(1 << 63) <= v < (1 << 63)):
+                continue
+            gs.append(g)
+            ks.append(v)
+        if not ks:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        df = pd.DataFrame({"g": gs, "k": np.asarray(ks, np.int64)})
+        agg = df.groupby("g")["k"].agg(n="size", s="sum",
+                                       mn="min", mx="max")
+        return pa.table({
+            "event_type": pa.array(agg.index.tolist(), pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(agg["s"].to_numpy(np.int64), pa.int64()),
+            "mn": pa.array(agg["mn"].to_numpy(np.int64), pa.int64()),
+            "mx": pa.array(agg["mx"].to_numpy(np.int64), pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("event_type").agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"),
+            mx=("mx", "max"))
+        return pa.table({
+            "event_type": pa.array(agg.index.tolist(), pa.string()),
+            "n_k": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "sum_k": pa.array(agg["s"].to_numpy(np.int64), pa.int64()),
+            "min_k": pa.array(agg["mn"].to_numpy(np.int64), pa.int64()),
+            "max_k": pa.array(agg["mx"].to_numpy(np.int64), pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import zlib as _z
+        bs = [_z.crc32(x.encode("utf-8")) % 16
+              for x in t.column("event_type").to_pylist()]
+        return t.append_column("_b", pa.array(bs, pa.int64()))
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+                  .map_batches(bucket, batch_format="pyarrow")
+                  .groupby("_b")
+                  .map_groups(fold, batch_format="pandas"))
