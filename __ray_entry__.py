@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lincls_score_docs": Q.lincls_score_docs,
         "bottomk_sample_docs": Q.bottomk_sample_docs,
         "events_json_stats": Q.events_json_stats,
+        "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
     }
 
 

@@ -2084,3 +2084,14 @@ def events_json_stats(sf_dir: str):
                   .map_batches(bucket, batch_format="pyarrow")
                   .groupby("_b")
                   .map_groups(fold, batch_format="pandas"))
+
+
+def events_type_distinct_users_hll(sf_dir: str):
+    """Per-type APPROXIMATE distinct users (grouped HLL) — the
+    open-cardinality companion of events_type_distinct_users; accuracy
+    envelope vs the exact variant is pinned in pytest (rows-only
+    gate: approximate by nature)."""
+    from ..stages.sketches import grouped_hll_distinct
+    return grouped_hll_distinct(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id")

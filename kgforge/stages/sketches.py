@@ -309,3 +309,47 @@ def cms_estimate(ds: Dataset, col: str, mat: np.ndarray,
         return t.append_column(out_col, pa.array(est, pa.int64()))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def grouped_hll_distinct(ds: Dataset, group_col: str, col: str,
+                         n_buckets: int = 16) -> Dataset:
+    """Approximate ``COUNT(DISTINCT col)`` PER GROUP — one HLL register
+    array per (group, batch) rides the exchange (m bytes each,
+    independent of row count), merged per group with elementwise max
+    (associative, so the coarse-bucket fold tree is exact for the
+    sketch).  The open-cardinality companion of
+    :func:`~kgforge.stages.relational.grouped_distinct_count`; ~2%
+    standard error at 2^11 registers.  Null group keys drop (same
+    contract as the exact variant)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups, blobs = [], []
+        t = t.select([group_col, col]).filter(
+            t.column(group_col).is_valid())
+        df = pd.DataFrame({"g": t.column(group_col).to_pylist(),
+                           "v": t.column(col).to_pylist()})
+        for g, sub in df.groupby("g", sort=False):
+            groups.append(g)
+            blobs.append(hll_partial(sub["v"].tolist()).tobytes())
+        out = pa.table({"g": pa.array(groups, pa.string()),
+                        "regs": pa.array(blobs, pa.binary())})
+        bk = [zlib.crc32(x.encode("utf-8")) % n_buckets for x in groups]
+        return out.append_column("_b", pa.array(bk, pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        names, ests = [], []
+        for name, sub in g.groupby("g", sort=False):
+            merged = np.zeros(_HLL_M, dtype=np.uint8)
+            for raw in sub["regs"]:
+                merged = np.maximum(
+                    merged, np.frombuffer(raw, dtype=np.uint8))
+            names.append(name)
+            ests.append(hll_estimate(merged))
+        return pa.table({
+            group_col: pa.array(names, pa.string()),
+            "approx_distinct": pa.array(ests, pa.float64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_b")
+              .map_groups(fold, batch_format="pandas"))

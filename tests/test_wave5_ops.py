@@ -301,3 +301,16 @@ def test_negative_samples_properties():
         assert r.src_id != r.neg_id
         assert (min(r.src_id, r.neg_id),
                 max(r.src_id, r.neg_id)) not in und
+
+
+def test_grouped_hll_envelope():
+    from kgforge.stages.sketches import grouped_hll_distinct
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 30_000),
+        "u": rng.integers(0, 5000, 30_000).astype(np.int64)})
+    out = (grouped_hll_distinct(ray.data.from_pandas(df), "g", "u")
+           .to_pandas().set_index("g"))
+    for g, sub in df.groupby("g"):
+        true = sub["u"].nunique()
+        assert abs(out.loc[g, "approx_distinct"] - true) / true < 0.08
