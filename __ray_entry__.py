@@ -276,6 +276,62 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _pagerank_sql(n_iter: int, scale_bits: int = 40,
+                  num: int = 17, den: int = 20) -> str:
+    """Mechanically-unrolled fixed-point PageRank mirroring
+    ``kgforge.stages.graph.pagerank_fixed`` exactly: every operation is
+    integer (DuckDB ``//`` = floor division on non-negative BIGINTs ==
+    numpy ``//``), so the CTE chain reproduces the engine's ranks
+    bit-for-bit — no float summation order to worry about.  AS
+    MATERIALIZED is load-bearing (each r_{i+1} references r_i twice:
+    the incoming-contribution join and the dangling-mass scalar;
+    default inlining would re-expand the chain exponentially, the
+    k-core lesson)."""
+    S = 1 << scale_bits
+    base_num = (den - num) * S
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT src_id, dst_id FROM ({_KG_EDGES_SQL})),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT node_id FROM (
+                SELECT src_id AS node_id FROM e
+                UNION ALL SELECT dst_id FROM e)),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        deg AS MATERIALIZED (
+            SELECT nodes.node_id, COALESCE(od.d, 0) AS outdeg
+            FROM nodes LEFT JOIN (
+                SELECT src_id AS node_id, count(*) AS d
+                FROM e GROUP BY 1) od USING (node_id)),
+        r0 AS MATERIALIZED (
+            SELECT node_id, {S} // nn.n AS r
+            FROM nodes CROSS JOIN nn),"""]
+    for i in range(n_iter):
+        parts.append(f"""
+        r{i + 1} AS MATERIALIZED (
+            SELECT d.node_id,
+                   ({base_num} // ({den} * nn.n))
+                   + ({num} * (COALESCE(inc.s, 0) + dang.dg // nn.n))
+                     // {den} AS r
+            FROM deg d
+            CROSS JOIN nn
+            CROSS JOIN (SELECT COALESCE(SUM(p.r), 0) AS dg
+                        FROM r{i} p JOIN deg dd USING (node_id)
+                        WHERE dd.outdeg = 0) dang
+            LEFT JOIN (SELECT e.dst_id AS node_id,
+                              SUM(p.r // dd.outdeg) AS s
+                       FROM e
+                       JOIN r{i} p ON e.src_id = p.node_id
+                       JOIN deg dd ON e.src_id = dd.node_id
+                       GROUP BY e.dst_id) inc ON d.node_id = inc.node_id),""")
+    parts.append(f"""
+        fin AS (SELECT node_id, CAST(r AS BIGINT) AS pr_fixed
+                FROM r{n_iter})
+        SELECT node_id, pr_fixed,
+               CAST(pr_fixed AS DOUBLE) / {float(S)} AS pagerank
+        FROM fin ORDER BY node_id""")
+    return "".join(parts)
+
+
 _KG_MENTIONS_SQL = r"""
 WITH pages AS (
   SELECT url, warc_ts_us, text
@@ -484,6 +540,9 @@ def oracle_sql() -> dict[str, str]:
         # same artifact: degree wraps the full edge oracle (so the
         # semi-join + dedup are re-checked), co-occurrence self-joins
         # distinct (page, entity) pairs
+        # fixed-point PageRank: identical integer recurrence unrolled
+        # as a MATERIALIZED CTE chain (bit-exact — no float sums)
+        "kg_pagerank": _pagerank_sql(20),
         "kg_degree": f"""
             WITH e AS ({_KG_EDGES_SQL}),
             o AS (SELECT src_id AS node_id, count(*) AS od

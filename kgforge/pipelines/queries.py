@@ -1261,11 +1261,16 @@ def kg_degree(sf_dir: str):
 
 
 def kg_pagerank(sf_dir: str):
-    """Fixed-iteration damped PageRank over the built KG (rows-only
-    gate: float ranks have no DuckDB oracle; exactness vs a dense
-    power-iteration reference is pinned in pytest)."""
-    from ..stages.graph import pagerank
-    return pagerank(_kg_result(sf_dir).edges, n_iter=20)
+    """Fixed-point damped PageRank over the built KG.  Integer
+    arithmetic makes the distributed result bit-exact and therefore
+    DuckDB-oracle-able (the gate mirrors the identical recurrence as
+    an unrolled CTE chain over the exported mention artifact); the
+    float ``pagerank`` column is ``pr_fixed / 2^40``, exactly
+    representable on both sides.  Ranking parity vs the float
+    :func:`kgforge.stages.graph.pagerank` is pinned in pytest."""
+    from ..stages.graph import pagerank_fixed
+    _ensure_gate_artifact(sf_dir)
+    return pagerank_fixed(_kg_result(sf_dir).edges, n_iter=20)
 
 
 def kg_components(sf_dir: str):

@@ -182,6 +182,103 @@ def pagerank(edges: Dataset, src_col: str = "src_id",
     return pd.DataFrame({"node_id": nodes, "pagerank": rank})
 
 
+def pagerank_fixed(edges: Dataset, src_col: str = "src_id",
+                   dst_col: str = "dst_id", damping_num: int = 17,
+                   damping_den: int = 20, n_iter: int = 20,
+                   scale_bits: int = 40) -> pd.DataFrame:
+    """Deterministic fixed-point PageRank: the same damped power
+    iteration as :func:`pagerank` carried out entirely in integers so
+    the result is bit-exact regardless of summation order — and hence
+    SQL-mirrorable (the driver gate unrolls the identical recurrence
+    as a DuckDB CTE chain; see ``__ray_entry__._pagerank_sql``).
+
+    Ranks are scaled by ``S = 2**scale_bits``; damping is the rational
+    ``damping_num/damping_den`` (default 17/20 = 0.85).  Recurrence
+    (all operations integer, ``//`` = floor division, every quantity
+    non-negative):
+
+    - ``r0[v]      = S // n``
+    - ``contrib[u] = r[u] // outdeg[u]``            (outdeg > 0)
+    - ``incoming[v] = sum contrib[u] over edges (u, v)``  (exact int)
+    - ``dangling  = sum r[u] over outdeg[u] == 0``
+    - ``r'[v] = ((den-num)*S) // (den*n)
+              + (num * (incoming[v] + dangling // n)) // den``
+
+    Dataflow matches :func:`pagerank` (edge list indexed once and kept
+    distributed; node-sized int64 vectors broadcast per iteration);
+    per-block partial sums use ``np.add.at`` on int64 so distributed
+    summation is exact.  Total mass is bounded by S, so every value
+    fits comfortably in int64 for scale_bits <= 58.
+
+    The float column ``pagerank = pr_fixed / S`` is exactly
+    representable (pr_fixed < 2**53) and monotone in pr_fixed, so the
+    fixed-point ranking IS a PageRank ranking; parity of the ordering
+    vs the float :func:`pagerank` is pinned in pytest."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("damping must be a rational in (0, 1)")
+    if scale_bits > 58:
+        raise ValueError("scale_bits > 58 overflows the int64 mass bound")
+
+    deg = degree_table(edges, src_col, dst_col).to_pandas()
+    nodes = np.sort(deg["node_id"].to_numpy(np.uint64))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({
+            "node_id": pd.Series([], dtype=np.uint64),
+            "pr_fixed": pd.Series([], dtype=np.int64),
+            "pagerank": pd.Series([], dtype=np.float64)})
+    outdeg = np.zeros(n, np.int64)
+    pos = np.searchsorted(nodes, deg["node_id"].to_numpy(np.uint64))
+    outdeg[pos] = deg["out_degree"].to_numpy(np.int64)
+    nodes_ref = ray.put(nodes)
+
+    def index_edges(batch: pa.Table) -> pa.Table:
+        nds = ray.get(nodes_ref)
+        s = np.searchsorted(nds, batch.column(src_col)
+                            .to_numpy(zero_copy_only=False))
+        d = np.searchsorted(nds, batch.column(dst_col)
+                            .to_numpy(zero_copy_only=False))
+        return pa.table({"si": pa.array(s, pa.int64()),
+                         "di": pa.array(d, pa.int64())})
+
+    indexed = (edges.select_columns([src_col, dst_col])
+               .map_batches(index_edges, batch_format="pyarrow")
+               .materialize())
+
+    S = 1 << scale_bits
+    num, den = int(damping_num), int(damping_den)
+    base = ((den - num) * S) // (den * n)
+    safe_out = np.maximum(outdeg, 1)
+    dangling_mask = outdeg == 0
+    r = np.full(n, S // n, np.int64)
+    for _ in range(n_iter):
+        contrib_ref = ray.put(r // safe_out)
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            c = ray.get(contrib_ref)
+            si = batch.column("si").to_numpy()
+            di = batch.column("di").to_numpy()
+            sums = np.zeros(len(c), np.int64)
+            np.add.at(sums, di, c[si])
+            nz = np.flatnonzero(sums)
+            return pa.table({"i": pa.array(nz, pa.int64()),
+                             "s": pa.array(sums[nz], pa.int64())})
+
+        parts = indexed.map_batches(scatter,
+                                    batch_format="pyarrow").to_pandas()
+        incoming = np.zeros(n, np.int64)
+        np.add.at(incoming, parts["i"].to_numpy(np.int64),
+                  parts["s"].to_numpy(np.int64))
+        dangling = int(r[dangling_mask].sum())
+        r = base + (num * (incoming + dangling // n)) // den
+
+    return pd.DataFrame({"node_id": nodes,
+                         "pr_fixed": r.astype(np.int64),
+                         "pagerank": r.astype(np.float64) / float(S)})
+
+
 def connected_components(edges: Dataset, src_col: str = "src_id",
                          dst_col: str = "dst_id",
                          max_sweeps: int = 64) -> pd.DataFrame:

@@ -292,6 +292,51 @@ def test_pagerank_matches_dense_power_iteration():
     assert abs(out["pagerank"].sum() - 1.0) < 1e-9
 
 
+def test_pagerank_fixed_matches_dense_integer_recurrence():
+    """pagerank_fixed is bit-exact vs a dense local replay of the same
+    integer recurrence, and its ranking agrees with float pagerank."""
+    from kgforge.stages.graph import pagerank, pagerank_fixed
+    rng = np.random.default_rng(7)
+    n_nodes, n_edges = 60, 400
+    src = rng.integers(0, n_nodes, n_edges).astype(np.uint64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.uint64)
+    edges = pa.table({"src_id": pa.array(src, pa.uint64()),
+                      "dst_id": pa.array(dst, pa.uint64())})
+    ds = ray.data.from_arrow(edges)
+    out = (pagerank_fixed(ds, n_iter=15)
+           .sort_values("node_id").reset_index(drop=True))
+    # dense replay, pure python ints (no numpy) — any mismatch with the
+    # distributed int64 path would indicate overflow or ordering bugs
+    nodes = np.sort(np.unique(np.concatenate([src, dst])))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = [0] * n
+    in_edges: list[list[int]] = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        outdeg[idx[int(s)]] += 1
+        in_edges[idx[int(d)]].append(idx[int(s)])
+    S = 1 << 40
+    r = [S // n] * n
+    base = (3 * S) // (20 * n)
+    for _ in range(15):
+        contrib = [r[u] // outdeg[u] if outdeg[u] else 0 for u in range(n)]
+        dangling = sum(r[u] for u in range(n) if outdeg[u] == 0)
+        r = [base + (17 * (sum(contrib[u] for u in in_edges[v])
+                           + dangling // n)) // 20
+             for v in range(n)]
+    assert out["pr_fixed"].tolist() == r
+    assert np.array_equal(out["pagerank"].to_numpy(),
+                          np.array(r, np.float64) / float(S))
+    # ranking parity with the float operator (same damping/iterations)
+    flt = (pagerank(ds, n_iter=15)
+           .sort_values("node_id").reset_index(drop=True))
+    order_fixed = out.sort_values(
+        ["pr_fixed", "node_id"], ascending=[False, True])["node_id"]
+    order_float = flt.sort_values(
+        ["pagerank", "node_id"], ascending=[False, True])["node_id"]
+    assert order_fixed.tolist() == order_float.tolist()
+
+
 def test_degree_table_endpoints_only_on_one_side():
     from kgforge.stages.graph import degree_table
     edges = pa.table({"src_id": pa.array([1, 1, 2], pa.uint64()),
