@@ -1249,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type ORDER BY value
                    ) AS pct_rank
             FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         """,
         # ntile is tie-order-dependent; the (value, event_id) ordering
         # is unique so the assignment is deterministic and integer-exact
@@ -1258,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type ORDER BY value, event_id
                    ) AS BIGINT) AS tile
             FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         """,
         # rank/dense_rank are tie-stable (unlike ntile): integer-exact
         # with no tie-break column
@@ -1270,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type ORDER BY value
                    ) AS BIGINT) AS dense_rnk
             FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         """,
         # SCD2 gaps-and-islands: run breaks via lag, interval end via
         # lead over the per-run table; all integer-exact (epoch-us,
@@ -1309,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
                         AS BIGINT) AS run_cents
             FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "events_value_quantiles": """
@@ -2044,7 +2048,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample_docs": r"""
             SELECT doc_id, source
             FROM documents
-            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+            WHERE regexp_matches(substr(source, 4), '^[0-9]+$')
+              AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
                      || ':mix'), 1, 13))::UBIGINT AS HUGEINT) * 4
                   < CAST(TRY_CAST(substr(source, 4) AS BIGINT) % 4 + 1
                          AS HUGEINT) * 4503599627370496

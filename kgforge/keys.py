@@ -57,6 +57,23 @@ def split_edge_key(edge_key: str) -> tuple[str, str, str]:
     return label, unescape_component(skey), unescape_component(dkey)
 
 
+def compose_edge_key_column(labels, src_keys, dst_keys):
+    """Vectorized :func:`compose_edge_key` over arrow string columns —
+    the flagship edge path runs this per batch (the per-row Python
+    zip-loop it replaces was a top-5 hot spot in VERDICT r3); parity
+    with the scalar fn is pinned in tests/test_properties.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def esc(col):
+        col = pc.replace_substring(col, "\x00", "\x00\x01")
+        return pc.replace_substring(col, EDGE_SEP, "\x00\x02")
+
+    return pc.binary_join_element_wise(
+        pc.cast(labels, pa.string()), esc(src_keys), esc(dst_keys),
+        EDGE_SEP)
+
+
 def cypher_literal(value: Any) -> str:
     """Render one property value exactly like the reference's
     ``map_dict_to_cypher_properties`` (``helpers.py:31-47``):

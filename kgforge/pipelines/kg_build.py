@@ -20,9 +20,10 @@ Stage graph::
       → semi-join src/dst against node keys   # dangling-edge drop (MATCH no-op)
       → typed edge build → edges parquet
 
-The extraction checkpoint shards by ``hash64(url) % n_shards`` so a
+The extraction checkpoint shards by ``shard_fn(url) % n_shards`` so a
 resumed run recomputes only unfinished shards regardless of input block
-layout; shard count is part of the checkpoint contract.
+layout; shard count AND shard hash function are part of the checkpoint
+contract (manifests record both; a resume adopts the recorded fn).
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -41,7 +43,7 @@ import ray
 from ray.data import Dataset
 
 from ..functions.html_text import extract_text_batch
-from ..keys import compose_edge_key, hash64
+from ..keys import compose_edge_key_column, hash64
 from ..ontology import Ontology
 from ..stages.canonicalize import (add_bucket,
                                    make_edge_finalizer,
@@ -146,9 +148,34 @@ def extract_mentions(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
         concurrency=cfg.extract_concurrency)
 
 
-def _add_shard(batch: pa.Table, n_shards: int) -> pa.Table:
-    shards = [hash64(u) % n_shards for u in batch.column("url").to_pylist()]
-    return batch.append_column("shard", pa.array(shards, pa.int64()))
+# Persisted shard-layout versions.  The url→shard mapping is part of the
+# checkpoint contract (a resume recomputes ONLY missing shards, so the
+# mapping must match whatever partitioned the shards already on disk);
+# manifests record which function wrote them, and a resume adopts it.
+# "pdhash64" = vectorized pandas siphash (stability pinned in
+# tests/test_resume.py — if a pandas upgrade ever changes it, mint a v3,
+# don't silently repartition); "blake2b64" = the legacy per-row hash64.
+SHARD_FN = "pdhash64"
+SHARD_FN_LEGACY = "blake2b64"
+
+
+def _url_shards(col, n_shards: int, shard_fn: str) -> "pa.Array":
+    if shard_fn == SHARD_FN_LEGACY:
+        return pa.array([hash64(u) % n_shards for u in col.to_pylist()],
+                        pa.int64())
+    if shard_fn != SHARD_FN:
+        raise ValueError(f"unknown checkpoint shard_fn {shard_fn!r}")
+    import pandas as pd
+    hashed = pd.util.hash_array(
+        col.to_pandas().to_numpy(dtype=object), categorize=False)
+    return pa.array((hashed % np.uint64(n_shards)).astype("int64"),
+                    pa.int64())
+
+
+def _add_shard(batch: pa.Table, n_shards: int,
+               shard_fn: str = SHARD_FN) -> pa.Table:
+    return batch.append_column(
+        "shard", _url_shards(batch.column("url"), n_shards, shard_fn))
 
 
 def _normalized(mentions: Dataset, cfg: KGBuildConfig) -> Dataset:
@@ -244,16 +271,15 @@ def build_edges(normalized: Dataset, nodes: Dataset, cfg: KGBuildConfig,
     rels = filter_kind(normalized, "relation")
 
     def with_edge_key(t: pa.Table) -> pa.Table:
-        labels = t.column("label").to_pylist()
-        sk = t.column("src_key").to_pylist()
-        dk = t.column("dst_key").to_pylist()
-        keys = [compose_edge_key(l, s, d)
-                for l, s, d in zip(labels, sk, dk)]
-        # ship only the fold inputs — label/src/dst are recovered by
-        # split_edge_key (components are escaped, so the split is
-        # unambiguous even when attribute values contain separator bytes)
+        # vectorized compose_edge_key (keys.py) — arrow escape + join
+        # kernels, no per-row Python; ship only the fold inputs —
+        # label/src/dst are recovered by split_edge_key (components are
+        # escaped, so the split is unambiguous even when attribute
+        # values contain separator bytes)
+        keys = compose_edge_key_column(
+            t.column("label"), t.column("src_key"), t.column("dst_key"))
         t = t.select(["state_json", "n_mentions"]).append_column(
-            "edge_key", pa.array(keys, pa.string()))
+            "edge_key", keys)
         return add_bucket(t, "edge_key", cfg.n_buckets)
 
     rels = rels.map_batches(with_edge_key, batch_format="pyarrow")
@@ -407,22 +433,34 @@ def _mentions_checkpointed(pages: Dataset, cfg: KGBuildConfig,
     metrics["resume_skipped_shards"] = sorted(done)
     metrics["resume_recomputed_shards"] = missing
 
+    # the url→shard fn must match whatever partitioned the shards already
+    # on disk; manifests record it (absent = legacy blake2b checkpoint)
+    shard_fn = SHARD_FN
+    if done:
+        recorded = ckpt.manifest_field(mentions_dir, "shard_fn",
+                                       shards=done)
+        shard_fn = str(recorded) if recorded is not None else SHARD_FN_LEGACY
+    metrics["shard_fn"] = shard_fn
+
     if missing:
         todo = set(missing)
         filtered = pages.map_batches(
-            lambda t: _filter_shards(t, cfg.n_shards, todo),
+            lambda t: _filter_shards(t, cfg.n_shards, todo, shard_fn),
             batch_format="pyarrow")
         mentions = extract_mentions(filtered, cfg)
         mentions = mentions.map_batches(
-            lambda t: _add_shard(t, cfg.n_shards), batch_format="pyarrow")
+            lambda t: _add_shard(t, cfg.n_shards, shard_fn),
+            batch_format="pyarrow")
         mentions.write_parquet(mentions_dir, partition_cols=["shard"])
         for s in missing:
             ckpt.write_shard_manifest(mentions_dir, s,
-                                      extra={"n_shards": cfg.n_shards})
+                                      extra={"n_shards": cfg.n_shards,
+                                             "shard_fn": shard_fn})
     return ray.data.read_parquet(mentions_dir)
 
 
-def _filter_shards(batch: pa.Table, n_shards: int, todo: set[int]) -> pa.Table:
-    mask = pa.array([hash64(u) % n_shards in todo
-                     for u in batch.column("url").to_pylist()])
-    return batch.filter(mask)
+def _filter_shards(batch: pa.Table, n_shards: int, todo: set[int],
+                   shard_fn: str = SHARD_FN) -> pa.Table:
+    shards = _url_shards(batch.column("url"), n_shards, shard_fn)
+    return batch.filter(pc.is_in(shards, pa.array(sorted(todo),
+                                                  pa.int64())))

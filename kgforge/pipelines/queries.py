@@ -1985,12 +1985,16 @@ def mixture_sample_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
 
     def with_w(t: pa.Table) -> pa.Table:
-        # null / non-'srcN' sources drop, exactly as the oracle's
-        # TRY_CAST(NULL-propagating substr) comparison drops them
+        # a source participates iff its suffix is ASCII [0-9]+ — the
+        # oracle guards with the same regexp before TRY_CAST, so both
+        # sides drop null / signed / padded / unicode-digit suffixes
+        # identically (bare isdigit() accepted unicode digits int()
+        # can't parse; bare TRY_CAST accepted '-3' whose DuckDB % is
+        # truncated, unlike Python's floor %)
         ws, keep = [], []
         for s in t.column("source").to_pylist():
             suffix = s[3:] if isinstance(s, str) else ""
-            ok = suffix.isdigit()
+            ok = bool(suffix) and suffix.isascii() and suffix.isdigit()
             keep.append(ok)
             ws.append(int(suffix) % 4 + 1 if ok else 0)
         t = t.append_column("w", pa.array(ws, pa.int64()))

@@ -43,16 +43,25 @@ def key_bucket(col, n: int) -> pa.Array:
     """Deterministic bucket id per key: vectorized modulo for integer
     keys (full uint64 range — a safe int64 cast would reject ids above
     2^63, half of hash64's output space; negatives wrap two's-complement,
-    which is fine because bucketing only needs consistency), crc32 per
-    row for strings (nulls → bucket 0)."""
-    import zlib
+    which is fine because bucketing only needs consistency), vectorized
+    siphash (``pandas.util.hash_array``, cython — replaces a per-row
+    Python crc32 loop) for strings.  Nulls → bucket 0.  Buckets are
+    TRANSIENT shuffle routing within one run — every consumer drops the
+    bucket column after its fold, so the hash only needs run-internal
+    consistency, never cross-version stability (the persisted shard
+    layout in ``pipelines.kg_build`` is versioned separately)."""
     if pa.types.is_integer(col.type):
         filled = pc.fill_null(col, 0).cast(pa.uint64(), safe=False)
         vals = filled.to_numpy(zero_copy_only=False)
         return pa.array((vals % n).astype("int64"), pa.int64())
-    return pa.array([zlib.crc32(str(v).encode("utf-8")) % n
-                     if v is not None else 0 for v in col.to_pylist()],
-                    pa.int64())
+    ser = col.to_pandas()
+    hashed = pd.util.hash_array(ser.to_numpy(dtype=object),
+                                categorize=False)
+    out = (hashed % np.uint64(n)).astype("int64")
+    na = ser.isna().to_numpy()
+    if na.any():
+        out[na] = 0
+    return pa.array(out, pa.int64())
 
 
 def _broadcast_cache(ref):
@@ -251,25 +260,36 @@ def left_outer_join(left: Dataset, right: Dataset, left_col: str,
                     right_col: str, right_vals: list[str],
                     strategy: str = "auto", num_partitions: int = 32,
                     broadcast_limit: int = 2_000_000,
-                    suffix: str = "_r") -> Dataset:
+                    suffix: str = "_r",
+                    right_count: int | None = None) -> Dataset:
     """General 1:N LEFT OUTER equi-join: every left row survives;
     matching right rows attach their ``right_vals`` columns (suffixed),
     duplicated right keys duplicate left rows (SQL semantics), misses
-    fill null.  Size-gated like the semi-join family:
+    fill null.  NULL join keys never match (SQL semantics — a raw
+    pandas merge would pair NaN keys): null-key right rows are dropped
+    from the match table, null-key left rows pass through null-filled.
+    Size-gated like the semi-join family:
 
     - ``broadcast``: the (key, vals) right table is shipped once via
       ``ray.put`` and each left batch does one vectorized pandas merge
       — no shuffle; for dimension-table sides up to ~10^6 rows.
     - ``join``: the same tag-union single sort-shuffle as
       :func:`_semi_join_shuffle` (Dataset.join avoided — see that
-      docstring), with a per-bucket pandas left merge."""
+      docstring), with a per-bucket pandas left merge.
+
+    ``auto`` decides while collecting: the right side streams into the
+    broadcast frame and flips to the shuffle path only if it exceeds
+    ``broadcast_limit`` rows — one right-side pass in the common case
+    (``right.count()`` on a transformed dataset would execute the whole
+    upstream chain once, then the collect would re-execute it).  Pass
+    ``right_count`` when the caller already knows the size to skip even
+    the trial collect on oversized sides."""
     out_names = [v + suffix for v in right_vals]
     for n in out_names:
         if n in left.schema().names:
             raise ValueError(f"suffixed column {n!r} collides with left")
-    if strategy == "auto":
-        n = right.count()
-        strategy = "broadcast" if n <= broadcast_limit else "join"
+    if strategy == "auto" and right_count is not None:
+        strategy = "broadcast" if right_count <= broadcast_limit else "join"
 
     lschema = left.schema()
     ltypes = {n: arrow_type_of(t)
@@ -296,25 +316,39 @@ def left_outer_join(left: Dataset, right: Dataset, left_col: str,
                        else arr.cast(rtypes[v], safe=False))
         return pa.table(cols)
 
-    if strategy == "broadcast":
-        parts = []
+    if strategy in ("auto", "broadcast"):
+        parts, total, oversized = [], 0, False
         for b in right.select_columns([right_col] + right_vals) \
                       .iter_batches(batch_size=65536,
                                     batch_format="pandas"):
             parts.append(b)
-        rdf = (pd.concat(parts, ignore_index=True) if parts
-               else pd.DataFrame(columns=[right_col] + right_vals))
-        rdf = rdf.rename(columns={right_col: "_jk",
-                                  **{v: v + suffix for v in right_vals}})
-        ref = ray.put(rdf)
+            total += len(b)
+            if strategy == "auto" and total > broadcast_limit:
+                # flip to the shuffle path; the abandoned partial
+                # collect re-executes the right side there — only paid
+                # when auto guessed wrong, vs. always paying a count()
+                # pass up front
+                oversized = True
+                break
+        if not oversized:
+            rdf = (pd.concat(parts, ignore_index=True) if parts
+                   else pd.DataFrame(columns=[right_col] + right_vals))
+            rdf = rdf.rename(columns={right_col: "_jk",
+                                      **{v: v + suffix
+                                         for v in right_vals}})
+            # SQL: NULL keys never match (pandas would pair NaN keys)
+            rdf = rdf[rdf["_jk"].notna()]
+            ref = ray.put(rdf)
 
-        def attach(batch: pa.Table) -> pa.Table:
-            r = _broadcast_cache(ref)
-            df = batch.to_pandas().merge(
-                r, how="left", left_on=left_col, right_on="_jk")
-            return _typed_table(df)
+            def attach(batch: pa.Table) -> pa.Table:
+                r = _broadcast_cache(ref)
+                df = batch.to_pandas().merge(
+                    r, how="left", left_on=left_col, right_on="_jk")
+                return _typed_table(df)
 
-        return left.map_batches(attach, batch_format="pyarrow")
+            return left.map_batches(attach, batch_format="pyarrow")
+        parts = None
+        strategy = "join"
 
     if strategy == "join":
 
@@ -352,6 +386,10 @@ def left_outer_join(left: Dataset, right: Dataset, left_col: str,
         def merge_bucket(g: pd.DataFrame) -> pa.Table:
             l = g.loc[~g["_is_key"], names]
             r = g.loc[g["_is_key"], [left_col] + out_names]
+            # SQL: NULL keys never match — dropping null-key right rows
+            # leaves null-key left rows unmatched (null-filled) in the
+            # merge, mirroring full_outer_join's ln/rn handling
+            r = r[r[left_col].notna()]
             return _typed_table(
                 l.merge(r, how="left", on=left_col)[final_cols])
 

@@ -955,6 +955,21 @@ def rollup_aggregate(ds: Dataset, dims: list[tuple[str, object]],
             cols["s"] = pa.array([], pa.int64())
             return pa.table(cols)
         df = pd.DataFrame({n: t.column(n).to_pylist() for n in names})
+        # NULL dims fold into the sentinel level (the oracle's
+        # COALESCE(dim, sentinel)) — without this, pandas groupby would
+        # silently DROP null-dim rows from every level including the
+        # grand total.  A real value equal to the sentinel would be
+        # indistinguishable from the rolled-up level on both sides, so
+        # that's a hard error, not a silent merge.
+        for n in names:
+            sent = sentinels[n]
+            if (df[n] == sent).any():
+                raise ValueError(
+                    f"rollup sentinel {sent!r} collides with a real "
+                    f"value in dim {n!r}; pick a sentinel outside the "
+                    "dim's domain")
+            if df[n].isna().any():
+                df[n] = df[n].fillna(sent)
         df["c"] = _cents(t.column(col).to_numpy(zero_copy_only=False))
         agg = (df.groupby(names, sort=False)
                  .agg(n=("c", "size"), s=("c", "sum")).reset_index())

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -200,13 +201,18 @@ def grouped_percent_rank(ds: Dataset, group_col: str, value_col: str,
     oracle matches bit-for-bit.  One coarse-bucket shuffle (groups
     hash-bucketed, many groups per fold — never a per-group task); the
     fold ranks ALL of its groups in one vectorized pandas
-    ``groupby().rank(method="min")``.  Partitioning assumption: one
+    ``groupby().rank(method="min")``.  Null values and null group keys
+    are dropped up front (mirrored by the oracle, the running-total
+    convention) — a NaN value makes pandas ``rank()`` emit NaN, which
+    the int64 cast silently garbles.  Partitioning assumption: one
     group fits one worker (the keyed-window contract); for a single
     giant group use the sort + ``split_at_indices`` rank machinery of
     ``exact_quantiles`` instead."""
     import zlib
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t.column(value_col).is_valid(),
+                             t.column(group_col).is_valid()))
         vals = t.column(group_col).to_pylist()
         b = [zlib.crc32(str(v).encode()) % 16 for v in vals]
         return t.append_column("bucket", pa.array(b, pa.int64()))
@@ -249,9 +255,16 @@ def grouped_sequence_features(ds: Dataset, key_col: str, ts_col: str,
     (key, ts, id) and derives all three features with key-boundary
     masks, vectorized across every key at once.  Outputs are
     integer-exact so the DuckDB window oracle matches bit-for-bit.
+    Null values and null keys are dropped up front (mirrored by the
+    oracle, the running-total convention) — a NaN value would poison
+    the running cents cumsum.
     Partitioning assumption: one key's history fits one worker (the
     keyed-window contract shared by :func:`sliding_count` /
     :func:`sessionize`)."""
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(t.column(value_col).is_valid(),
+                                t.column(key_col).is_valid()))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -292,7 +305,8 @@ def grouped_sequence_features(ds: Dataset, key_col: str, ts_col: str,
             "run_cents": run})
 
     return (_bucketed(ds.select_columns(
-                [id_col, key_col, ts_col, value_col]), key_col)
+                [id_col, key_col, ts_col, value_col])
+                .map_batches(drop_null, batch_format="pyarrow"), key_col)
             .groupby("bucket")
             .map_groups(fold, batch_format="pandas"))
 
@@ -307,12 +321,16 @@ def grouped_ntile(ds: Dataset, group_col: str, value_col: str,
     un-oracleable).  Same dataflow as :func:`grouped_percent_rank`:
     one coarse-bucket shuffle, the fold ranks ALL of its groups in one
     vectorized pandas sort + per-group positional arithmetic.
+    Null values and null group keys are dropped up front (mirrored by
+    the oracle, the running-total convention).
     Partitioning assumption: one group fits one worker."""
     import zlib
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t.column(value_col).is_valid(),
+                             t.column(group_col).is_valid()))
         vals = t.column(group_col).to_pylist()
         b = [zlib.crc32(str(v).encode()) % 16 for v in vals]
         return t.append_column("bucket", pa.array(b, pa.int64()))
@@ -364,10 +382,14 @@ def grouped_rank(ds: Dataset, group_col: str, value_col: str,
     ntile), so the DuckDB oracle matches bit-for-bit.  Same dataflow
     as :func:`grouped_percent_rank`: one coarse-bucket shuffle, the
     fold ranks ALL of its groups with vectorized pandas kernels.
-    Partitioning assumption: one group fits one worker."""
+    Null values and null group keys are dropped up front (mirrored by
+    the oracle, the running-total convention) — NaN poisons the rank
+    int64 cast.  Partitioning assumption: one group fits one worker."""
     import zlib
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t.column(value_col).is_valid(),
+                             t.column(group_col).is_valid()))
         vals = t.column(group_col).to_pylist()
         b = [zlib.crc32(str(v).encode()) % 16 for v in vals]
         return t.append_column("bucket", pa.array(b, pa.int64()))

@@ -103,6 +103,24 @@ def completed_shards(root: str,
     return done
 
 
+def manifest_field(root: str, key: str, shards: set[int] | None = None):
+    """Read one extra field from any completed shard manifest (they are
+    written uniformly per run).  ``shards`` restricts to known-valid
+    shards; returns None when no manifest carries the key — which for
+    ``shard_fn`` means a pre-versioned (legacy) checkpoint."""
+    for path in glob.glob(os.path.join(root, "shard=*", MANIFEST_NAME)):
+        try:
+            with open(path) as fh:
+                m = json.load(fh)
+            if shards is not None and int(m.get("shard", -1)) not in shards:
+                continue
+            if key in m:
+                return m[key]
+        except (OSError, ValueError):
+            continue
+    return None
+
+
 def clear_incomplete_shards(root: str, done: set[int]) -> list[int]:
     """Delete partition dirs without a valid manifest (partial writes from
     a killed run) so recomputation can't duplicate rows."""

@@ -86,6 +86,25 @@ def test_edge_key_round_trip(src, dst, label):
 
 
 @SETTINGS
+@given(st.lists(st.tuples(st.text(max_size=12), st.text(max_size=12),
+                          st.text(max_size=6)), min_size=1, max_size=30))
+def test_edge_key_column_matches_scalar(rows):
+    """The vectorized arrow edge-key kernel (the flagship edge path)
+    composes byte-identical keys to the scalar compose_edge_key, for
+    any node-key bytes including EDGE_SEP and NUL."""
+    import pyarrow as pa
+    from kgforge.keys import compose_edge_key_column
+    labels = [r[2].replace("\x1e", "_") for r in rows]
+    src = [r[0] for r in rows]
+    dst = [r[1] for r in rows]
+    vec = compose_edge_key_column(pa.array(labels, pa.string()),
+                                  pa.array(src, pa.string()),
+                                  pa.array(dst, pa.string())).to_pylist()
+    assert vec == [compose_edge_key(l, s, d)
+                   for l, s, d in zip(labels, src, dst)]
+
+
+@SETTINGS
 @given(st.lists(st.integers(0, 50), max_size=40, unique=True),
        st.lists(st.integers(0, 50), max_size=40, unique=True))
 def test_count_based_jaccard_equals_set_based(a, b):

@@ -400,6 +400,46 @@ def test_left_outer_join_semantics(strategy):
     assert list(out.loc[out["k"] == 4, "s_r"]) == ["z"]
 
 
+@pytest.mark.parametrize("strategy", ["broadcast", "join", "auto"])
+def test_left_outer_join_null_keys_never_match(strategy):
+    """SQL LEFT JOIN: NULL keys never match — null-key left rows pass
+    through null-filled, null-key right rows attach to nothing (a raw
+    pandas merge would pair NaN with NaN)."""
+    from kgforge.stages.joins import left_outer_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None, "b", None], pa.string()),
+        "v": pa.array([1, 2, 3, 4], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array(["a", None], pa.string()),
+        "w": pa.array([10, 99], pa.int64())}))
+    out = (left_outer_join(left, right, "k", "rk", ["w"],
+                           strategy=strategy)
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    assert list(out["v"]) == [1, 2, 3, 4]
+    assert out.loc[0, "w_r"] == 10
+    assert out.loc[[1, 2, 3], "w_r"].isna().all()
+
+
+def test_left_outer_join_auto_flips_to_shuffle_over_limit():
+    """auto collects the right side once and flips to the shuffle path
+    only past broadcast_limit rows — output identical either way."""
+    from kgforge.stages.joins import left_outer_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(list(range(8)), pa.int64()),
+        "v": pa.array([f"v{i}" for i in range(8)], pa.string())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1, 3, 3, 5], pa.int64()),
+        "w": pa.array([10, 30, 31, 50], pa.int64())}))
+    small = (left_outer_join(left, right, "k", "rk", ["w"],
+                             strategy="auto", broadcast_limit=2)
+             .to_pandas().sort_values(["k", "w_r"]).reset_index(drop=True))
+    big = (left_outer_join(left, right, "k", "rk", ["w"],
+                           strategy="auto", broadcast_limit=1000,
+                           right_count=4)
+           .to_pandas().sort_values(["k", "w_r"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(small, big)
+
+
 def test_left_outer_join_empty_right_and_collision():
     from kgforge.stages.joins import left_outer_join
     left = ray.data.from_arrow(pa.table({
