@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": Q.kg_edges,
         # newly oracled this round (rows-only in r03)
         "kg_pagerank": Q.kg_pagerank,
+        # new this round: reference loader quirks, externally gated
+        "csv_loader_chunks": Q.csv_loader_chunks,
+        "jsonl_loader_chunks": Q.jsonl_loader_chunks,
         # --- never driver-gated before round 4 (waves 2-6) ---
         "events_type_quantiles": Q.events_type_quantiles,
         "orders_no_events": Q.orders_no_events,
@@ -543,6 +546,40 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point PageRank: identical integer recurrence unrolled
         # as a MATERIALIZED CTE chain (bit-exact — no float sums)
         "kg_pagerank": _pagerank_sql(20),
+        # reference loader remainder-drop quirk (csv.py:19-31 /
+        # jsonl.py:14-27): the engine runs the real file loader over a
+        # fixture derived from documents; the oracle re-derives the
+        # same lines from the view and mirrors the chunk arithmetic
+        # (row_number // 7, partial chunk filtered out)
+        "csv_loader_chunks": """
+            WITH r AS (
+              SELECT 'doc,' || CAST(doc_id AS VARCHAR) || ',' || lang
+                         AS line,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS rn
+              FROM documents),
+            c AS (SELECT rn // 7 AS doc_index,
+                         string_agg(line, chr(10) ORDER BY rn) AS content,
+                         count(*) AS n
+                  FROM r GROUP BY rn // 7)
+            SELECT CAST(doc_index AS BIGINT) AS doc_index, content
+            FROM c WHERE n = 7 ORDER BY doc_index
+        """,
+        # jsonl keeps readlines() terminators, then joins with another
+        # newline — line || chr(10) aggregated with a chr(10) separator
+        "jsonl_loader_chunks": """
+            WITH r AS (
+              SELECT '{"doc_id": ' || CAST(doc_id AS VARCHAR)
+                     || ', "lang": "' || lang || '"}' AS line,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS rn
+              FROM documents),
+            c AS (SELECT rn // 7 AS doc_index,
+                         string_agg(line || chr(10), chr(10)
+                                    ORDER BY rn) AS content,
+                         count(*) AS n
+                  FROM r GROUP BY rn // 7)
+            SELECT CAST(doc_index AS BIGINT) AS doc_index, content
+            FROM c WHERE n = 7 ORDER BY doc_index
+        """,
         "kg_degree": f"""
             WITH e AS ({_KG_EDGES_SQL}),
             o AS (SELECT src_id AS node_id, count(*) AS od

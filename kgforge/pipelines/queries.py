@@ -1335,6 +1335,50 @@ def line_dedup_docs(sf_dir: str):
                             columns=["doc_id", "text"]))
 
 
+def _loader_fixture(sf_dir: str, ext: str) -> str:
+    """Deterministic loader fixture derived from the documents table
+    (one line per doc, ordered by doc_id) so the reference loader
+    quirks (remainder-drop chunking, ``loaders.py:75-87``; reference
+    ``csv.py:19-31`` / ``jsonl.py:14-27``) are externally verifiable:
+    the oracle re-derives the same lines from the ``documents`` view
+    and mirrors the chunk arithmetic in SQL."""
+    import os
+    docs = (_read(sf_dir, "documents", columns=["doc_id", "lang"])
+            .to_pandas().sort_values("doc_id"))
+    os.makedirs("/tmp/kgforge_gate/loader", exist_ok=True)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/kgforge_gate/loader/{tag}.{ext}"
+    with open(path, "w") as fh:
+        for did, lang in zip(docs["doc_id"], docs["lang"]):
+            if ext == "csv":
+                fh.write(f"doc,{did},{lang}\n")
+            else:
+                fh.write('{"doc_id": %d, "lang": "%s"}\n' % (did, lang))
+    return path
+
+
+def csv_loader_chunks(sf_dir: str):
+    """Reference CSV loader semantics end-to-end: rows re-joined with
+    commas, 7 rows per document, the trailing partial chunk DROPPED
+    (the reference's floor-division quirk, ``csv.py:19-31``) — the
+    oracle mirrors the chunk arithmetic over the documents view with
+    row_number // 7 + a full-chunk filter."""
+    from ..sources.loaders import read_csv_source
+    path = _loader_fixture(sf_dir, "csv")
+    return (read_csv_source(path, rows_per_document=7)
+            .select_columns(["doc_index", "content"]))
+
+
+def jsonl_loader_chunks(sf_dir: str):
+    """Reference JSONL loader semantics end-to-end: raw lines keep
+    their newline terminators (``readlines`` quirk) and are joined
+    with another newline, 7 lines per document, remainder dropped."""
+    from ..sources.loaders import read_jsonl_source
+    path = _loader_fixture(sf_dir, "jsonl")
+    return (read_jsonl_source(path, rows_per_document=7)
+            .select_columns(["doc_index", "content"]))
+
+
 def docs_shuffle_shards(sf_dir: str):
     """Deterministic global shuffle + shard assignment over documents
     (training-export primitive): md5 shuffle key, hex-prefix shard,
