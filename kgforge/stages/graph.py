@@ -28,6 +28,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -281,7 +282,8 @@ def pagerank_fixed(edges: Dataset, src_col: str = "src_id",
 
 def connected_components(edges: Dataset, src_col: str = "src_id",
                          dst_col: str = "dst_id",
-                         max_sweeps: int = 64) -> pd.DataFrame:
+                         max_sweeps: int = 64, mode: str = "auto",
+                         driver_node_limit: int | None = None):
     """Undirected connected components by distributed min-label
     propagation: ``component_id`` = the minimum node id reachable from
     each node.  Returns a node-sized pandas DataFrame
@@ -294,8 +296,24 @@ def connected_components(edges: Dataset, src_col: str = "src_id",
     (vectorized two-sided minimum + in-block reduce) and only
     node-sized vectors reach the driver, where labels are
     path-compressed (label := label-of-label until stable) so sweeps
-    converge in O(log n), not graph diameter."""
-    deg = degree_table(edges, src_col, dst_col).to_pandas()
+    converge in O(log n), not graph diameter.
+
+    ``mode="auto"`` switches to
+    :func:`connected_components_distributed` (labels stay a keyed
+    Dataset; returns a DATASET, not a DataFrame) past
+    ``driver_node_limit`` nodes (default :data:`DRIVER_NODE_LIMIT`);
+    ``mode="driver"``/``"distributed"`` force a path."""
+    limit = (DRIVER_NODE_LIMIT if driver_node_limit is None
+             else driver_node_limit)
+    deg_ds = degree_table(edges, src_col, dst_col).materialize()
+    if mode == "auto":
+        mode = "driver" if deg_ds.count() <= limit else "distributed"
+    if mode == "distributed":
+        return connected_components_distributed(
+            edges, src_col, dst_col, max_sweeps)
+    if mode != "driver":
+        raise ValueError(f"unknown mode {mode!r}")
+    deg = deg_ds.to_pandas()
     nodes = np.sort(deg["node_id"].to_numpy(np.uint64))
     n = len(nodes)
     if n == 0:
@@ -354,9 +372,334 @@ def connected_components(edges: Dataset, src_col: str = "src_id",
     return pd.DataFrame({"node_id": nodes, "component_id": labels})
 
 
+# Above this many nodes, the node-sized driver vectors (ranks, labels,
+# frontiers — ~16 B/node) stop fitting a sane driver heap and the
+# *_distributed keyed-Dataset paths below take over (mode="auto").
+DRIVER_NODE_LIMIT = 50_000_000
+
+
+def _directed_both(edges: Dataset, src_col: str, dst_col: str,
+                   n_buckets: int) -> Dataset:
+    """Both directions of every edge as (k, o), self-loops dropped,
+    bucketed by the lookup key — the co-partition layout every
+    distributed traversal below shuffles on."""
+    def f(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        k = np.concatenate([s, d])
+        o = np.concatenate([d, s])
+        return pa.table({
+            "k": pa.array(k, pa.uint64()),
+            "o": pa.array(o, pa.uint64()),
+            "bucket": pa.array((k % n_buckets).astype(np.int64),
+                               pa.int64())})
+
+    return (edges.select_columns([src_col, dst_col])
+                 .map_batches(f, batch_format="pyarrow"))
+
+
+def connected_components_distributed(edges: Dataset,
+                                     src_col: str = "src_id",
+                                     dst_col: str = "dst_id",
+                                     max_sweeps: int = 64,
+                                     n_buckets: int = 64) -> Dataset:
+    """Scale path for :func:`connected_components`: the label table is
+    a keyed DATASET (node_id, component_id) — no node-sized driver
+    vector anywhere, so it works past the ~10^8-node driver bound.
+
+    Per sweep, two co-partition exchanges (the tag-union bucket-groupby
+    machinery shared with stages.joins — ``Dataset.join`` deliberately
+    avoided):
+
+    1. message generation: directed edges co-partitioned with labels on
+       the source key emit (neighbor, label) candidates; one extra
+       (label -> node) row per node implements POINTER JUMPING
+       (label := label(label)), which keeps convergence O(log n)
+       sweeps instead of O(diameter) — the distributed equivalent of
+       the driver path's chase loop.
+    2. min-fold: candidates co-partitioned with the current labels take
+       the per-node minimum; the fold also counts strict improvements,
+       and the sweep loop stops when a sweep improves nothing.
+
+    Labels only ever decrease, so the improvement count reaching zero
+    IS the fixpoint.  Parity with the driver path is pinned in pytest
+    on multi-component / high-diameter graphs."""
+    dir_edges = _directed_both(edges, src_col, dst_col,
+                               n_buckets).materialize()
+
+    def init_labels(g: pd.DataFrame) -> pa.Table:
+        u = np.unique(g["k"].to_numpy(np.uint64))
+        return pa.table({
+            "node_id": pa.array(u, pa.uint64()),
+            "label": pa.array(u, pa.uint64()),
+            "bucket": pa.array((u % np.uint64(n_buckets)).astype(np.int64),
+                               pa.int64())})
+
+    labels = (dir_edges.groupby("bucket")
+              .map_groups(init_labels, batch_format="pandas")
+              .materialize())
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        # 0-filled placeholders, NOT nulls: pandas promotes
+        # uint64-with-null to float64 in map_groups, corrupting ids
+        # above 2^53 (the md5-derived node ids)
+        zero = pa.array(np.zeros(t.num_rows, np.uint64), pa.uint64())
+        return pa.table({"node": t.column("k"), "other": t.column("o"),
+                         "lab": zero,
+                         "is_lab": pa.array(np.zeros(t.num_rows, bool)),
+                         "bucket": t.column("bucket")})
+
+    def jump_rows(t: pa.Table) -> pa.Table:
+        # (label -> node): a node asks for its label's label
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column("label"), "other": t.column("node_id"),
+            "lab": pa.array(np.zeros(t.num_rows, np.uint64), pa.uint64()),
+            "is_lab": pa.array(np.zeros(t.num_rows, bool)),
+            "bucket": pa.array((lab % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node_id"),
+                         "other": pa.array(np.zeros(t.num_rows, np.uint64),
+                                           pa.uint64()),
+                         "lab": t.column("label"),
+                         "is_lab": pa.array(np.ones(t.num_rows, bool)),
+                         "bucket": t.column("bucket")})
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        e = g.loc[~g["is_lab"], ["node", "other"]]
+        l = g.loc[g["is_lab"], ["node", "lab"]]
+        m = e.merge(l, on="node")
+        tgt = m["other"].to_numpy(np.uint64)
+        return pa.table({
+            "node": pa.array(tgt, pa.uint64()),
+            "cand": pa.array(m["lab"].to_numpy(np.uint64), pa.uint64()),
+            "is_lab": pa.array(np.zeros(len(m), bool)),
+            "bucket": pa.array((tgt % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    def cand_lab_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node_id"),
+                         "cand": t.column("label"),
+                         "is_lab": pa.array(np.ones(t.num_rows, bool)),
+                         "bucket": t.column("bucket")})
+
+    def min_fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("node", sort=False)["cand"].min()
+        old = g.loc[g["is_lab"]].set_index("node")["cand"]
+        old = old.reindex(agg.index)
+        node = agg.index.to_numpy(np.uint64)
+        new = agg.to_numpy(np.uint64)
+        improved = (new < old.to_numpy(np.uint64)).astype(np.int64)
+        return pa.table({
+            "node_id": pa.array(node, pa.uint64()),
+            "label": pa.array(new, pa.uint64()),
+            "bucket": pa.array((node % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64()),
+            "improved": pa.array(improved, pa.int64())})
+
+    for _ in range(max_sweeps):
+        msgs = (dir_edges.map_batches(edge_rows, batch_format="pyarrow")
+                .union(labels.map_batches(jump_rows,
+                                          batch_format="pyarrow"))
+                .union(labels.map_batches(lab_rows,
+                                          batch_format="pyarrow"))
+                .groupby("bucket")
+                .map_groups(resolve, batch_format="pandas"))
+        folded = (msgs.union(labels.map_batches(cand_lab_rows,
+                                                batch_format="pyarrow"))
+                  .groupby("bucket")
+                  .map_groups(min_fold, batch_format="pandas")
+                  .materialize())
+        improved = folded.sum("improved")
+        labels = folded.drop_columns(["improved"]).materialize()
+        if not improved:
+            break
+
+    return labels.map_batches(
+        lambda t: t.select(["node_id", "label"]).rename_columns(
+            ["node_id", "component_id"]),
+        batch_format="pyarrow")
+
+
+def k_hop_distributed(edges: Dataset, n_seeds: int = 5, k: int = 2,
+                      src_col: str = "src_id", dst_col: str = "dst_id",
+                      seeds: "np.ndarray | None" = None,
+                      n_buckets: int = 64) -> Dataset:
+    """Scale path for :func:`k_hop`: the visited set and frontier are
+    keyed DATASETS; per hop, one co-partition exchange expands the
+    frontier (directed edges bucket-grouped with the frontier on the
+    lookup key, per-bucket vectorized ``isin``), a second bucket-dedup
+    makes reached nodes globally unique (the bucket is a function of
+    the node id), and :func:`kgforge.stages.joins.anti_join_keys` on
+    its shuffle path subtracts the visited set.  Driver state: the
+    seed array and one count per hop.  Parity with the driver path is
+    pinned in pytest."""
+    dir_edges = _directed_both(edges, src_col, dst_col,
+                               n_buckets).materialize()
+    if seeds is None:
+        # the default seed rule needs the n smallest universe ids —
+        # a tiny sorted head, not a node-sized collect
+        heads = dir_edges.map_batches(
+            lambda t: pa.table({"node_id": pa.array(np.sort(np.unique(
+                t.column("k").to_numpy(zero_copy_only=False)))[:n_seeds],
+                pa.uint64())}),
+            batch_format="pyarrow").to_pandas()
+        seeds = np.sort(np.unique(
+            heads["node_id"].to_numpy(np.uint64)))[:n_seeds]
+    seeds = np.unique(np.asarray(seeds, dtype=np.uint64))
+
+    def seed_table(hops: int) -> pa.Table:
+        return pa.table({
+            "node_id": pa.array(seeds, pa.uint64()),
+            "hops": pa.array(np.full(len(seeds), hops, np.int64),
+                             pa.int64()),
+            "bucket": pa.array((seeds % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    visited = ray.data.from_arrow(seed_table(0)).materialize()
+    frontier = visited
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("k"), "o": t.column("o"),
+                         "is_f": pa.array(np.zeros(t.num_rows, bool)),
+                         "bucket": t.column("bucket")})
+
+    def frontier_rows(t: pa.Table) -> pa.Table:
+        # 0-filled placeholder, not null (pandas uint64 promotion trap)
+        return pa.table({"k": t.column("node_id"),
+                         "o": pa.array(np.zeros(t.num_rows, np.uint64),
+                                       pa.uint64()),
+                         "is_f": pa.array(np.ones(t.num_rows, bool)),
+                         "bucket": t.column("bucket")})
+
+    def expand(g: pd.DataFrame) -> pa.Table:
+        fr = g.loc[g["is_f"], "k"].to_numpy(np.uint64)
+        e = g.loc[~g["is_f"]]
+        hit = np.isin(e["k"].to_numpy(np.uint64), fr)
+        out = np.unique(e.loc[hit, "o"].to_numpy(np.uint64))
+        return pa.table({
+            "node_id": pa.array(out, pa.uint64()),
+            "bucket": pa.array((out % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    def dedup(g: pd.DataFrame) -> pa.Table:
+        u = np.unique(g["node_id"].to_numpy(np.uint64))
+        return pa.table({
+            "node_id": pa.array(u, pa.uint64()),
+            "bucket": pa.array((u % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    from .joins import anti_join_keys
+    for hop in range(1, k + 1):
+        reached = (dir_edges.map_batches(edge_rows,
+                                         batch_format="pyarrow")
+                   .union(frontier.map_batches(frontier_rows,
+                                               batch_format="pyarrow"))
+                   .groupby("bucket")
+                   .map_groups(expand, batch_format="pandas")
+                   .groupby("bucket")
+                   .map_groups(dedup, batch_format="pandas"))
+        fresh = anti_join_keys(reached, visited, "node_id", "node_id",
+                               strategy="join",
+                               num_partitions=n_buckets).materialize()
+        if fresh.count() == 0:
+            break
+        fresh_h = fresh.map_batches(
+            lambda t, h=hop: t.append_column(
+                "hops", pa.array(np.full(t.num_rows, h, np.int64),
+                                 pa.int64())).select(
+                ["node_id", "hops", "bucket"]),
+            batch_format="pyarrow")
+        visited = visited.union(fresh_h).materialize()
+        frontier = fresh
+
+    return visited.map_batches(
+        lambda t: t.select(["node_id", "hops"]), batch_format="pyarrow")
+
+
+def k_core_distributed(edges: Dataset, k: int,
+                       src_col: str = "src_id", dst_col: str = "dst_id",
+                       max_rounds: int = 40,
+                       n_buckets: int = 64) -> tuple[Dataset, int]:
+    """Scale path for :func:`k_core`: no broadcast survivor vector —
+    each peel round computes the degree table as a keyed DATASET
+    (per-batch value_counts partials, bucket fold) and keeps edges via
+    two shuffle-path :func:`kgforge.stages.joins.semi_join_keys` passes
+    (one per endpoint).  Fixpoint when a round removes no edge.
+    Driver state: one edge count per round.  Parity with the driver
+    path is pinned in pytest."""
+    from .joins import semi_join_keys
+    canon = edges if {"a", "b"} <= set(edges.schema().names) else \
+        _canonical_edges(edges, src_col, dst_col, n_buckets)
+    canon = canon.select_columns(["a", "b"]).materialize()
+    m = canon.count()
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        deg = _degree_dataset(canon, n_buckets)
+        keep = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("deg"),
+                                                pa.scalar(k))),
+            batch_format="pyarrow")
+        kept = semi_join_keys(
+            semi_join_keys(canon, keep, "a", "node_id",
+                           strategy="join", num_partitions=n_buckets),
+            keep, "b", "node_id",
+            strategy="join", num_partitions=n_buckets).materialize()
+        m2 = kept.count()
+        if m2 == m:
+            canon = kept
+            break
+        canon, m = kept, m2
+        if m == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"k_core_distributed did not reach its fixpoint in "
+            f"{max_rounds} rounds; raise max_rounds")
+    out = _degree_dataset(canon, n_buckets).map_batches(
+        lambda t: t.select(["node_id", "deg"]).rename_columns(
+            ["node_id", "core_degree"]),
+        batch_format="pyarrow")
+    return out, rounds
+
+
+def _degree_dataset(canon: Dataset, n_buckets: int) -> Dataset:
+    """Undirected degree per node as a keyed Dataset (node_id, deg,
+    bucket) — the distributed companion of :func:`_node_degrees`."""
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            t.column("a").to_numpy(zero_copy_only=False),
+            t.column("b").to_numpy(zero_copy_only=False)]).astype(np.uint64)
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({
+            "node_id": pa.array(u, pa.uint64()),
+            "n": pa.array(c, pa.int64()),
+            "bucket": pa.array((u % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("node_id", sort=False)["n"].sum()
+        node = agg.index.to_numpy(np.uint64)
+        return pa.table({
+            "node_id": pa.array(node, pa.uint64()),
+            "deg": pa.array(agg.to_numpy(np.int64), pa.int64()),
+            "bucket": pa.array((node % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    return (canon.map_batches(partial, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(fold, batch_format="pandas"))
+
+
 def k_hop(edges: Dataset, n_seeds: int = 5, k: int = 2,
           src_col: str = "src_id", dst_col: str = "dst_id",
-          seeds: "np.ndarray | None" = None) -> pd.DataFrame:
+          seeds: "np.ndarray | None" = None, mode: str = "auto",
+          driver_node_limit: int | None = None):
     """Undirected k-hop neighborhood (BFS) from a seed set: returns
     (node_id, hops) where hops = minimum number of edges from any seed
     (0 for the seeds themselves), restricted to hops <= k.  Default
@@ -369,15 +712,26 @@ def k_hop(edges: Dataset, n_seeds: int = 5, k: int = 2,
     against the broadcast frontier and returns only per-block DISTINCT
     neighbor ids.  Driver state is the visited/frontier vectors —
     bounded by the k-hop neighborhood size, the same node-sized driver
-    bound as :func:`pagerank` / :func:`connected_components` (at
-    billions of reached nodes the frontier would instead stay a keyed
-    Dataset and the dedup-vs-visited becomes an anti-join; per-hop
-    dataflow unchanged).
+    bound as :func:`pagerank` / :func:`connected_components`.
+    ``mode="auto"`` switches to :func:`k_hop_distributed` (visited set
+    and frontier stay keyed Datasets, dedup-vs-visited is an anti-join;
+    returns a DATASET, not a DataFrame) past ``driver_node_limit``
+    nodes (default :data:`DRIVER_NODE_LIMIT`).
 
     Reference: graph traversal happens inside FalkorDB via generated
     Cypher (graphrag_sdk/kg.py ask/query path); here it is a native
     Ray dataflow over the edge table."""
-    deg = degree_table(edges, src_col, dst_col).to_pandas()
+    limit = (DRIVER_NODE_LIMIT if driver_node_limit is None
+             else driver_node_limit)
+    deg_ds = degree_table(edges, src_col, dst_col).materialize()
+    if mode == "auto":
+        mode = "driver" if deg_ds.count() <= limit else "distributed"
+    if mode == "distributed":
+        return k_hop_distributed(edges, n_seeds, k, src_col, dst_col,
+                                 seeds)
+    if mode != "driver":
+        raise ValueError(f"unknown mode {mode!r}")
+    deg = deg_ds.to_pandas()
     universe = np.sort(deg["node_id"].to_numpy(np.uint64))
     if len(universe) == 0:
         return pd.DataFrame({
@@ -749,7 +1103,8 @@ def clustering_coefficient(edges: Dataset, src_col: str = "src_id",
 
 def k_core(edges: Dataset, k: int, src_col: str = "src_id",
            dst_col: str = "dst_id", max_rounds: int = 40,
-           n_buckets: int = 64) -> tuple[Dataset, int]:
+           n_buckets: int = 64, mode: str = "auto",
+           driver_node_limit: int | None = None) -> tuple[Dataset, int]:
     """The k-core of the undirected graph: the maximal subgraph where
     every node has degree ≥ k, found by iterative peeling.
 
@@ -766,10 +1121,25 @@ def k_core(edges: Dataset, k: int, src_col: str = "src_id",
     Returns ``(dataset of (node_id, core_degree), rounds_used)`` —
     ``core_degree`` is the node's degree INSIDE the k-core.  The
     bounded-unroll SQL oracle replays exactly this fixpoint; pytest
-    asserts convergence within its round budget."""
+    asserts convergence within its round budget.
+
+    ``mode="auto"`` switches to :func:`k_core_distributed` (degree
+    table stays a keyed Dataset, survivors kept via shuffle semi-joins
+    — no broadcast survivor vector) when the node universe exceeds
+    ``driver_node_limit``; node count is bounded by 2x the canonical
+    edge count, which is what the cheap gate checks."""
+    limit = (DRIVER_NODE_LIMIT if driver_node_limit is None
+             else driver_node_limit)
     canon = edges if {"a", "b"} <= set(edges.schema().names) else \
         _canonical_edges(edges, src_col, dst_col, n_buckets)
     canon = canon.materialize()
+    if mode == "auto":
+        mode = "driver" if 2 * canon.count() <= limit else "distributed"
+    if mode == "distributed":
+        return k_core_distributed(canon, k, src_col, dst_col,
+                                  max_rounds, n_buckets)
+    if mode != "driver":
+        raise ValueError(f"unknown mode {mode!r}")
     nodes, deg = _node_degrees(canon)
     active_ids = nodes[deg >= k] if k > 0 else nodes
     rounds = 0

@@ -337,6 +337,62 @@ def test_pagerank_fixed_matches_dense_integer_recurrence():
     assert order_fixed.tolist() == order_float.tolist()
 
 
+def _parity_graph():
+    """Random graph + a long path (high diameter, stresses pointer
+    jumping) + a separate 2-node component; ids include values > 2^53
+    to catch any pandas float-promotion corruption."""
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 30, 80, dtype=np.uint64)
+    dst = rng.integers(0, 30, 80, dtype=np.uint64)
+    base = np.uint64(2**63 + 11)     # above 2^53: float64 would corrupt
+    path = np.arange(12, dtype=np.uint64) + base
+    src = np.concatenate([src, path[:-1], [np.uint64(7_000_000)]])
+    dst = np.concatenate([dst, path[1:], [np.uint64(7_000_001)]])
+    return ray.data.from_arrow(pa.table({
+        "src_id": pa.array(src, pa.uint64()),
+        "dst_id": pa.array(dst, pa.uint64())}))
+
+
+def test_connected_components_distributed_parity():
+    from kgforge.stages.graph import (connected_components,
+                                      connected_components_distributed)
+    edges = _parity_graph()
+    drv = (connected_components(edges, mode="driver")
+           .sort_values("node_id").reset_index(drop=True))
+    dist = (connected_components_distributed(edges, n_buckets=8)
+            .to_pandas().sort_values("node_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(drv, dist)
+    # the auto gate flips to the keyed-Dataset path past the limit:
+    # past-limit mode returns a Dataset, not a DataFrame
+    tiny = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([1, 2], pa.uint64()),
+        "dst_id": pa.array([2, 3], pa.uint64())}))
+    auto = connected_components(tiny, driver_node_limit=1)
+    assert isinstance(auto, ray.data.Dataset)
+    assert sorted(auto.to_pandas()["component_id"].unique()) == [1]
+
+
+def test_k_hop_distributed_parity():
+    from kgforge.stages.graph import k_hop, k_hop_distributed
+    edges = _parity_graph()
+    drv = (k_hop(edges, n_seeds=4, k=2, mode="driver")
+           .sort_values("node_id").reset_index(drop=True))
+    dist = (k_hop_distributed(edges, n_seeds=4, k=2, n_buckets=8)
+            .to_pandas().sort_values("node_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_k_core_distributed_parity():
+    from kgforge.stages.graph import k_core, k_core_distributed
+    edges = _parity_graph()
+    drv_ds, _ = k_core(edges, k=3, mode="driver")
+    dist_ds, _ = k_core_distributed(edges, k=3, n_buckets=8)
+    drv = drv_ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    dist = (dist_ds.to_pandas().sort_values("node_id")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(drv, dist)
+
+
 def test_degree_table_endpoints_only_on_one_side():
     from kgforge.stages.graph import degree_table
     edges = pa.table({"src_id": pa.array([1, 1, 2], pa.uint64()),
