@@ -186,7 +186,8 @@ def pagerank(edges: Dataset, src_col: str = "src_id",
 def pagerank_fixed(edges: Dataset, src_col: str = "src_id",
                    dst_col: str = "dst_id", damping_num: int = 17,
                    damping_den: int = 20, n_iter: int = 20,
-                   scale_bits: int = 40) -> pd.DataFrame:
+                   scale_bits: int = 40, mode: str = "auto",
+                   driver_node_limit: int | None = None):
     """Deterministic fixed-point PageRank: the same damped power
     iteration as :func:`pagerank` carried out entirely in integers so
     the result is bit-exact regardless of summation order — and hence
@@ -214,7 +215,11 @@ def pagerank_fixed(edges: Dataset, src_col: str = "src_id",
     The float column ``pagerank = pr_fixed / S`` is exactly
     representable (pr_fixed < 2**53) and monotone in pr_fixed, so the
     fixed-point ranking IS a PageRank ranking; parity of the ordering
-    vs the float :func:`pagerank` is pinned in pytest."""
+    vs the float :func:`pagerank` is pinned in pytest.
+
+    ``mode="auto"`` switches to :func:`pagerank_fixed_distributed`
+    (the rank table stays a keyed Dataset — bit-identical output,
+    returned as a DATASET) past ``driver_node_limit`` nodes."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     if not (0 < damping_num < damping_den):
@@ -222,7 +227,18 @@ def pagerank_fixed(edges: Dataset, src_col: str = "src_id",
     if scale_bits > 58:
         raise ValueError("scale_bits > 58 overflows the int64 mass bound")
 
-    deg = degree_table(edges, src_col, dst_col).to_pandas()
+    limit = (DRIVER_NODE_LIMIT if driver_node_limit is None
+             else driver_node_limit)
+    deg_ds = degree_table(edges, src_col, dst_col).materialize()
+    if mode == "auto":
+        mode = "driver" if deg_ds.count() <= limit else "distributed"
+    if mode == "distributed":
+        return pagerank_fixed_distributed(
+            edges, src_col, dst_col, damping_num, damping_den, n_iter,
+            scale_bits)
+    if mode != "driver":
+        raise ValueError(f"unknown mode {mode!r}")
+    deg = deg_ds.to_pandas()
     nodes = np.sort(deg["node_id"].to_numpy(np.uint64))
     n = len(nodes)
     if n == 0:
@@ -376,6 +392,170 @@ def connected_components(edges: Dataset, src_col: str = "src_id",
 # frontiers — ~16 B/node) stop fitting a sane driver heap and the
 # *_distributed keyed-Dataset paths below take over (mode="auto").
 DRIVER_NODE_LIMIT = 50_000_000
+
+
+def pagerank_fixed_distributed(edges: Dataset, src_col: str = "src_id",
+                               dst_col: str = "dst_id",
+                               damping_num: int = 17,
+                               damping_den: int = 20, n_iter: int = 20,
+                               scale_bits: int = 40,
+                               n_buckets: int = 64) -> Dataset:
+    """Scale path for :func:`pagerank_fixed`: the rank table is a keyed
+    DATASET (node_id, pr_fixed) — no node-sized driver vector or
+    per-iteration broadcast.  Per iteration:
+
+    1. contribution scatter: directed edges co-partitioned with the
+       rank/out-degree state on the SOURCE bucket emit per-bucket
+       pre-aggregated (dst, contribution-sum) partials (the combiner —
+       message volume leaving a bucket is bounded by its distinct dst
+       count, not its edge count);
+    2. dangling mass: a distributed integer sum over the state rows
+       with out-degree 0 (one scalar to the driver);
+    3. rank fold: partials co-partitioned with the state on the
+       DESTINATION bucket apply the identical integer recurrence.
+
+    All sums are int64 (total mass <= 2**scale_bits), so the result is
+    bit-identical to :func:`pagerank_fixed` — pinned in pytest."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    num, den = int(damping_num), int(damping_den)
+    S = 1 << scale_bits
+
+    def dir_rows(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False) \
+             .astype(np.uint64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False) \
+             .astype(np.uint64)
+        return pa.table({
+            "s": pa.array(s, pa.uint64()),
+            "d": pa.array(d, pa.uint64()),
+            "bucket": pa.array((s % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    dir_edges = (edges.select_columns([src_col, dst_col])
+                 .map_batches(dir_rows, batch_format="pyarrow")
+                 .materialize())
+
+    deg = degree_table(edges, src_col, dst_col).materialize()
+    n = deg.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node_id": pa.array([], pa.uint64()),
+            "pr_fixed": pa.array([], pa.int64()),
+            "pagerank": pa.array([], pa.float64())}))
+    base = ((den - num) * S) // (den * n)
+    r0 = S // n
+
+    def init_state(t: pa.Table) -> pa.Table:
+        node = t.column("node_id").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+        return pa.table({
+            "node_id": pa.array(node, pa.uint64()),
+            "r": pa.array(np.full(len(node), r0, np.int64), pa.int64()),
+            "outdeg": t.column("out_degree").cast(pa.int64()),
+            "bucket": pa.array((node % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    state = deg.map_batches(init_state,
+                            batch_format="pyarrow").materialize()
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        zero = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table({
+            "node": t.column("s"), "dst": t.column("d"),
+            "r": zero, "outdeg": zero,
+            "is_s": pa.array(np.zeros(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    def state_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node_id"),
+            "dst": pa.array(np.zeros(t.num_rows, np.uint64), pa.uint64()),
+            "r": t.column("r"), "outdeg": t.column("outdeg"),
+            "is_s": pa.array(np.ones(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    def scatter(g: pd.DataFrame) -> pa.Table:
+        st = g.loc[g["is_s"] & (g["outdeg"] > 0), ["node", "r", "outdeg"]]
+        e = g.loc[~g["is_s"], ["node", "dst"]]
+        m = e.merge(st, on="node")
+        if len(m) == 0:
+            return pa.table({"node_id": pa.array([], pa.uint64()),
+                             "inc": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        contrib = (m["r"].to_numpy(np.int64)
+                   // m["outdeg"].to_numpy(np.int64))
+        agg = (pd.DataFrame({"d": m["dst"].to_numpy(np.uint64),
+                             "c": contrib})
+               .groupby("d", sort=False)["c"].sum())
+        node = agg.index.to_numpy(np.uint64)
+        return pa.table({
+            "node_id": pa.array(node, pa.uint64()),
+            "inc": pa.array(agg.to_numpy(np.int64), pa.int64()),
+            "bucket": pa.array((node % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    def msg_side(t: pa.Table) -> pa.Table:
+        zero64 = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table({
+            "node_id": t.column("node_id"), "inc": t.column("inc"),
+            "r": zero64, "outdeg": zero64,
+            "is_s": pa.array(np.zeros(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    def state_side2(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": t.column("node_id"),
+            "inc": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            "r": t.column("r"), "outdeg": t.column("outdeg"),
+            "is_s": pa.array(np.ones(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    for _ in range(n_iter):
+        dangling = state.map_batches(
+            lambda t: t.filter(pc.equal(t.column("outdeg"),
+                                        pa.scalar(0, pa.int64())))
+                       .select(["r"]),
+            batch_format="pyarrow").sum("r")
+        share = int(dangling or 0) // n
+
+        msgs = (dir_edges.map_batches(edge_side, batch_format="pyarrow")
+                .union(state.map_batches(state_side,
+                                         batch_format="pyarrow"))
+                .groupby("bucket")
+                .map_groups(scatter, batch_format="pandas"))
+
+        def fold(g: pd.DataFrame, _share=share) -> pa.Table:
+            st = g.loc[g["is_s"], ["node_id", "outdeg"]]
+            inc = (g.groupby("node_id", sort=False)["inc"].sum()
+                   .reindex(st["node_id"].to_numpy(np.uint64),
+                            fill_value=0))
+            node = st["node_id"].to_numpy(np.uint64)
+            new_r = base + (num * (inc.to_numpy(np.int64) + _share)) // den
+            return pa.table({
+                "node_id": pa.array(node, pa.uint64()),
+                "r": pa.array(new_r.astype(np.int64), pa.int64()),
+                "outdeg": pa.array(st["outdeg"].to_numpy(np.int64),
+                                   pa.int64()),
+                "bucket": pa.array((node % np.uint64(n_buckets))
+                                   .astype(np.int64), pa.int64())})
+
+        state = (msgs.map_batches(msg_side, batch_format="pyarrow")
+                 .union(state.map_batches(state_side2,
+                                          batch_format="pyarrow"))
+                 .groupby("bucket")
+                 .map_groups(fold, batch_format="pandas")
+                 .materialize())
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node_id": t.column("node_id"),
+            "pr_fixed": t.column("r"),
+            "pagerank": pa.array(r.astype(np.float64) / float(S),
+                                 pa.float64())})
+
+    return state.map_batches(finish, batch_format="pyarrow")
 
 
 def _directed_both(edges: Dataset, src_col: str, dst_col: str,

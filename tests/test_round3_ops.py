@@ -353,6 +353,21 @@ def _parity_graph():
         "dst_id": pa.array(dst, pa.uint64())}))
 
 
+def test_pagerank_fixed_distributed_bit_exact():
+    """The keyed-Dataset pagerank path is bit-identical to the driver
+    fixed-point path (integer recurrence, order-free sums)."""
+    from kgforge.stages.graph import (pagerank_fixed,
+                                      pagerank_fixed_distributed)
+    edges = _parity_graph()
+    drv = (pagerank_fixed(edges, n_iter=8, mode="driver")
+           .sort_values("node_id").reset_index(drop=True))
+    dist = (pagerank_fixed_distributed(edges, n_iter=8, n_buckets=8)
+            .to_pandas().sort_values("node_id").reset_index(drop=True))
+    assert drv["node_id"].tolist() == dist["node_id"].tolist()
+    assert drv["pr_fixed"].tolist() == dist["pr_fixed"].tolist()
+    assert drv["pagerank"].tolist() == dist["pagerank"].tolist()
+
+
 def test_connected_components_distributed_parity():
     from kgforge.stages.graph import (connected_components,
                                       connected_components_distributed)
