@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round: reference loader quirks, externally gated
         "csv_loader_chunks": Q.csv_loader_chunks,
         "jsonl_loader_chunks": Q.jsonl_loader_chunks,
+        # new this round: web-curation domain operators
+        "domain_stats_pages": Q.domain_stats_pages,
+        "domain_cap_pages": Q.domain_cap_pages,
         # --- never driver-gated before round 4 (waves 2-6) ---
         "events_type_quantiles": Q.events_type_quantiles,
         "orders_no_events": Q.orders_no_events,
@@ -563,6 +566,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM r GROUP BY rn // 7)
             SELECT CAST(doc_index AS BIGINT) AS doc_index, content
             FROM c WHERE n = 7 ORDER BY doc_index
+        """,
+        # per-(host, section) page stats over the exported pages —
+        # DuckDB RE2 regexp mirrors the arrow extract_regex kernel
+        "domain_stats_pages": r"""
+            SELECT regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                       1) AS host,
+                   regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                       2) AS section,
+                   count(*) AS n_pages,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')
+            WHERE regexp_matches(url,
+                '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?')
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # per-section cap in md5(url) order — the grouped_limit oracle
+        "domain_cap_pages": r"""
+            SELECT url,
+                   regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                       1) AS host,
+                   regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                       2) AS section
+            FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')
+            WHERE regexp_matches(url,
+                '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?')
+            QUALIFY row_number() OVER (
+                PARTITION BY host, section ORDER BY md5(url), url) <= 40
+            ORDER BY url
         """,
         # jsonl keeps readlines() terminators, then joins with another
         # newline — line || chr(10) aggregated with a chr(10) separator

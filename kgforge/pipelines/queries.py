@@ -1379,6 +1379,84 @@ def jsonl_loader_chunks(sf_dir: str):
             .select_columns(["doc_index", "content"]))
 
 
+def domain_stats_pages(sf_dir: str):
+    """Per-(host, section) page counts and character volume over the
+    CC-style pages corpus — the domain-level quality/size priors a
+    web-curation pass aggregates before sampling.  Vectorized arrow
+    regex url parsing (functions/web.py), per-batch combiner, one tiny
+    bucket fold; the oracle mirrors the regex over the exported pages
+    artifact."""
+    import zlib as _z
+
+    from ..functions.web import url_host_section
+    _ensure_gate_artifact(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        host, sec, ok = url_host_section(t.column("url"))
+        tt = pa.table({"host": host, "section": sec,
+                       "chars": pc.utf8_length(t.column("text"))
+                       .cast(pa.int64())}).filter(ok)
+        df = tt.to_pandas()
+        agg = (df.groupby(["host", "section"], as_index=False)
+                 .agg(n=("chars", "size"), s=("chars", "sum")))
+        b = [_z.crc32(f"{h}\x1f{x}".encode()) % 16
+             for h, x in zip(agg["host"], agg["section"])]
+        return pa.table({
+            "host": pa.array(agg["host"], pa.string()),
+            "section": pa.array(agg["section"], pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(agg["s"].to_numpy(np.int64), pa.int64()),
+            "_b": pa.array(b, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = (g.groupby(["host", "section"], as_index=False)
+                .agg(n=("n", "sum"), s=("s", "sum")))
+        return pa.table({
+            "host": pa.array(agg["host"], pa.string()),
+            "section": pa.array(agg["section"], pa.string()),
+            "n_pages": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "sum_chars": pa.array(agg["s"].to_numpy(np.int64),
+                                  pa.int64())})
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+                 .groupby("_b")
+                 .map_groups(fold, batch_format="pandas"))
+
+
+def domain_cap_pages(sf_dir: str):
+    """Per-(host, section) document cap — keep at most 40 pages per
+    section in deterministic md5(url) order (the unbiased per-domain
+    downsample that stops giant hosts dominating a training mix).
+    Built on the generic :func:`kgforge.stages.relational.grouped_limit`
+    (in-batch combiner bounds shuffle volume to k rows per key per
+    block); oracle = QUALIFY row_number() <= k over the exported
+    pages."""
+    import hashlib as _h
+
+    from ..functions.web import url_host_section
+    from ..stages.relational import grouped_limit
+    _ensure_gate_artifact(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        host, sec, ok = url_host_section(t.column("url"))
+        tt = pa.table({"url": t.column("url"), "host": host,
+                       "section": sec}).filter(ok)
+        key = pc.binary_join_element_wise(tt.column("host"),
+                                          tt.column("section"), "\x1f")
+        ordh = [_h.md5(u.encode()).hexdigest()
+                for u in tt.column("url").to_pylist()]
+        return tt.append_column("key", key).append_column(
+            "ord", pa.array(ordh, pa.string()))
+
+    capped = grouped_limit(pages.map_batches(prep, batch_format="pyarrow"),
+                           "key", "ord", k=40)
+    return capped.select_columns(["url", "host", "section"])
+
+
 def docs_shuffle_shards(sf_dir: str):
     """Deterministic global shuffle + shard assignment over documents
     (training-export primitive): md5 shuffle key, hex-prefix shard,

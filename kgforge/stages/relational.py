@@ -275,6 +275,48 @@ def hash_split(ds: Dataset, id_col: str, n_buckets: int = 10,
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def grouped_limit(ds: Dataset, key_col: str, order_col: str, k: int,
+                  n_buckets: int = N_BUCKETS) -> Dataset:
+    """Per-key LIMIT: keep at most ``k`` rows per key, chosen by
+    ascending ``(order_col, remaining columns...)``-free deterministic
+    order (``order_col`` alone must be unique per key for a stable
+    result — use a hash/id column).  The Common-Crawl curation use is
+    per-domain document caps: a handful of giant hosts otherwise
+    dominate the training mix.
+
+    One coarse-bucket shuffle on the key (many keys per fold — never a
+    per-key task); the fold sorts its bucket once by (key, order) and
+    applies a vectorized per-key cumcount mask.  SQL mirror:
+    ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY ord) <= k``.
+    Partitioning assumption: one key's rows fit one worker; for a
+    single pathological key, pre-filter with a per-batch local head
+    (any batch contributes at most k rows per key) before the shuffle —
+    the combiner below does exactly that, so shuffle volume per key is
+    bounded by k x n_input_blocks, not the key's row count."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def combiner(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        keep = g.groupby(key_col, sort=False).cumcount() < k
+        return g[keep]
+
+    def local_head(t: pa.Table) -> pa.Table:
+        # in-batch pre-trim: at most k rows per key leave each block
+        g = t.to_pandas()
+        out = combiner(g)
+        out = out.assign(_bucket=_key_bucket(
+            pa.Array.from_pandas(out[key_col]), n_buckets).to_pylist())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return combiner(g.drop(columns=["_bucket"]))
+
+    return (ds.map_batches(local_head, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(fold, batch_format="pandas"))
+
+
 def token_frequencies(ds: Dataset, text_col: str = "text",
                       k: int = 100, n_buckets: int = N_BUCKETS) -> Dataset:
     """Global top-k token frequencies (whitespace tokens): per-batch

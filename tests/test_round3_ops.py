@@ -526,6 +526,26 @@ def test_left_outer_join_empty_right_and_collision():
         left_outer_join(left, empty, "k", "rk", ["v"], suffix="")
 
 
+def test_grouped_limit_caps_per_key():
+    from kgforge.stages.relational import grouped_limit
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 2 + ["c"], pa.string()),
+        "o": pa.array([f"o{i}" for i in [4, 2, 0, 3, 1, 1, 0, 0]],
+                      pa.string()),
+        "v": pa.array(list(range(8)), pa.int64())})
+    out = (grouped_limit(ray.data.from_arrow(t), "k", "o", k=2)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    # per key: the 2 smallest 'o' values survive, others dropped
+    assert out["k"].tolist() == ["a", "a", "b", "b", "c"]
+    assert out["o"].tolist() == ["o0", "o1", "o0", "o1", "o0"]
+    assert out["v"].tolist() == [2, 4, 6, 5, 7]
+    # combiner path: many input blocks, cap still global per key
+    many = ray.data.from_arrow(t).repartition(4)
+    out2 = (grouped_limit(many, "k", "o", k=2)
+            .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
+
+
 def test_grouped_ntile_uneven_and_singleton():
     from kgforge.stages.windows import grouped_ntile
     tbl = pa.table({
