@@ -92,7 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round: reference loader quirks, externally gated
         "csv_loader_chunks": Q.csv_loader_chunks,
         "jsonl_loader_chunks": Q.jsonl_loader_chunks,
-        # new this round: web-curation domain operators
+        # new this round: web-curation domain operators + video frames
         "domain_stats_pages": Q.domain_stats_pages,
         "domain_cap_pages": Q.domain_cap_pages,
         # --- never driver-gated before round 4 (waves 2-6) ---
@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample_docs": Q.bottomk_sample_docs,
         "events_json_stats": Q.events_json_stats,
         # --- below the ~50-row gate window (local pytest covers all):
+        # new-this-round frame sampler (pytest-gated now, window r5)
+        "multimodal_frame_sample": Q.multimodal_frame_sample,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -1731,6 +1733,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(abs(s)) AS BIGINT) AS peak,
                    true AS decode_ok
             FROM vals GROUP BY item_id, n_samples ORDER BY item_id
+        """,
+        # video frame sampling over FKVD formulaic pixels — every
+        # sampled frame's sum/max re-derived pixel-by-pixel in SQL
+        "multimodal_frame_sample": """
+            WITH params AS (SELECT greatest(24, count(*) // 8) AS n
+                            FROM documents),
+            items AS (SELECT unnest(range(0, p.n)) AS item_id
+                      FROM params p),
+            clips AS (SELECT item_id,
+                             24 + (item_id % 7) AS n_frames
+                      FROM items),
+            frames AS (SELECT c.item_id, u.f AS frame_idx
+                       FROM clips c, UNNEST(range(0, c.n_frames)) AS u(f)
+                       WHERE u.f % 5 = 0),
+            px AS (SELECT fr.item_id, fr.frame_idx,
+                          (fr.item_id * 13 + fr.frame_idx * 17
+                           + u.i * 5) % 256 AS p
+                   FROM frames fr, UNNEST(range(0, 192)) AS u(i))
+            SELECT item_id, frame_idx,
+                   CAST(192 AS BIGINT) AS n_pixels,
+                   CAST(sum(p) AS BIGINT) AS frame_sum,
+                   CAST(max(p) AS BIGINT) AS frame_max
+            FROM px GROUP BY item_id, frame_idx
+            ORDER BY item_id, frame_idx
         """,
         # full curation chain: decontaminate -> lang gate -> repetition
         # gates -> token band -> exact dedup (keep smallest id)

@@ -159,6 +159,7 @@ def run_bench() -> dict:
         Q._KG_RESULT_CACHE.clear()
         Q._KG_INCR_CACHE.clear()
         Q._GATE_EXPORTED.clear()
+        Q._GATE_PAGES_EXPORTED.clear()
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")

@@ -67,6 +67,21 @@ def pages_for_sf(sf_dir: str, n_override: int | None = None) -> tuple:
 
 _KG_RESULT_CACHE: dict = {}
 _GATE_EXPORTED: set = set()
+_GATE_PAGES_EXPORTED: set = set()
+
+
+def _ensure_gate_pages(sf_dir: str) -> None:
+    """Export ONLY the pages artifact (for oracles that need the raw
+    corpus but not the mention extraction — domain stats/caps): a
+    fraction of :func:`_ensure_gate_artifact`'s cost."""
+    if sf_dir in _GATE_PAGES_EXPORTED or sf_dir in _GATE_EXPORTED:
+        return
+    from .oracle_export import export_gate_pages
+    _, pages_path = pages_for_sf(sf_dir)
+    export_gate_pages(ray.data.read_parquet(
+        pages_path, columns=["url", "warc_ts", "text"]))
+    _GATE_PAGES_EXPORTED.clear()
+    _GATE_PAGES_EXPORTED.add(sf_dir)
 
 
 def _ensure_gate_artifact(sf_dir: str) -> None:
@@ -1140,6 +1155,29 @@ def multimodal_audio_energy(sf_dir: str):
                               "decode_ok"])
 
 
+def multimodal_frame_sample(sf_dir: str):
+    """Video decode + frame sampling (FKVD formulaic pixels — the FKAU
+    trick, so SQL re-derives every sampled frame's features): items are
+    generated distributed, an actor pool decodes and emits one row per
+    sampled frame (every 5th) with integer-exact (frame_sum,
+    frame_max)."""
+    from ..stages.multimodal import SampleFrames, fake_video_bytes
+    n = max(24, _read(sf_dir, "documents", columns=["doc_id"]).count() // 8)
+
+    def gen(batch: dict) -> pa.Table:
+        ids = [int(i) for i in batch["id"]]
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "content": pa.array([fake_video_bytes(i) for i in ids],
+                                pa.binary())})
+
+    ds = (ray.data.range(n, override_num_blocks=max(2, n // 32))
+          .map_batches(gen, batch_format="numpy"))
+    return ds.map_batches(SampleFrames, batch_format="pyarrow",
+                          batch_size=32, concurrency=(1, 2),
+                          fn_constructor_kwargs={"every_n": 5})
+
+
 def curate_training_docs(sf_dir: str):
     """FULL training-corpus curation chain — the pipeline a pretraining
     corpus runs end-to-end: benchmark decontamination (broadcast 5-gram
@@ -1389,7 +1427,7 @@ def domain_stats_pages(sf_dir: str):
     import zlib as _z
 
     from ..functions.web import url_host_section
-    _ensure_gate_artifact(sf_dir)
+    _ensure_gate_pages(sf_dir)
     _, pages_path = pages_for_sf(sf_dir)
     pages = ray.data.read_parquet(pages_path, columns=["url", "text"])
 
@@ -1437,7 +1475,7 @@ def domain_cap_pages(sf_dir: str):
 
     from ..functions.web import url_host_section
     from ..stages.relational import grouped_limit
-    _ensure_gate_artifact(sf_dir)
+    _ensure_gate_pages(sf_dir)
     _, pages_path = pages_for_sf(sf_dir)
     pages = ray.data.read_parquet(pages_path, columns=["url"])
 

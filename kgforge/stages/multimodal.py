@@ -112,6 +112,79 @@ def frame_sample_stub(batch: pa.Table, every_n: int = 10) -> pa.Table:
         names=["item_id", "frame_idx"])
 
 
+VIDEO_MAGIC = b"FKVD"
+
+
+def fake_video_bytes(item_id: int, n_frames: int | None = None,
+                     width: int = 16, height: int = 12) -> bytes:
+    """Deterministic video stand-in payload: 24-byte header + n_frames
+    planes of formulaic uint8 pixels ``p(f, i) = (item_id*13 + f*17 +
+    i*5) % 256``.  The formula (not an RNG) is deliberate, the FKAU
+    trick: a SQL oracle re-derives every pixel, so the decode →
+    frame-sample → feature pipeline gates hash-exactly."""
+    n = n_frames if n_frames is not None else 24 + (item_id % 7)
+    f = np.arange(n, dtype=np.int64)[:, None]
+    i = np.arange(width * height, dtype=np.int64)[None, :]
+    px = ((item_id * 13 + f * 17 + i * 5) % 256).astype(np.uint8)
+    return (VIDEO_MAGIC + struct.pack("<iiiq", n, width, height,
+                                      item_id) + px.tobytes())
+
+
+class SampleFrames:
+    """Actor-pool stage: ``content: binary`` video → one OUTPUT ROW PER
+    SAMPLED FRAME (``frame_idx`` = 0, every_n, 2·every_n, …) with
+    integer-exact per-frame features (``frame_sum`` = pixel sum,
+    ``frame_max``) — the decode + frame-sample layout a training
+    pipeline feeds to a vision encoder.  A real codec (av / decord)
+    would load once per actor in ``__init__``; the FKVD fake format
+    exercises the identical buffer path (struct header + zero-copy
+    ``np.frombuffer`` + strided frame gather), and real payloads raise
+    until a codec exists.  Large payloads: run with a small
+    ``batch_size`` — each input row fans out to multiple output rows."""
+
+    def __init__(self, every_n: int = 5):
+        if every_n < 1:
+            raise ValueError("every_n must be >= 1")
+        self.every_n = every_n
+        try:
+            import av  # noqa: F401 — not present in container
+            self._av = av
+        except ImportError:
+            self._av = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_o, fidx, fsum, fmax, npx = [], [], [], [], []
+        ids = batch.column("item_id").to_pylist()
+        for item, v in zip(ids, batch.column("content")):
+            raw = v.as_py()
+            if raw is None:
+                continue
+            if raw[:4] != VIDEO_MAGIC:
+                if self._av is None:
+                    raise NotImplementedError(
+                        "real video codecs unavailable in this "
+                        "container; payload is not FKVD fake format")
+                raise NotImplementedError(
+                    "real-codec frame sampling not wired yet")
+            n, w, h, _item = struct.unpack("<iiiq", raw[4:24])
+            plane = w * h
+            frames = np.frombuffer(
+                raw[24:24 + n * plane], dtype=np.uint8).reshape(n, plane)
+            take = np.arange(0, n, self.every_n)
+            sampled = frames[take].astype(np.int64)
+            ids_o.extend([item] * len(take))
+            fidx.extend(take.tolist())
+            fsum.extend(sampled.sum(axis=1).tolist())
+            fmax.extend(sampled.max(axis=1).tolist())
+            npx.extend([plane] * len(take))
+        return pa.table({
+            "item_id": pa.array(ids_o, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "n_pixels": pa.array(npx, pa.int64()),
+            "frame_sum": pa.array(fsum, pa.int64()),
+            "frame_max": pa.array(fmax, pa.int64())})
+
+
 AUDIO_MAGIC = b"FKAU"
 
 

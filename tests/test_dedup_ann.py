@@ -319,6 +319,41 @@ def test_sketch_vs_exact_quantiles_on_testdata():
         assert rank_err < 0.05, (q, exact[q], approx[q], rank_err)
 
 
+def test_sample_frames_fkvd_exact():
+    """SampleFrames decodes FKVD payloads and emits one row per
+    sampled frame with integer-exact features matching a direct
+    recompute of the formulaic pixels."""
+    from kgforge.stages.multimodal import SampleFrames, fake_video_bytes
+    items = pa.table({
+        "item_id": pa.array([3, 10], pa.int64()),
+        "content": pa.array([fake_video_bytes(3), fake_video_bytes(10)],
+                            pa.binary())})
+    out = (ray.data.from_arrow(items)
+           .map_batches(SampleFrames, batch_format="pyarrow",
+                        batch_size=8, concurrency=(1, 2),
+                        fn_constructor_kwargs={"every_n": 5})
+           .to_pandas().sort_values(["item_id", "frame_idx"])
+           .reset_index(drop=True))
+    for item in (3, 10):
+        n_frames = 24 + item % 7
+        sub = out[out["item_id"] == item]
+        assert sub["frame_idx"].tolist() == list(range(0, n_frames, 5))
+        for _, row in sub.iterrows():
+            i = np.arange(192, dtype=np.int64)
+            px = (item * 13 + row["frame_idx"] * 17 + i * 5) % 256
+            assert row["n_pixels"] == 192
+            assert row["frame_sum"] == px.sum()
+            assert row["frame_max"] == px.max()
+    # real codecs absent: non-FKVD payloads fail loudly
+    bad = pa.table({"item_id": pa.array([1], pa.int64()),
+                    "content": pa.array([b"\x00\x01\x02\x03rest"],
+                                        pa.binary())})
+    with pytest.raises(Exception):
+        (ray.data.from_arrow(bad)
+         .map_batches(SampleFrames, batch_format="pyarrow",
+                      concurrency=(1, 1)).to_pandas())
+
+
 def test_frame_sample_stub():
     """Video frame-sampling plumbing: one row per sampled frame index,
     deterministic layout, runs as a Ray Data stage."""
