@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- below the ~50-row gate window (local pytest covers all):
         # new-this-round frame sampler (pytest-gated now, window r5)
         "multimodal_frame_sample": Q.multimodal_frame_sample,
+        # new-this-round ANN entity-linking candidates (window r5)
+        "entity_link_ann": Q.entity_link_ann,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -443,6 +445,71 @@ ORDER BY url, seq
     "@AGED@", r"^(" + _PERSON_RE + r") is (\d+) years old\.$",
 ).replace(
     "@SEQUEL@", r"^(.+?) \((\d{4})\) is a sequel\.$",
+)
+
+_ENTITY_LINK_ANN_SQL = r"""
+WITH pages AS (
+  SELECT text FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')),
+lines AS (
+  SELECT trim(unnest(split(text, chr(10)))) AS line FROM pages),
+surf AS (
+  SELECT DISTINCT surface FROM (
+    SELECT regexp_extract(line, '@ACTED@', 1) AS surface
+    FROM lines WHERE regexp_matches(line, '@ACTED@')
+    UNION ALL
+    SELECT regexp_extract(line, '@DIRECTED@', 3)
+    FROM lines WHERE regexp_matches(line, '@DIRECTED@')
+    UNION ALL
+    SELECT regexp_extract(line, '@AGED@', 1)
+    FROM lines WHERE regexp_matches(line, '@AGED@'))),
+canon AS (
+  SELECT canon FROM read_parquet('/tmp/kgforge_gate/canon/*.parquet')),
+qg AS (SELECT surface, substr(surface, CAST(i AS INTEGER), 3) AS g
+       FROM surf, UNNEST(range(1, length(surface) - 1)) AS t(i)),
+cg AS (SELECT canon, substr(canon, CAST(i AS INTEGER), 3) AS g
+       FROM canon, UNNEST(range(1, length(canon) - 1)) AS t(i)),
+qv AS (SELECT surface,
+              CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % 64 AS BIGINT)
+                  AS dim,
+              CAST(count(*) AS BIGINT) AS c
+       FROM qg GROUP BY 1, 2),
+cv AS (SELECT canon,
+              CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % 64 AS BIGINT)
+                  AS dim,
+              CAST(count(*) AS BIGINT) AS c
+       FROM cg GROUP BY 1, 2),
+qn AS (SELECT surface, CAST(sum(c * c) AS BIGINT) AS qn2
+       FROM qv GROUP BY 1),
+cn AS (SELECT canon, CAST(sum(c * c) AS BIGINT) AS cn2
+       FROM cv GROUP BY 1),
+pairs AS (SELECT q.surface, v.canon,
+                 CAST(sum(q.c * v.c) AS BIGINT) AS dot
+          FROM qv q JOIN cv v USING (dim) GROUP BY 1, 2),
+best AS (SELECT surface, canon, dot, cn2,
+                row_number() OVER (PARTITION BY surface
+                    ORDER BY CAST(dot * dot AS DOUBLE)
+                             / CAST(cn2 AS DOUBLE) DESC,
+                             canon ASC) AS rn
+         FROM pairs JOIN cn USING (canon))
+SELECT s.surface,
+       COALESCE(b.canon, '') AS canonical,
+       COALESCE(b.dot, 0) AS dot,
+       COALESCE(q.qn2, 0) AS q_norm_sq,
+       COALESCE(b.cn2, 0) AS c_norm_sq,
+       COALESCE(400 * b.dot * b.dot >= 49 * q.qn2 * b.cn2, FALSE)
+           AS linked
+FROM surf s
+LEFT JOIN qn q USING (surface)
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (surface)
+ORDER BY s.surface
+""".replace(
+    "@ACTED@",
+    r"^(" + _PERSON_RE + r") starred in (.+?) \((\d{4})\) as ([A-Za-z]+)\.$",
+).replace(
+    "@DIRECTED@",
+    r"^(.+?) \((\d{4})\) was directed by (" + _PERSON_RE + r")\.$",
+).replace(
+    "@AGED@", r"^(" + _PERSON_RE + r") is (\d+) years old\.$",
 )
 
 _ANN_TOPK_SQL = """
@@ -1758,6 +1825,14 @@ def oracle_sql() -> dict[str, str]:
             FROM px GROUP BY item_id, frame_idx
             ORDER BY item_id, frame_idx
         """,
+        # ANN entity linking: hashed char-3-gram count embeddings
+        # (md5(gram) % 64 — the same md5 trick as simhash), exact
+        # integer dot/norms, argmax over dot²/|c|² (correctly-rounded
+        # float64 ratio of small exact ints => exact ordering), ties by
+        # canonical ASC, acceptance cos >= 7/20 cross-multiplied in
+        # integers.  Surfaces re-derived from the pages artifact with
+        # the kg_mentions regexes; catalog from the canon artifact.
+        "entity_link_ann": _ENTITY_LINK_ANN_SQL,
         # full curation chain: decontaminate -> lang gate -> repetition
         # gates -> token band -> exact dedup (keep smallest id)
         # the streaming sessionizer is output-identical to the batch

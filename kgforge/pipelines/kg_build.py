@@ -91,6 +91,13 @@ class KGBuildConfig:
     broadcast_limit: int = 2_000_000
     n_shards: int = 16                    # resume granularity
     keep_lang: list[str] | None = None    # optional language filter
+    # opt-in embedding-ANN entity-linking fallback (the north-star
+    # "alias dictionary + embedding ANN" candidate generation): surfaces
+    # the alias dictionary misses are linked to this canonical catalog
+    # ({label: {attr: [canonical, ...]}}) by hashed char-3-gram cosine
+    # (stages/linker.py); catalog broadcast once per worker process
+    ann_link_catalog: dict | None = None
+    ann_link_threshold: tuple = (7, 20)   # cosine >= tn/td, exact ints
 
 
 @dataclass
@@ -181,10 +188,14 @@ def _add_shard(batch: pa.Table, n_shards: int,
 def _normalized(mentions: Dataset, cfg: KGBuildConfig) -> Dataset:
     from ..stages.canonicalize import normalize_mentions_task
     alias_ref = [ray.put(cfg.alias_map)] if cfg.alias_map else None
+    ann_ref = ([ray.put(cfg.ann_link_catalog)]
+               if cfg.ann_link_catalog else None)
     return mentions.map_batches(
         normalize_mentions_task,
         fn_kwargs={"ontology_json": cfg.ontology_json,
-                   "alias_ref": alias_ref},
+                   "alias_ref": alias_ref,
+                   "ann_ref": ann_ref,
+                   "ann_threshold": tuple(cfg.ann_link_threshold)},
         batch_format="pyarrow",
         batch_size=cfg.normalize_batch_size)
 
@@ -225,10 +236,14 @@ def _fused_normalized(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
         # pool (per-process module cache holds the folder); elastic, no
         # actor spawn cost
         alias_ref = [ray.put(cfg.alias_map)] if cfg.alias_map else None
+        ann_ref = ([ray.put(cfg.ann_link_catalog)]
+                   if cfg.ann_link_catalog else None)
         return prepared.map_batches(
             fused_extract_normalize_task,
             fn_kwargs={"ontology_json": cfg.ontology_json,
                        "alias_ref": alias_ref,
+                       "ann_ref": ann_ref,
+                       "ann_threshold": tuple(cfg.ann_link_threshold),
                        "max_input_chars": cfg.max_input_chars},
             batch_format="pyarrow",
             batch_size=batch_size)
@@ -245,7 +260,10 @@ def _fused_normalized(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
         fn_constructor_kwargs={"ontology_json": cfg.ontology_json,
                                "alias_map": alias_arg,
                                "model_factory": cfg.model_factory,
-                               "max_input_chars": cfg.max_input_chars},
+                               "max_input_chars": cfg.max_input_chars,
+                               "ann_catalog": cfg.ann_link_catalog,
+                               "ann_threshold":
+                                   tuple(cfg.ann_link_threshold)},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=conc)

@@ -204,3 +204,18 @@ def export_gate_pages(pages: Dataset, out_dir: str = GATE_DIR) -> str:
 
     pages.map_batches(prep, batch_format="pyarrow").write_parquet(d)
     return d
+
+
+def export_gate_canon(names: list[str], out_dir: str = GATE_DIR) -> str:
+    """Write the entity-linking candidate CATALOG (one ``canon`` string
+    column) — input-level data for the ``entity_link_ann`` oracle, which
+    independently re-derives every hashed-3-gram embedding, the
+    argmax-cosine choice and the acceptance threshold in SQL."""
+    import pyarrow.parquet as pq
+    d = os.path.join(out_dir, "canon")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({"canon": pa.array(sorted(set(names)),
+                                               pa.string())}),
+                   os.path.join(d, "canon.parquet"))
+    return d

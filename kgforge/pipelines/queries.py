@@ -156,6 +156,49 @@ def kg_mentions(sf_dir: str):
     return extract_mentions(pages, cfg)
 
 
+def entity_link_ann(sf_dir: str):
+    """Embedding-ANN entity-linking candidate generation (the north-star
+    "alias dictionary + embedding ANN" second half; reference links only
+    by exact unique attrs, ``extract_data_step.py:201-226``): distinct
+    pre-alias Person surface forms from the real extraction path are
+    linked to the canonical-people catalog by hashed char-3-gram cosine.
+    Everything is exact small integers, so the SQL oracle re-derives
+    every embedding, the argmax and the threshold bit-exactly."""
+    from ..stages.linker import AnnLinker, distinct_strings
+    from ..testing.corpus import build_pools
+    from .kg_build import KGBuildConfig, extract_mentions
+    from .oracle_export import export_gate_canon
+    _ensure_gate_pages(sf_dir)  # oracle re-derives surfaces from pages
+    corpus_dir, pages_path = pages_for_sf(sf_dir)
+    m = re.search(r"_n(\d+)_s(\d+)$", corpus_dir)
+    people = build_pools(int(m.group(1)), seed=int(m.group(2)))["people"]
+    export_gate_canon(people)
+
+    with open(f"{corpus_dir}/ontology.json") as fh:
+        ontology_json = fh.read()
+    pages = ray.data.read_parquet(pages_path)
+    mentions = extract_mentions(pages, KGBuildConfig(
+        ontology_json=ontology_json))
+
+    def person_surfaces(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(batch.column("kind"), "entity"),
+                       pc.equal(batch.column("label"), "Person"))
+        sub = batch.filter(mask)
+        names = [json.loads(a).get("name") for a in
+                 sub.column("attrs").to_pylist()]
+        return pa.table({"surface": pa.array(
+            [s for s in names if s is not None], pa.string())})
+
+    surf = distinct_strings(
+        mentions.map_batches(person_surfaces, batch_format="pyarrow"),
+        "surface")
+    cref = [ray.put(people)]
+    out = surf.map_batches(
+        AnnLinker, batch_format="pyarrow", batch_size=8192,
+        concurrency=(1, 2), fn_constructor_kwargs={"catalog": cref})
+    return out.sort("surface")
+
+
 def html_text_pages(sf_dir: str):
     """The byte-identical invariant stage over the html column: re-extract
     text and compare with the shipped text column per url.  SQL-oracled:

@@ -78,6 +78,51 @@ def _resolve_aliases(label: str, attrs: dict, alias_map: dict | None) -> dict:
     return out
 
 
+class _AnnFallback:
+    """Opt-in second half of entity-linking candidate generation (the
+    north-star "alias dictionary + embedding ANN"): surface forms the
+    alias DICTIONARY misses are linked to the canonical catalog by
+    hashed char-3-gram cosine (stages/linker.py).  Per-(label, attr)
+    catalogs; results memoized per surface (Zipf corpora repeat
+    surfaces constantly)."""
+
+    def __init__(self, catalog: dict, threshold: tuple[int, int]):
+        from .linker import AnnLinker
+        self._per_label: dict[str, dict] = {}
+        for label, per_attr in catalog.items():
+            self._per_label[label] = {
+                attr: AnnLinker(names, threshold=threshold)
+                for attr, names in per_attr.items()}
+        self._canon = {(lbl, attr): set(lk.canon)
+                       for lbl, per in self._per_label.items()
+                       for attr, lk in per.items()}
+        self._memo: dict = {}
+
+    def resolve(self, label: str, attrs: dict) -> dict:
+        per_attr = self._per_label.get(label)
+        if not per_attr:
+            return attrs
+        out = None
+        for attr, linker in per_attr.items():
+            v = attrs.get(attr)
+            if not isinstance(v, str) or \
+                    v in self._canon[(label, attr)]:
+                continue  # already canonical (or non-string): keep
+            mk = (label, attr, v)
+            if mk in self._memo:
+                hit = self._memo[mk]
+            else:
+                if len(self._memo) > 200_000:
+                    self._memo.clear()
+                hit = linker.link_one(v)
+                self._memo[mk] = hit
+            if hit is not None:
+                if out is None:
+                    out = dict(attrs)
+                out[attr] = hit
+        return out if out is not None else attrs
+
+
 def _state(order: tuple, attrs: dict) -> dict:
     return {k: [list(order), v] for k, v in attrs.items()}
 
@@ -110,11 +155,17 @@ class _MentionFolder:
     constantly and rendering + alias resolution is pure per payload.
     """
 
-    def __init__(self, ontology_json: str, alias_map: Any = None):
+    def __init__(self, ontology_json: str, alias_map: Any = None,
+                 ann_catalog: Any = None,
+                 ann_threshold: tuple[int, int] = (7, 20)):
         self.ontology = Ontology.from_json(ontology_json)
         if isinstance(alias_map, list):  # [ObjectRef] wrapper
             alias_map = ray.get(alias_map[0])
         self.alias_map = alias_map
+        if isinstance(ann_catalog, list):  # [ObjectRef] wrapper
+            ann_catalog = ray.get(ann_catalog[0])
+        self._ann = (_AnnFallback(ann_catalog, ann_threshold)
+                     if ann_catalog else None)
         self._entities = {e.label: e for e in self.ontology.entities}
         self._relation_labels = {r.label for r in self.ontology.relations}
         self._ent_cache: dict = {}
@@ -138,6 +189,8 @@ class _MentionFolder:
             if isinstance(attrs, str):  # lazy parse (miss path only)
                 attrs = json.loads(attrs)
             attrs = _resolve_aliases(label, attrs, self.alias_map)
+            if self._ann is not None:
+                attrs = self._ann.resolve(label, attrs)
             uniq = unique_attr_dict(entity, attrs)
             key = label + KEY_SEP + render_properties(uniq)
             nonuniq = non_unique_attr_dict(entity, attrs)
@@ -197,6 +250,8 @@ class _MentionFolder:
             if isinstance(attrs, str):  # lazy parse (miss path only)
                 attrs = json.loads(attrs)
             attrs = _resolve_aliases(label, attrs, self.alias_map)
+            if self._ann is not None:
+                attrs = self._ann.resolve(label, attrs)
             key = node_key(label, entity, attrs)
         if cache_key is not None:
             if len(self._ep_cache) > 200_000:
@@ -228,8 +283,11 @@ class NormalizeMentions:
     raw mention rows → normalized identity rows, pre-aggregated per key
     within the batch (the combiner)."""
 
-    def __init__(self, ontology_json: str, alias_map: Any = None):
-        self._folder = _MentionFolder(ontology_json, alias_map)
+    def __init__(self, ontology_json: str, alias_map: Any = None,
+                 ann_catalog: Any = None,
+                 ann_threshold: tuple[int, int] = (7, 20)):
+        self._folder = _MentionFolder(ontology_json, alias_map,
+                                      ann_catalog, ann_threshold)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         f = self._folder
@@ -276,8 +334,11 @@ class FusedExtractNormalize:
     """
 
     def __init__(self, ontology_json: str, alias_map: Any = None,
-                 model_factory=None, max_input_chars: int = 500_000):
-        self._folder = _MentionFolder(ontology_json, alias_map)
+                 model_factory=None, max_input_chars: int = 500_000,
+                 ann_catalog: Any = None,
+                 ann_threshold: tuple[int, int] = (7, 20)):
+        self._folder = _MentionFolder(ontology_json, alias_map,
+                                      ann_catalog, ann_threshold)
         self.model = (model_factory() if model_factory
                       else RuleBasedExtractor())
         self.max_input_chars = max_input_chars
@@ -361,29 +422,37 @@ _NORMALIZE_STATE: dict = {}
 
 
 def normalize_mentions_task(batch: pa.Table, *, ontology_json: str,
-                            alias_ref=None) -> pa.Table:
-    key = (hash(ontology_json), alias_ref[0].hex() if alias_ref else None)
+                            alias_ref=None, ann_ref=None,
+                            ann_threshold=(7, 20)) -> pa.Table:
+    key = (hash(ontology_json), alias_ref[0].hex() if alias_ref else None,
+           ann_ref[0].hex() if ann_ref else None, tuple(ann_threshold))
     stage = _NORMALIZE_STATE.get(key)
     if stage is None:
         if len(_NORMALIZE_STATE) > 4:
             _NORMALIZE_STATE.clear()
-        stage = NormalizeMentions(ontology_json, alias_ref)
+        stage = NormalizeMentions(ontology_json, alias_ref,
+                                  ann_catalog=ann_ref,
+                                  ann_threshold=tuple(ann_threshold))
         _NORMALIZE_STATE[key] = stage
     return stage(batch)
 
 
 def fused_extract_normalize_task(batch: pa.Table, *, ontology_json: str,
-                                 alias_ref=None,
+                                 alias_ref=None, ann_ref=None,
+                                 ann_threshold=(7, 20),
                                  max_input_chars: int = 500_000) -> pa.Table:
     # hash() is salted per process but stable within one — exactly the
     # lifetime of this per-process cache
-    key = (hash(ontology_json), alias_ref[0].hex() if alias_ref else None)
+    key = (hash(ontology_json), alias_ref[0].hex() if alias_ref else None,
+           ann_ref[0].hex() if ann_ref else None, tuple(ann_threshold))
     stage = _FUSED_STATE.get(key)
     if stage is None:
         if len(_FUSED_STATE) > 4:
             _FUSED_STATE.clear()
         stage = FusedExtractNormalize(ontology_json, alias_ref,
-                                      max_input_chars=max_input_chars)
+                                      max_input_chars=max_input_chars,
+                                      ann_catalog=ann_ref,
+                                      ann_threshold=tuple(ann_threshold))
         _FUSED_STATE[key] = stage
     return stage(batch)
 
