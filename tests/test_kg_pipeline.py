@@ -190,3 +190,46 @@ def test_resume_shard_count_mismatch_rejected(tmp_path):
                         alias_map=corpus.alias_map, n_shards=8, n_buckets=2)
     with pytest.raises(ValueError, match="n_shards"):
         build_kg(pages, cfg2, output_dir=out, resume=True)
+
+
+def test_head_key_skew_bounded_by_combiner():
+    """Salted-key-free skew defense (SCALING.md "the combiner is the
+    skew defense"): a pathological corpus where EVERY page mentions the
+    same head entity must (a) produce one correct node with the full
+    mention count, and (b) ship at most one partial row per input block
+    through the canonicalize exchange — shuffle volume for a hot key is
+    O(blocks), never O(mentions)."""
+    import pyarrow as pa
+
+    from kgforge.pipelines.kg_build import _fused_normalized
+
+    n_pages, n_blocks = 600, 8
+    rows = {
+        "url": [f"https://skew.test/p{i:04d}" for i in range(n_pages)],
+        "warc_ts": pa.array([1_700_000_000_000_000 + i * 1000
+                             for i in range(n_pages)],
+                            pa.timestamp("us")),
+        "text": [f"Tom Hanks starred in Big ({1988}) as Hero.\n"
+                 f"Tom Hanks is {30 + i % 3} years old."
+                 for i in range(n_pages)],
+    }
+    pages = ray.data.from_arrow(pa.table(rows)).repartition(n_blocks)
+    cfg = KGBuildConfig(ontology_json=json.dumps(ONTOLOGY_JSON),
+                        fused_batch_size=n_pages // n_blocks, n_buckets=4)
+
+    normalized = _fused_normalized(pages, cfg).materialize()
+    hot = normalized.filter(
+        lambda r: r["kind"] == "entity" and r["label"] == "Person")
+    partials = hot.take_all()
+    assert all(p["node_key"].startswith("Person") for p in partials)
+    # combiner bound: <= one partial per block for the single hot key
+    assert 1 <= len(partials) <= n_blocks, len(partials)
+    assert sum(p["n_mentions"] for p in partials) == 2 * n_pages
+
+    res = build_kg(pages, cfg)
+    nodes = res.nodes.to_pandas()
+    person = nodes[nodes.label == "Person"]
+    assert len(person) == 1
+    assert person.iloc[0]["n_mentions"] == 2 * n_pages
+    # LWW: the age from the max (warc_ts, url_hash, seq) order wins
+    assert person.iloc[0]["age"] == 30 + (n_pages - 1) % 3
