@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frame_sample": Q.multimodal_frame_sample,
         # new-this-round ANN entity-linking candidates (window r5)
         "entity_link_ann": Q.entity_link_ann,
+        # new-this-round URL canonicalization (window r5)
+        "url_canonical_pages": Q.url_canonical_pages,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -511,6 +513,67 @@ ORDER BY s.surface
 ).replace(
     "@AGED@", r"^(" + _PERSON_RE + r") is (\d+) years old\.$",
 )
+
+def _url_canonical_sql() -> str:
+    from kgforge.functions.web import TRACKING_PARAM_RE, URL_PARTS_RE
+    return r"""
+WITH pages AS (
+  SELECT url FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')),
+v AS (
+  SELECT url,
+         CAST(('0x' || substr(md5(url), 1, 2))::UBIGINT % 6 AS BIGINT)
+             AS kind
+  FROM pages),
+var AS (
+  SELECT url, kind,
+         CASE kind
+           WHEN 0 THEN url || '?utm_source=news&b=2&a=1#top'
+           WHEN 1 THEN replace(url, 'https://', 'https://www.')
+           WHEN 2 THEN replace(url, 'https://fixture.test',
+                               'https://FIXTURE.TEST:443')
+           WHEN 3 THEN url || '/'
+           WHEN 4 THEN url || '?z=1&a=2&utm_campaign=c&gclid=g'
+           ELSE url || '#section-2'
+         END AS variant
+  FROM v),
+parts AS (
+  SELECT url, kind, variant,
+         regexp_matches(variant, '@RE@') AS ok,
+         lower(regexp_extract(variant, '@RE@', 1)) AS scheme,
+         lower(regexp_extract(variant, '@RE@', 2)) AS auth,
+         regexp_extract(variant, '@RE@', 3) AS path,
+         regexp_extract(variant, '@RE@', 4) AS query
+  FROM var),
+hostn AS (
+  SELECT *,
+         CASE WHEN scheme = 'http' THEN
+                  regexp_replace(regexp_replace(auth, '^www\.', ''),
+                                 ':80$', '')
+              WHEN scheme = 'https' THEN
+                  regexp_replace(regexp_replace(auth, '^www\.', ''),
+                                 ':443$', '')
+              ELSE regexp_replace(auth, '^www\.', '') END AS host,
+         regexp_replace(path, '/+$', '') AS pathn
+  FROM parts),
+qnorm AS (
+  SELECT variant, string_agg(p, '&' ORDER BY p) AS q
+  FROM (SELECT variant, unnest(string_split(query, '&')) AS p
+        FROM hostn) t
+  WHERE p <> '' AND NOT regexp_matches(p, '@TRK@')
+  GROUP BY variant)
+SELECT h.url, h.variant, h.kind,
+       CASE WHEN NOT h.ok THEN h.variant
+            ELSE h.scheme || '://' || h.host || h.pathn ||
+                 CASE WHEN COALESCE(q.q, '') <> ''
+                      THEN '?' || q.q ELSE '' END
+       END AS canonical,
+       h.ok AS matched
+FROM hostn h LEFT JOIN qnorm q USING (variant)
+ORDER BY h.url
+""".replace("@RE@", URL_PARTS_RE).replace("@TRK@", TRACKING_PARAM_RE)
+
+
+_URL_CANONICAL_SQL = _url_canonical_sql()
 
 _ANN_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS query_id,
@@ -1833,6 +1896,9 @@ def oracle_sql() -> dict[str, str]:
         # integers.  Surfaces re-derived from the pages artifact with
         # the kg_mentions regexes; catalog from the canon artifact.
         "entity_link_ann": _ENTITY_LINK_ANN_SQL,
+        # URL canonicalization: variant chosen by md5(url) % 6, every
+        # normalization rule mirrored with the engine's own RE2 pattern
+        "url_canonical_pages": _URL_CANONICAL_SQL,
         # full curation chain: decontaminate -> lang gate -> repetition
         # gates -> token band -> exact dedup (keep smallest id)
         # the streaming sessionizer is output-identical to the batch

@@ -37,3 +37,74 @@ def url_host_section(col) -> tuple[pa.Array, pa.Array, pa.Array]:
     # regexp_extract yields '' there, so normalize null-to-empty
     section = pc.fill_null(section, "")
     return host, section, matched
+
+
+# URL canonicalization (crawl dedup's first line of defense): one RE2
+# pattern shared VERBATIM with the DuckDB oracle (groups 1-4 = scheme,
+# authority, path, query; fragment discarded by the trailing wildcard).
+URL_PARTS_RE = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)"
+                r"([^?#]*)(?:\?([^#]*))?(?:#.*)?$")
+_ARROW_PARTS_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+                   r"(?P<auth>[^/?#]+)(?P<path>[^?#]*)"
+                   r"(?:\?(?P<query>[^#]*))?(?:#.*)?$")
+# tracking params dropped from the query string (name-anchored)
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=.*)?$"
+_TRACKING_RE_C = None
+
+
+def _normalize_query(q: str | None) -> str:
+    """Query-string half of canonicalization (the only per-row Python —
+    callers invoke it ONLY for rows that carry a query string, rare in
+    crawl corpora): drop empties and tracking params, sort the rest
+    bytewise (UTF-8 code-point order == DuckDB binary collation), join
+    with '&'."""
+    global _TRACKING_RE_C
+    if not q:
+        return ""
+    if _TRACKING_RE_C is None:
+        import re
+        _TRACKING_RE_C = re.compile(TRACKING_PARAM_RE)
+    parts = [p for p in q.split("&")
+             if p and not _TRACKING_RE_C.match(p)]
+    return "&".join(sorted(parts))
+
+
+def canonicalize_url(col) -> tuple[pa.Array, pa.Array]:
+    """Vectorized URL canonicalization → ``(canonical, matched)``.
+
+    Rules (each mirrored in the SQL oracle, see ``url_canonical_pages``):
+    scheme and host lowercased; leading ``www.`` stripped; default port
+    stripped (``:80`` for http, ``:443`` for https); trailing path
+    slashes stripped; fragment dropped; query params de-tracked
+    (``utm_*``/``gclid``/``fbclid``), sorted bytewise and rejoined.
+    Non-matching / null urls pass through unchanged with matched=False.
+    All component work is Arrow kernels; only rows that actually carry
+    a query string take the per-row Python branch."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.cast(col, pa.string())
+    ext = pc.extract_regex(col, _ARROW_PARTS_RE)
+    matched = ext.is_valid()
+    empty = pa.nulls(len(col), pa.string())
+    scheme = pc.utf8_lower(pc.struct_field(ext, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(ext, "auth"))
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    host = pc.if_else(pc.equal(scheme, "http"),
+                      pc.replace_substring_regex(host, r":80$", ""), host)
+    host = pc.if_else(pc.equal(scheme, "https"),
+                      pc.replace_substring_regex(host, r":443$", ""), host)
+    path = pc.replace_substring_regex(
+        pc.fill_null(pc.struct_field(ext, "path"), ""), r"/+$", "")
+    query = pc.struct_field(ext, "query")
+    # per-row python ONLY where a query string exists
+    if pc.any(pc.is_valid(query)).as_py():
+        qnorm = pa.array([_normalize_query(q) for q in query.to_pylist()],
+                         pa.string())
+    else:
+        qnorm = pa.array([""] * len(col), pa.string())
+    qpart = pc.if_else(pc.equal(qnorm, ""), "",
+                       pc.binary_join_element_wise("?", qnorm, ""))
+    canon = pc.binary_join_element_wise(
+        scheme, "://", host, path, qpart, "")
+    return pc.if_else(matched, canon, pc.if_else(
+        col.is_valid(), col, empty)), matched

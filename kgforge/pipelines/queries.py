@@ -1538,6 +1538,51 @@ def domain_cap_pages(sf_dir: str):
     return capped.select_columns(["url", "host", "section"])
 
 
+def url_canonical_pages(sf_dir: str):
+    """URL canonicalization (crawl dedup's first line of defense):
+    deterministic noisy variants of every page url (tracking params,
+    WWW/case, default port, trailing slash, fragments — variant chosen
+    by md5(url) so the oracle re-derives it) are normalized back by the
+    vectorized canonicalizer; the oracle mirrors every rule in SQL with
+    the SAME RE2 pattern."""
+    import hashlib as _h
+
+    from ..functions.web import canonicalize_url
+    _ensure_gate_pages(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url"])
+
+    def mutate_and_canon(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        variants, kinds = [], []
+        for u in urls:
+            k = int(_h.md5(u.encode()).hexdigest()[:2], 16) % 6
+            if k == 0:
+                v = u + "?utm_source=news&b=2&a=1#top"
+            elif k == 1:
+                v = u.replace("https://", "https://www.")
+            elif k == 2:
+                v = u.replace("https://fixture.test",
+                              "https://FIXTURE.TEST:443")
+            elif k == 3:
+                v = u + "/"
+            elif k == 4:
+                v = u + "?z=1&a=2&utm_campaign=c&gclid=g"
+            else:
+                v = u + "#section-2"
+            variants.append(v)
+            kinds.append(k)
+        canon, ok = canonicalize_url(pa.array(variants, pa.string()))
+        return pa.table({"url": t.column("url"),
+                         "variant": pa.array(variants, pa.string()),
+                         "kind": pa.array(kinds, pa.int64()),
+                         "canonical": canon,
+                         "matched": ok})
+
+    return pages.map_batches(mutate_and_canon,
+                             batch_format="pyarrow").sort("url")
+
+
 def docs_shuffle_shards(sf_dir: str):
     """Deterministic global shuffle + shard assignment over documents
     (training-export primitive): md5 shuffle key, hex-prefix shard,

@@ -181,3 +181,32 @@ def test_kg_build_with_ann_fallback(tmp_path):
     # with ANN candidates every Person resolves into the catalog
     assert ann_names <= catalog
     assert len(ann_names) < len(plain_names)
+
+
+def test_canonicalize_url_rules():
+    """Every canonicalization rule, including pass-through of garbage."""
+    import pyarrow as pa
+
+    from kgforge.functions.web import canonicalize_url
+    cases = [
+        ("HTTP://WWW.Example.COM:80/a/b/", "http://example.com/a/b"),
+        ("https://example.com:443/x?utm_source=a&b=1&a=2#frag",
+         "https://example.com/x?a=2&b=1"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/?", "https://example.com"),
+        ("https://example.com/p?gclid=g&fbclid=f&utm_campaign=c",
+         "https://example.com/p"),
+        ("https://example.com/p?z=1&&a=1", "https://example.com/p?a=1&z=1"),
+        ("ftp://Host/Dir/", "ftp://host/Dir"),
+        ("not a url", "not a url"),
+        ("", ""),
+        (None, None),
+    ]
+    canon, ok = canonicalize_url(pa.array([c[0] for c in cases],
+                                          pa.string()))
+    got = canon.to_pylist()
+    for (src, want), g in zip(cases, got):
+        assert g == want, (src, g, want)
+    assert ok.to_pylist()[-3:] == [False, False, False]
