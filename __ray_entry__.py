@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_link_ann": Q.entity_link_ann,
         # new-this-round URL canonicalization (window r5)
         "url_canonical_pages": Q.url_canonical_pages,
+        # new-this-round PDF loader via the vendored extractor (r5)
+        "pdf_extract_docs": Q.pdf_extract_docs,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -1899,6 +1901,24 @@ def oracle_sql() -> dict[str, str]:
         # URL canonicalization: variant chosen by md5(url) % 6, every
         # normalization rule mirrored with the engine's own RE2 pattern
         "url_canonical_pages": _URL_CANONICAL_SQL,
+        # PDF loader: formulaic page text re-derived per (doc, page);
+        # page 2 rides a real Flate-compressed content stream
+        "pdf_extract_docs": """
+            WITH params AS (SELECT greatest(12, count(*) // 40) AS n
+                            FROM documents),
+            ids AS (SELECT unnest(range(0, p.n)) AS i FROM params p)
+            SELECT '/tmp/kgforge_gate_pdfs/doc-'
+                       || lpad(CAST(i AS VARCHAR), 5, '0') || '.pdf'
+                       AS doc_path,
+                   u.pg AS doc_index,
+                   CASE u.pg
+                     WHEN 0 THEN 'Doc ' || i || ' alpha' || chr(10)
+                                 || 'line two ' || (i * 7 % 13)
+                     ELSE 'Doc ' || i || ' beta (compressed)'
+                   END AS content
+            FROM ids, UNNEST([0, 1]) AS u(pg)
+            ORDER BY doc_path, doc_index
+        """,
         # full curation chain: decontaminate -> lang gate -> repetition
         # gates -> token band -> exact dedup (keep smallest id)
         # the streaming sessionizer is output-identical to the batch

@@ -1221,6 +1221,35 @@ def multimodal_frame_sample(sf_dir: str):
                           fn_constructor_kwargs={"every_n": 5})
 
 
+def pdf_extract_docs(sf_dir: str):
+    """PDF source loader through the vendored minimal extractor
+    (reference ``document_loaders/pdf.py:26-37`` shape: one row per
+    page): deterministic two-page PDFs (page 2 Flate-compressed) are
+    written to a scratch dir, read back via the real path-based loader,
+    and every extracted line is re-derived by the SQL oracle from the
+    formulaic text.  PDF synthesis is driver-side test scaffolding
+    (n≈dozens); the loader dataflow is the distributed part."""
+    import os
+    import shutil
+
+    from ..functions.pdf_text import make_simple_pdf
+    from ..sources.loaders import read_pdf_source
+    n = max(12, _read(sf_dir, "documents", columns=["doc_id"]).count() // 40)
+    d = "/tmp/kgforge_gate_pdfs"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    paths = []
+    for i in range(n):
+        page1 = [f"Doc {i} alpha", f"line two {i * 7 % 13}"]
+        page2 = [f"Doc {i} beta (compressed)"]
+        p = os.path.join(d, f"doc-{i:05d}.pdf")
+        with open(p, "wb") as fh:
+            fh.write(make_simple_pdf([page1, page2], compress={1}))
+        paths.append(p)
+    out = read_pdf_source(paths)
+    return out.sort(["doc_path", "doc_index"])
+
+
 def curate_training_docs(sf_dir: str):
     """FULL training-corpus curation chain — the pipeline a pretraining
     corpus runs end-to-end: benchmark decontamination (broadcast 5-gram

@@ -130,28 +130,31 @@ def read_pdf_source(paths: list[str] | str) -> Dataset:
     ``pypdf.PdfReader`` → per-page ``extract_text``, emitted as
     ``(doc_path, doc_index=page, content)`` rows.
 
-    The per-page ``map_batches`` shape is fully implemented; pypdf is
-    not installable in this container, so the import-try raises only
-    when actually invoked — the loader works the moment pypdf exists."""
+    pypdf is used when importable; otherwise the vendored minimal
+    extractor (``functions/pdf_text.py`` — Flate/raw streams, simple
+    fonts, page-tree order) keeps the loader functional in this
+    container.  Encrypted or composite-font PDFs raise there with an
+    install-pypdf message."""
     try:
         from pypdf import PdfReader
-    except ImportError as e:
-        raise NotImplementedError(
-            "PDF extraction requires pypdf, which is unavailable in this "
-            "environment; the per-page dataflow below runs unchanged "
-            "once it is installed") from e
+    except ImportError:
+        PdfReader = None
     ds = ray.data.read_binary_files(paths, include_paths=True)
 
     # PdfReader is captured at the DRIVER and shipped in the closure —
     # workers don't need their own import (and a stub injected into
     # sys.modules exercises the per-page body in tests)
     def to_docs(batch: pa.Table) -> pa.Table:
+        from ..functions.pdf_text import pdf_page_texts
         out = []
         for p, b in zip(batch.column("path").to_pylist(),
                         batch.column("bytes").to_pylist()):
-            reader = PdfReader(io.BytesIO(b))
-            out.append(_docs_table(
-                p, [page.extract_text() for page in reader.pages]))
+            if PdfReader is not None:
+                reader = PdfReader(io.BytesIO(b))
+                texts = [page.extract_text() for page in reader.pages]
+            else:
+                texts = pdf_page_texts(b)
+            out.append(_docs_table(p, texts))
         return pa.concat_tables(out) if out else _docs_table("", [])
 
     return ds.map_batches(to_docs, batch_format="pyarrow")

@@ -72,7 +72,9 @@ def test_dispatch(files):
     url_ds = read_source("http://example.com")
     with pytest.raises(Exception):
         url_ds.count()
-    with pytest.raises(NotImplementedError):
+    # pdf dispatches to the loader (vendored extractor backs it when
+    # pypdf is absent); the missing file fails at path resolution
+    with pytest.raises(FileNotFoundError):
         read_source("file.pdf")
 
 
@@ -259,3 +261,73 @@ def test_url_loader_body_with_stub_requests(monkeypatch):
     content = out["content"].iloc[0]
     assert "Hello" in content and "World" in content
     assert "\n\n" not in content            # 2+ newlines collapsed
+
+
+def _mini_pdf(pages_ops: list[bytes], compress: set[int] = frozenset(),
+              with_catalog: bool = True) -> bytes:
+    """Hand-assembled minimal PDF: catalog -> pages tree -> one content
+    stream per page.  No xref table — the vendored extractor scans
+    objects directly (pypdf would need the xref; it's absent here)."""
+    import zlib
+    objs = []
+    kids = " ".join(f"{3 + i} 0 R" for i in range(len(pages_ops)))
+    if with_catalog:
+        objs.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj")
+    objs.append(f"2 0 obj << /Type /Pages /Kids [{kids}] "
+                f"/Count {len(pages_ops)} >> endobj".encode())
+    n_pages = len(pages_ops)
+    for i in range(n_pages):
+        objs.append(f"{3 + i} 0 obj << /Type /Page /Parent 2 0 R "
+                    f"/Contents {3 + n_pages + i} 0 R >> endobj".encode())
+    for i, ops in enumerate(pages_ops):
+        body = ops
+        filt = b""
+        if i in compress:
+            body = zlib.compress(ops)
+            filt = b" /Filter /FlateDecode"
+        objs.append(b"%d 0 obj << /Length %d%s >> stream\n%s\nendstream "
+                    b"endobj" % (3 + n_pages + i, len(body), filt, body))
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\n%%EOF\n"
+
+
+def test_vendored_pdf_extractor(tmp_path):
+    """pypdf absent: the vendored minimal extractor handles raw and
+    Flate streams, Tj/TJ/'/Td ops, escapes, hex strings and page-tree
+    order through the full read_pdf_source dataflow."""
+    import sys
+
+    import kgforge.functions.pdf_text as pdf_text
+    from kgforge.sources.loaders import read_pdf_source
+    assert "pypdf" not in sys.modules  # the container really lacks it
+
+    p1 = (b"BT /F1 12 Tf 72 720 Td (Hello) Tj ( World) Tj "
+          b"0 -14 Td (Line two \\(nested\\) \\101\\102) Tj ET")
+    p2 = (b"BT [ (Kerned) -120 ( pairs) ] TJ T* (apostrophe line) ' "
+          b"<48692100> Tj ET")
+    raw = _mini_pdf([p1, p2], compress={1})
+    f = tmp_path / "mini.pdf"
+    f.write_bytes(raw)
+
+    out = (read_pdf_source(str(f)).to_pandas()
+           .sort_values("doc_index").reset_index(drop=True))
+    assert out["content"].tolist() == [
+        "Hello World\nLine two (nested) AB",
+        # ' breaks the line and shows its operand; the following Tj has
+        # no line-break op before it, so it continues the same line
+        "Kerned pairs\napostrophe lineHi!\x00",
+    ]
+
+    # direct helper: page order follows /Kids, not file order
+    rev = _mini_pdf([b"BT (A) Tj ET", b"BT (B) Tj ET"])
+    rev = rev.replace(b"/Kids [3 0 R 4 0 R]", b"/Kids [4 0 R 3 0 R]")
+    assert pdf_text.pdf_page_texts(rev) == ["B", "A"]
+
+    # malformed tree (no catalog): file-order fallback still extracts
+    nocat = _mini_pdf([b"BT (solo) Tj ET"], with_catalog=False)
+    nocat = nocat.replace(b"/Type /Pages", b"/Type /Broken")
+    assert pdf_text.pdf_page_texts(nocat) == ["solo"]
+
+    # encrypted PDFs are outside the subset and say so
+    enc = raw.replace(b"/Type /Catalog", b"/Type /Catalog /Encrypt 9 0 R")
+    with pytest.raises(NotImplementedError, match="pypdf"):
+        pdf_text.pdf_page_texts(enc)
