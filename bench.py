@@ -53,7 +53,11 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              # moments, windows, star join)
              "bloom_probe_customers", "events_zscore_by_type",
              "events_user_running_total", "cms_user_counts",
-             "lineitem_corr", "tpch_q5_revenue"]
+             "lineitem_corr", "tpch_q5_revenue",
+             # round-4 representatives (ANN entity linking over the
+             # extracted mention stream, URL canonicalization over the
+             # pages corpus)
+             "entity_link_ann", "url_canonical_pages"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,

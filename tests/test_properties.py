@@ -237,3 +237,26 @@ def test_cms_estimate_never_undercounts(keys):
         est = min(mat[j, p] for j, p in
                   enumerate(_bloom_positions(k, width, depth)))
         assert est >= n
+
+
+# latin-1-encodable printable-ish text incl. the chars that need PDF
+# string escaping, minus \r (the extractor normalizes per-line text,
+# and PDF writers never emit bare \r inside a literal in our subset)
+_pdf_line = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF,
+                           exclude_characters="\r"),
+    min_size=0, max_size=40)
+
+
+@given(st.lists(st.lists(_pdf_line, min_size=1, max_size=5),
+                min_size=1, max_size=4),
+       st.sets(st.integers(min_value=0, max_value=3)))
+@settings(max_examples=60, deadline=None)
+def test_pdf_roundtrip_property(pages, compress):
+    """make_simple_pdf → pdf_page_texts round-trips arbitrary latin-1
+    lines (parens, backslashes, high bytes) through raw AND
+    Flate-compressed content streams."""
+    from kgforge.functions.pdf_text import make_simple_pdf, pdf_page_texts
+    data = make_simple_pdf(pages, compress={c for c in compress
+                                            if c < len(pages)})
+    assert pdf_page_texts(data) == ["\n".join(lines) for lines in pages]
