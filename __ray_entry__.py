@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_pages": Q.url_canonical_pages,
         # new-this-round PDF loader via the vendored extractor (r5)
         "pdf_extract_docs": Q.pdf_extract_docs,
+        # new-this-round DSIR importance weights (window r5)
+        "dsir_weights_docs": Q.dsir_weights_docs,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -1901,6 +1903,47 @@ def oracle_sql() -> dict[str, str]:
         # URL canonicalization: variant chosen by md5(url) % 6, every
         # normalization rule mirrored with the engine's own RE2 pattern
         "url_canonical_pages": _URL_CANONICAL_SQL,
+        # DSIR importance weights: per-bucket llr quantized to integer
+        # nano-units (floor(x*1e9+0.5), ln ops mirrored verbatim), doc
+        # scores are order-free integer sums => hash-exact
+        "dsir_weights_docs": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(string_split_regex(text,
+                            '[ \t\n\f\r]+')) AS t
+              FROM documents),
+            tok2 AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % 256
+                          AS BIGINT) AS dim
+              FROM toks WHERE t <> ''),
+            cnt AS (
+              SELECT dim, count(*) AS c_all,
+                     count(*) FILTER (WHERE lang = 'en') AS c_tgt
+              FROM tok2 GROUP BY dim),
+            tot AS (SELECT sum(c_all) AS b_tot, sum(c_tgt) AS t_tot
+                    FROM cnt),
+            llr AS (
+              SELECT dim,
+                     CAST(floor((ln(CAST(c_tgt + 1 AS DOUBLE))
+                                 - ln(CAST(c_all + 1 AS DOUBLE))
+                                 + ln(CAST(tot.b_tot + 256 AS DOUBLE))
+                                 - ln(CAST(tot.t_tot + 256 AS DOUBLE)))
+                                * 1e9 + 0.5) AS BIGINT) AS w
+              FROM cnt, tot),
+            docdim AS (SELECT doc_id, dim, count(*) AS c
+                       FROM tok2 GROUP BY 1, 2),
+            scores AS (
+              SELECT d.doc_id,
+                     CAST(sum(d.c * l.w) AS BIGINT) AS score_e9,
+                     CAST(sum(d.c) AS BIGINT) AS n_tokens
+              FROM docdim d JOIN llr l USING (dim) GROUP BY 1)
+            SELECT doc.doc_id, doc.lang,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.score_e9, 0) AS score_e9
+            FROM documents doc LEFT JOIN scores s USING (doc_id)
+            ORDER BY doc.doc_id
+        """,
         # PDF loader: formulaic page text re-derived per (doc, page);
         # page 2 rides a real Flate-compressed content stream
         "pdf_extract_docs": """

@@ -1221,6 +1221,17 @@ def multimodal_frame_sample(sf_dir: str):
                           fn_constructor_kwargs={"every_n": 5})
 
 
+def dsir_weights_docs(sf_dir: str):
+    """DSIR-style importance weights for mixture construction: target =
+    English docs, background = full corpus, md5-hashed 256-bucket
+    unigram LM with add-1 smoothing; per-bucket log-ratios quantized to
+    integer nano-units so document scores are ORDER-FREE INTEGER SUMS —
+    the oracle matches hash-exactly (no BM25-style rank gate needed)."""
+    from ..stages.retrieval import importance_weights
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return importance_weights(docs, "lang", "en").sort("doc_id")
+
+
 def pdf_extract_docs(sf_dir: str):
     """PDF source loader through the vendored minimal extractor
     (reference ``document_loaders/pdf.py:26-37`` shape: one row per

@@ -155,3 +155,97 @@ def bm25_topk(docs: Dataset, queries: dict[str, list[str]],
         np.int64) + 1
     top["rnk"] = top["rnk"].astype(np.int64)
     return top[["query_id", id_col, "score", "rnk"]]
+
+
+def importance_weights(docs: Dataset, target_col: str, target_value,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       dim: int = 256) -> Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    per-document log-likelihood ratio between a TARGET unigram
+    distribution (rows where ``target_col == target_value``) and the
+    full-corpus background, over an md5-hashed vocabulary of ``dim``
+    buckets with add-1 smoothing.
+
+    Exactness contract: the per-bucket log-ratio is quantized ONCE to
+    integer nano-units (``floor(x·1e9 + 0.5)``) on the driver; document
+    scores are then pure integer sums, so the DuckDB oracle matches
+    hash-exactly (the BM25 float-rank problem never arises — sums of
+    identical integers are order-free).  Scores are exact at 1e-9 per
+    bucket, plenty for selection/resampling.
+
+    Dataflow (the BM25 two-scan shape): pass 1 folds per-batch
+    ``bincount`` partials to a driver-side ``dim``-vector (O(blocks ×
+    dim) rows, text never shuffles); pass 2 re-tokenizes each batch and
+    emits one row per document.  Output: ``(id_col, target_col,
+    n_tokens, score_e9)``.
+    """
+    import hashlib
+
+    def _dims_for(tokens: np.ndarray) -> np.ndarray:
+        uniq, inv = np.unique(tokens, return_inverse=True)
+        ud = np.fromiter(
+            (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % dim
+             for u in uniq), dtype=np.int64, count=len(uniq))
+        return ud[inv]
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, parents, _dl = _token_lists(t.column(text_col))
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        if len(toks) == 0:
+            z = np.zeros(dim, dtype=np.int64)
+            c_all = c_tgt = z
+        else:
+            dims = _dims_for(toks)
+            c_all = np.bincount(dims, minlength=dim).astype(np.int64)
+            is_tgt = pc.equal(t.column(target_col),
+                              target_value).to_numpy(zero_copy_only=False)
+            tmask = is_tgt[parents]
+            c_tgt = np.bincount(dims[tmask], minlength=dim).astype(np.int64)
+        return pa.table({"dim": pa.array(np.arange(dim, dtype=np.int64)),
+                         "c_all": pa.array(c_all),
+                         "c_tgt": pa.array(c_tgt)})
+
+    partials = (docs.select_columns([target_col, text_col])
+                    .map_batches(count_partial, batch_format="pyarrow")
+                    .to_pandas())
+    agg = partials.groupby("dim")[["c_all", "c_tgt"]].sum()
+    c_all = np.zeros(dim, dtype=np.int64)
+    c_tgt = np.zeros(dim, dtype=np.int64)
+    c_all[agg.index.to_numpy()] = agg["c_all"].to_numpy()
+    c_tgt[agg.index.to_numpy()] = agg["c_tgt"].to_numpy()
+    total_b = int(c_all.sum())
+    total_t = int(c_tgt.sum())
+    # quantized per-bucket llr, op-for-op the SQL oracle's expression:
+    # ln(t+1) - ln(b+1) + ln(B+dim) - ln(T+dim), then floor(x*1e9 + .5)
+    llr = np.array(
+        [math.floor((math.log(float(c_tgt[w] + 1))
+                     - math.log(float(c_all[w] + 1))
+                     + math.log(float(total_b + dim))
+                     - math.log(float(total_t + dim))) * 1e9 + 0.5)
+         for w in range(dim)], dtype=np.int64)
+
+    import ray
+    llr_ref = ray.put(llr)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        w = ray.get(llr_ref)
+        flat, parents, dl = _token_lists(t.column(text_col))
+        n = t.num_rows
+        score = np.zeros(n, dtype=np.int64)
+        if len(parents):
+            toks = np.asarray(flat.to_numpy(zero_copy_only=False),
+                              dtype=object)
+            dims = _dims_for(toks)
+            # float64 bincount is exact here: |llr|<=~3e10, <=1e6
+            # tokens/doc => sums < 2^53
+            score = np.bincount(parents, weights=w[dims].astype(np.float64),
+                                minlength=n).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            target_col: t.column(target_col),
+            "n_tokens": pa.array(dl, pa.int64()),
+            "score_e9": pa.array(score, pa.int64())})
+
+    return (docs.select_columns([id_col, target_col, text_col])
+                .map_batches(score_partial, batch_format="pyarrow"))

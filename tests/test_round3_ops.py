@@ -803,3 +803,50 @@ def test_funnel_counts_hand_built():
                          ["view", "click", "purchase"])
            .to_pandas().sort_values("step"))
     assert list(out.n_users.astype(int)) == [3, 1, 1]
+
+
+def test_dsir_importance_weights_reference():
+    """importance_weights vs an independent plain-Python recompute of
+    the smoothed unigram llr, plus the semantic direction: target-like
+    docs must outscore background-only docs."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from kgforge.stages.retrieval import importance_weights
+
+    tgt_docs = ["alpha beta gamma"] * 6 + ["alpha beta"] * 2
+    bg_docs = ["zeta eta theta"] * 6 + ["theta iota"] * 2
+    texts = tgt_docs + bg_docs + [""]
+    langs = ["en"] * len(tgt_docs) + ["de"] * len(bg_docs) + ["en"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "lang": pa.array(langs, pa.string()),
+                  "text": pa.array(texts, pa.string())})
+    out = (importance_weights(ray.data.from_arrow(t), "lang", "en")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # independent recompute
+    dim = 256
+    h = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim
+    c_all, c_tgt = np.zeros(dim, np.int64), np.zeros(dim, np.int64)
+    for txt, lg in zip(texts, langs):
+        for w in txt.split():
+            c_all[h(w)] += 1
+            if lg == "en":
+                c_tgt[h(w)] += 1
+    B, T = int(c_all.sum()), int(c_tgt.sum())
+    llr = [math.floor((math.log(c_tgt[d] + 1.0) - math.log(c_all[d] + 1.0)
+                       + math.log(float(B + dim))
+                       - math.log(float(T + dim))) * 1e9 + 0.5)
+           for d in range(dim)]
+    for i, (txt, _lg) in enumerate(zip(texts, langs)):
+        want = sum(llr[h(w)] for w in txt.split())
+        assert out.loc[i, "score_e9"] == want, i
+        assert out.loc[i, "n_tokens"] == len(txt.split())
+    # direction: a pure-target doc outscores a pure-background doc
+    assert out.loc[0, "score_e9"] > out.loc[len(tgt_docs), "score_e9"]
+    # empty doc scores zero
+    assert out.iloc[-1]["score_e9"] == 0 and out.iloc[-1]["n_tokens"] == 0
