@@ -971,8 +971,14 @@ def _canonical_edges(edges: Dataset, src_col: str, dst_col: str,
                          "b": pa.array(b, pa.uint64()),
                          "bucket": pa.array(bk, pa.int64())})
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["a", "b"]].drop_duplicates()
+    def dedup(g: pd.DataFrame) -> pa.Table:
+        g = g[["a", "b"]].drop_duplicates()
+        # typed Arrow out: group partitions keep an (a,b) schema (a
+        # pandas return degrades empty partitions to schema-less blocks)
+        return pa.table({"a": pa.array(g["a"].to_numpy(np.uint64),
+                                       pa.uint64()),
+                         "b": pa.array(g["b"].to_numpy(np.uint64),
+                                       pa.uint64())})
 
     return (edges.select_columns([src_col, dst_col])
                  .map_batches(canon, batch_format="pyarrow")
@@ -986,6 +992,11 @@ def _node_degrees(canon: Dataset) -> tuple[np.ndarray, np.ndarray]:
     the driver.  Node-sized driver state: the same documented bound
     as :func:`pagerank`'s rank vector (~16 B/node)."""
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            # schema-less empty partition from the group shuffle (more
+            # output partitions than buckets at large block counts)
+            return pa.table({"node_id": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
         ids = np.concatenate([
             t.column("a").to_numpy(zero_copy_only=False),
             t.column("b").to_numpy(zero_copy_only=False)])
@@ -1402,6 +1413,8 @@ def negative_edge_samples(edges: Dataset, k: int = 5,
     pair_set = set()
     for t in canon.to_arrow_refs():
         tt = ray.get(t)
+        if tt.num_rows == 0 or "a" not in tt.column_names:
+            continue  # schema-less empty partition (see _node_degrees)
         for a, b in zip(tt.column("a").to_pylist(),
                         tt.column("b").to_pylist()):
             pair_set.add((int(a), int(b)))
