@@ -1381,10 +1381,22 @@ def k_core(edges: Dataset, k: int, src_col: str = "src_id",
     return ray.data.from_arrow(out), rounds
 
 
+def _pair_key_column(a: np.ndarray, b: np.ndarray) -> pa.Array:
+    """Collision-free canonical pair key ``"min:max"`` (decimal strings
+    — exact for full-range uint64, unlike any 64-bit mixed hash)."""
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return pc.binary_join_element_wise(
+        pa.array([str(x) for x in lo], pa.string()),
+        pa.array([str(x) for x in hi], pa.string()), ":")
+
+
 def negative_edge_samples(edges: Dataset, k: int = 5,
                           src_col: str = "src_id",
                           dst_col: str = "dst_id",
-                          salt: str = "neg") -> Dataset:
+                          salt: str = "neg",
+                          pair_strategy: str = "auto",
+                          broadcast_pair_limit: int = 50_000_000) -> Dataset:
     """Deterministic negative-edge sampling for link-prediction /
     contrastive training: each node proposes ``k`` pseudo-random
     candidate partners (md5-derived index into the sorted node vector),
@@ -1394,11 +1406,15 @@ def negative_edge_samples(edges: Dataset, k: int = 5,
 
     Distributed shape: the sorted node vector broadcasts once
     (node-sized, the pagerank bound); candidate generation is an
-    embarrassingly-parallel ``map_batches`` over the node list; the
-    existing-edge filter uses a broadcast pair set here (edge-sized —
-    fine to ~10^8 edges; beyond that swap in the tag-union
-    ``anti_join`` machinery keyed on the canonical pair, dataflow
-    otherwise unchanged)."""
+    embarrassingly-parallel ``map_batches`` over the node list.  The
+    existing-edge filter is size-gated like the repo's joins: below
+    ``broadcast_pair_limit`` edges the pair set broadcasts (``ray.put``
+    once, one in-batch membership test); above it the SCALE PATH
+    anti-joins candidates against the canonical edge set on an exact
+    ``"min:max"`` pair key (``joins.anti_join_keys`` tag-union shuffle
+    — no edge-sized driver state).  Paths are output-identical (pinned
+    in pytest, the ``test_join_strategy_parity`` pattern); force one
+    with ``pair_strategy="broadcast"|"join"``."""
     import hashlib
 
     canon = edges if {"a", "b"} <= set(edges.schema().names) else \
@@ -1410,21 +1426,17 @@ def negative_edge_samples(edges: Dataset, k: int = 5,
             "src_id": pa.array([], pa.uint64()),
             "sample_j": pa.array([], pa.int64()),
             "neg_id": pa.array([], pa.uint64())}))
-    pair_set = set()
-    for t in canon.to_arrow_refs():
-        tt = ray.get(t)
-        if tt.num_rows == 0 or "a" not in tt.column_names:
-            continue  # schema-less empty partition (see _node_degrees)
-        for a, b in zip(tt.column("a").to_pylist(),
-                        tt.column("b").to_pylist()):
-            pair_set.add((int(a), int(b)))
+    if pair_strategy == "auto":
+        pair_strategy = ("broadcast"
+                         if canon.count() <= broadcast_pair_limit
+                         else "join")
     nodes_ref = ray.put(nodes)
-    pairs_ref = ray.put(pair_set)
     n_nodes = len(nodes)
 
     def gen(t: pa.Table) -> pa.Table:
+        """Candidates with self-loops dropped; existing-edge filter is
+        applied by the strategy-specific stage below."""
         nd = ray.get(nodes_ref)
-        pairs = ray.get(pairs_ref)
         out_u, out_j, out_v = [], [], []
         for u in t.column("node_id").to_pylist():
             ui = int(u)
@@ -1433,8 +1445,7 @@ def negative_edge_samples(edges: Dataset, k: int = 5,
                     f"{ui}:{j}:{salt}".encode("utf-8")).hexdigest()[:16],
                     16) % n_nodes
                 v = int(nd[idx])
-                key = (min(ui, v), max(ui, v))
-                if v == ui or key in pairs:
+                if v == ui:
                     continue
                 out_u.append(ui)
                 out_j.append(j)
@@ -1448,4 +1459,47 @@ def negative_edge_samples(edges: Dataset, k: int = 5,
 
     node_ds = ray.data.from_arrow(pa.table({
         "node_id": pa.array(nodes, pa.uint64())}))
-    return node_ds.map_batches(gen, batch_format="pyarrow")
+    cands = node_ds.map_batches(gen, batch_format="pyarrow")
+
+    if pair_strategy == "broadcast":
+        pair_set = set()
+        for t in canon.to_arrow_refs():
+            tt = ray.get(t)
+            if tt.num_rows == 0 or "a" not in tt.column_names:
+                continue  # schema-less empty partition (_node_degrees)
+            for a, b in zip(tt.column("a").to_pylist(),
+                            tt.column("b").to_pylist()):
+                pair_set.add((int(a), int(b)))
+        pairs_ref = ray.put(pair_set)
+
+        def drop_existing(t: pa.Table) -> pa.Table:
+            pairs = ray.get(pairs_ref)
+            u = t.column("src_id").to_numpy(zero_copy_only=False)
+            v = t.column("neg_id").to_numpy(zero_copy_only=False)
+            keep = np.fromiter(
+                ((min(int(a), int(b)), max(int(a), int(b))) not in pairs
+                 for a, b in zip(u, v)), dtype=bool, count=len(u))
+            return t.filter(pa.array(keep))
+
+        return cands.map_batches(drop_existing, batch_format="pyarrow")
+
+    # scale path: exact-key anti-join, edges never land on the driver
+    from .joins import anti_join_keys
+
+    def with_key(t: pa.Table) -> pa.Table:
+        return t.append_column("pair_key", _pair_key_column(
+            t.column("src_id").to_numpy(zero_copy_only=False),
+            t.column("neg_id").to_numpy(zero_copy_only=False)))
+
+    def canon_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"pair_key": pa.array([], pa.string())})
+        return pa.table({"pair_key": _pair_key_column(
+            t.column("a").to_numpy(zero_copy_only=False),
+            t.column("b").to_numpy(zero_copy_only=False))})
+
+    kept = anti_join_keys(
+        cands.map_batches(with_key, batch_format="pyarrow"),
+        canon.map_batches(canon_key, batch_format="pyarrow"),
+        "pair_key", "pair_key", strategy="join")
+    return kept.select_columns(["src_id", "sample_j", "neg_id"])

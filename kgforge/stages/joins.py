@@ -188,7 +188,18 @@ def _semi_join_shuffle(left: Dataset, right_keys: Dataset, left_col: str,
 
     def right_rows(t: pa.Table) -> pa.Table:
         k = t.column(right_col).cast(types[left_col])
-        cols = {n: (k if n == left_col else pa.nulls(len(k), types[n]))
+
+        def filler(typ: pa.DataType) -> pa.Array:
+            # 0-fill INTEGER slots instead of null: these placeholder
+            # cells are dropped at output (only left rows survive), but
+            # a null in a uint64/int64 column makes the pandas group
+            # fold promote the WHOLE column to float64 — silently
+            # corrupting surviving left ids above 2^53
+            if pa.types.is_integer(typ):
+                return pc.fill_null(pa.nulls(len(k), typ), 0)
+            return pa.nulls(len(k), typ)
+
+        cols = {n: (k if n == left_col else filler(types[n]))
                 for n in names}
         out = pa.table(cols).append_column("_is_key",
                                            pa.array([True] * len(k)))

@@ -408,6 +408,29 @@ def test_k_core_distributed_parity():
     pd.testing.assert_frame_equal(drv, dist)
 
 
+def test_k_core_distributed_big_ids_survive_the_core():
+    """Regression for the join-shuffle float-promotion trap: a 4-clique
+    of ids above 2^63 IS the 3-core, so the big ids must ride the two
+    semi-join exchanges intact (nulls in a uint64 column would have
+    degraded them through pandas float64).  _parity_graph's big ids all
+    peel in round 1, which is why this case needs its own graph."""
+    from kgforge.stages.graph import k_core, k_core_distributed
+    big = np.uint64(2**63 + 101)
+    ids = [big + np.uint64(i) for i in range(4)]
+    src, dst = zip(*[(a, b) for i, a in enumerate(ids)
+                     for b in ids[i + 1:]])
+    edges = ray.data.from_arrow(pa.table({
+        "src_id": pa.array(np.array(src, np.uint64), pa.uint64()),
+        "dst_id": pa.array(np.array(dst, np.uint64), pa.uint64())}))
+    drv_ds, _ = k_core(edges, k=3, mode="driver")
+    dist_ds, _ = k_core_distributed(edges, k=3, n_buckets=4)
+    drv = drv_ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    dist = (dist_ds.to_pandas().sort_values("node_id")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(drv, dist)
+    assert set(drv["node_id"]) == {int(i) for i in ids}
+
+
 def test_degree_table_endpoints_only_on_one_side():
     from kgforge.stages.graph import degree_table
     edges = pa.table({"src_id": pa.array([1, 1, 2], pa.uint64()),

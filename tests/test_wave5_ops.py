@@ -303,6 +303,29 @@ def test_negative_samples_properties():
                 max(r.src_id, r.neg_id)) not in und
 
 
+def test_negative_samples_pair_strategy_parity():
+    """Broadcast pair set vs the anti-join scale path: identical
+    output on the same graph (the test_join_strategy_parity pattern),
+    including ids above 2**63 riding the exact string pair key."""
+    from kgforge.stages.graph import negative_edge_samples
+    big = 2**63 + 11
+    edges = pa.table({
+        "src_id": pa.array([1, 2, 3, 4, 1, big], pa.uint64()),
+        "dst_id": pa.array([2, 3, 4, 5, 3, 1], pa.uint64())})
+    ds = ray.data.from_arrow(edges)
+    key = ["src_id", "sample_j"]
+    a = (negative_edge_samples(ds, k=8, pair_strategy="broadcast")
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    b = (negative_edge_samples(ds, k=8, pair_strategy="join")
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    # auto gates to the join path when the pair budget is zero
+    c = (negative_edge_samples(ds, k=8, broadcast_pair_limit=0)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, c)
+
+
 def test_grouped_hll_envelope():
     from kgforge.stages.sketches import grouped_hll_distinct
     rng = np.random.default_rng(6)
