@@ -148,6 +148,161 @@ class AnnLinker:
             if t.column("linked")[0].as_py() else None
 
 
+def ann_link_bucketed(surfaces: Dataset, catalog: Dataset,
+                      n: int = DEFAULT_N, dim: int = DEFAULT_DIM,
+                      threshold: tuple[int, int] = DEFAULT_THRESHOLD,
+                      surface_col: str = "surface",
+                      catalog_col: str = "canon",
+                      n_buckets: int = 16) -> Dataset:
+    """EXACT scale path of :class:`AnnLinker` with the catalog as a
+    DATASET (never broadcast, never driver-held) — for catalogs beyond
+    the broadcast bound (~10^7 names).
+
+    Output-identical to the broadcast linker (pinned in pytest): a
+    candidate pair must share ≥1 embedding dimension (otherwise
+    dot = 0, which never wins the argmax), so co-partitioning both
+    sides by NONZERO DIM enumerates every viable pair.  Each pair is
+    scored in exactly one group — its MINIMUM shared dim (the minhash
+    band-ownership trick: both dim sets are recomputed from the strings
+    inside the fold, so no pair-dedup exchange is needed).  A final
+    coarse-bucket fold takes the per-surface argmax under the same
+    exact integer rule, and surfaces with no candidate rejoin with the
+    empty match.
+
+    Skew note: a hot dim (a very common character gram) gathers many
+    strings and its group does a cross product — at web scale raise
+    ``dim`` (more, smaller groups) before sharding hot dims."""
+
+    def tag(col: str, kind: int):
+        def fn(t: pa.Table) -> pa.Table:
+            vals = [s for s in pd.unique(
+                t.column(col).drop_null().to_pandas()) if s is not None]
+            mat = embed_counts(vals, n, dim)
+            out_s, out_d = [], []
+            for s, row in zip(vals, mat):
+                for d in np.nonzero(row)[0]:
+                    out_s.append(s)
+                    out_d.append(int(d))
+            return pa.table({
+                "s": pa.array(out_s, pa.string()),
+                "dim": pa.array(out_d, pa.int64()),
+                "kind": pa.array([kind] * len(out_s), pa.int64())})
+        return fn
+
+    tagged = (surfaces.map_batches(tag(surface_col, 0),
+                                   batch_format="pyarrow")
+              .union(catalog.map_batches(tag(catalog_col, 1),
+                                         batch_format="pyarrow")))
+
+    def score_group(g: pd.DataFrame) -> pa.Table:
+        d_own = int(g["dim"].iloc[0])
+        qs = sorted(set(g.loc[g["kind"] == 0, "s"]))
+        cs = sorted(set(g.loc[g["kind"] == 1, "s"]))
+        if not qs or not cs:
+            return _EMPTY_PAIRS
+        cache: dict = {}
+        qmat = embed_counts(qs, n, dim, cache)
+        cmat = embed_counts(cs, n, dim, cache)
+        # ownership: score (q, c) here only if this dim is the SMALLEST
+        # dim where both are nonzero
+        dots = qmat @ cmat.T
+        qn2 = np.einsum("ij,ij->i", qmat, qmat)
+        cn2 = np.einsum("ij,ij->i", cmat, cmat)
+        both = (qmat[:, None, :] > 0) & (cmat[None, :, :] > 0)
+        first_shared = np.argmax(both, axis=2)  # first True index
+        rows, cols = np.nonzero((first_shared == d_own) & (dots > 0))
+        if len(rows) == 0:
+            return _EMPTY_PAIRS
+        return pa.table({
+            "surface": pa.array([qs[i] for i in rows], pa.string()),
+            "canonical": pa.array([cs[j] for j in cols], pa.string()),
+            "dot": pa.array(dots[rows, cols], pa.int64()),
+            "q_norm_sq": pa.array(qn2[rows], pa.int64()),
+            "c_norm_sq": pa.array(cn2[cols], pa.int64())})
+
+    pairs = tagged.groupby("dim").map_groups(score_group,
+                                             batch_format="pandas")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "surface" not in t.column_names:
+            return _EMPTY_PAIRS.append_column(
+                "sbucket", pa.array([], pa.int64()))
+        h = pd.util.hash_array(
+            t.column("surface").to_pandas().astype(object).to_numpy())
+        return t.append_column(
+            "sbucket", pa.array((h % n_buckets).astype(np.int64)))
+
+    def argmax_group(g: pd.DataFrame) -> pa.Table:
+        tn, td = threshold
+        g = g.sort_values("surface", kind="mergesort")
+        out = {k: [] for k in ("surface", "canonical", "dot",
+                               "q_norm_sq", "c_norm_sq", "linked")}
+        for s, sub in g.groupby("surface", sort=True):
+            dot = sub["dot"].to_numpy(np.int64)
+            cn2 = sub["c_norm_sq"].to_numpy(np.int64)
+            score = (dot.astype(np.float64) ** 2) / cn2.astype(np.float64)
+            # exact argmax, ties to smallest canonical (same rule as
+            # AnnLinker: float64 ratios of small ints order exactly)
+            best_score = score.max()
+            cand = sub.iloc[np.nonzero(score == best_score)[0]]
+            row = cand.sort_values("canonical").iloc[0]
+            qn2 = int(row["q_norm_sq"])
+            linked = bool(td * td * int(row["dot"]) ** 2 >=
+                          tn * tn * qn2 * int(row["c_norm_sq"]))
+            out["surface"].append(s)
+            out["canonical"].append(row["canonical"])
+            out["dot"].append(int(row["dot"]))
+            out["q_norm_sq"].append(qn2)
+            out["c_norm_sq"].append(int(row["c_norm_sq"]))
+            out["linked"].append(linked)
+        return pa.table({
+            "surface": pa.array(out["surface"], pa.string()),
+            "canonical": pa.array(out["canonical"], pa.string()),
+            "dot": pa.array(out["dot"], pa.int64()),
+            "q_norm_sq": pa.array(out["q_norm_sq"], pa.int64()),
+            "c_norm_sq": pa.array(out["c_norm_sq"], pa.int64()),
+            "linked": pa.array(out["linked"], pa.bool_())})
+
+    # result-sized; pin it so the anti-join's count and the final union
+    # don't re-execute the pair+argmax chain
+    linked = (pairs.map_batches(bucket, batch_format="pyarrow")
+              .groupby("sbucket").map_groups(argmax_group,
+                                             batch_format="pandas")
+              .materialize())
+
+    # surfaces with no candidate pair rejoin with the empty match
+    from .joins import anti_join_keys
+    missing = anti_join_keys(
+        surfaces.select_columns([surface_col]), linked,
+        surface_col, "surface")
+
+    def empty_rows(t: pa.Table) -> pa.Table:
+        vals = t.column(surface_col)
+        strings = [s for s in pd.unique(vals.drop_null().to_pandas())]
+        mat = embed_counts(strings, n, dim)
+        qn2 = np.einsum("ij,ij->i", mat, mat) if strings \
+            else np.array([], np.int64)
+        k = len(strings)
+        return pa.table({
+            "surface": pa.array(strings, pa.string()),
+            "canonical": pa.array([""] * k, pa.string()),
+            "dot": pa.array(np.zeros(k, np.int64)),
+            "q_norm_sq": pa.array(qn2, pa.int64()),
+            "c_norm_sq": pa.array(np.zeros(k, np.int64)),
+            "linked": pa.array([False] * k, pa.bool_())})
+
+    return linked.union(missing.map_batches(empty_rows,
+                                            batch_format="pyarrow"))
+
+
+_EMPTY_PAIRS = pa.table({
+    "surface": pa.array([], pa.string()),
+    "canonical": pa.array([], pa.string()),
+    "dot": pa.array([], pa.int64()),
+    "q_norm_sq": pa.array([], pa.int64()),
+    "c_norm_sq": pa.array([], pa.int64())})
+
+
 def distinct_strings(ds: Dataset, col: str, n_buckets: int = 16) -> Dataset:
     """Distributed exact distinct over one string column: per-batch
     unique (combiner) → coarse-bucket groupby → per-bucket unique.  Only

@@ -183,6 +183,33 @@ def test_kg_build_with_ann_fallback(tmp_path):
     assert len(ann_names) < len(plain_names)
 
 
+def test_ann_link_bucketed_parity():
+    """The catalog-as-Dataset scale path is output-identical to the
+    broadcast AnnLinker on the corpus alias surfaces (incl. surfaces
+    with no shared gram, which rejoin via the anti-join branch)."""
+    import pandas as pd
+
+    from kgforge.stages.linker import ann_link_bucketed
+    from kgforge.testing.corpus import build_pools
+    pools = build_pools(1200, seed=5)
+    people = pools["people"]
+    surfaces = sorted(set(list(pools["aliases"]) + people[:30]
+                          + ["zzzz-no-match", "ab", ""]))
+    bc = (_link(people, surfaces).to_pandas()
+          .sort_values("surface").reset_index(drop=True))
+    surf_ds = ray.data.from_arrow(
+        pa.table({"surface": pa.array(surfaces, pa.string())}))
+    cat_ds = ray.data.from_arrow(
+        pa.table({"canon": pa.array(people, pa.string())}))
+    bk = (ann_link_bucketed(surf_ds, cat_ds, n_buckets=4)
+          .to_pandas().sort_values("surface").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, bk)
+    # the no-match (anti-join) branch ran: "" and "ab" have no grams
+    # ("zzzz-no-match" picks up a dim COLLISION at dim=64 and scores a
+    # tiny unlinked cosine — identically on both paths)
+    assert (bk["canonical"] == "").sum() >= 2
+
+
 def test_canonicalize_url_rules():
     """Every canonicalization rule, including pass-through of garbage."""
     import pyarrow as pa
