@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frame_sample": Q.multimodal_frame_sample,
         # new-this-round ANN entity-linking candidates (window r5)
         "entity_link_ann": Q.entity_link_ann,
+        # its catalog-as-Dataset scale path (same oracle — the
+        # streaming-sessionize output-identity pattern)
+        "entity_link_ann_bucketed": Q.entity_link_ann_bucketed,
         # new-this-round URL canonicalization (window r5)
         "url_canonical_pages": Q.url_canonical_pages,
         # new-this-round PDF loader via the vendored extractor (r5)
@@ -1900,6 +1903,8 @@ def oracle_sql() -> dict[str, str]:
         # integers.  Surfaces re-derived from the pages artifact with
         # the kg_mentions regexes; catalog from the canon artifact.
         "entity_link_ann": _ENTITY_LINK_ANN_SQL,
+        # scale path is output-identical by construction; same oracle
+        "entity_link_ann_bucketed": _ENTITY_LINK_ANN_SQL,
         # URL canonicalization: variant chosen by md5(url) % 6, every
         # normalization rule mirrored with the engine's own RE2 pattern
         "url_canonical_pages": _URL_CANONICAL_SQL,

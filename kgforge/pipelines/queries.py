@@ -199,6 +199,44 @@ def entity_link_ann(sf_dir: str):
     return out.sort("surface")
 
 
+def entity_link_ann_bucketed(sf_dir: str):
+    """The linker's catalog-as-Dataset scale path over the same
+    surfaces and catalog — output-identical to ``entity_link_ann``
+    (shares its oracle, the streaming-sessionize pattern): candidates
+    from the shared-dim co-partition, min-dim ownership, distributed
+    argmax, anti-join rejoin for no-candidate surfaces."""
+    from ..stages.linker import ann_link_bucketed, distinct_strings
+    from ..testing.corpus import build_pools
+    from .kg_build import KGBuildConfig, extract_mentions
+    from .oracle_export import export_gate_canon
+    _ensure_gate_pages(sf_dir)
+    corpus_dir, pages_path = pages_for_sf(sf_dir)
+    m = re.search(r"_n(\d+)_s(\d+)$", corpus_dir)
+    people = build_pools(int(m.group(1)), seed=int(m.group(2)))["people"]
+    export_gate_canon(people)
+
+    with open(f"{corpus_dir}/ontology.json") as fh:
+        ontology_json = fh.read()
+    mentions = extract_mentions(
+        ray.data.read_parquet(pages_path),
+        KGBuildConfig(ontology_json=ontology_json))
+
+    def person_surfaces(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(batch.column("kind"), "entity"),
+                       pc.equal(batch.column("label"), "Person"))
+        names = [json.loads(a).get("name") for a in
+                 batch.filter(mask).column("attrs").to_pylist()]
+        return pa.table({"surface": pa.array(
+            [s for s in names if s is not None], pa.string())})
+
+    surf = distinct_strings(
+        mentions.map_batches(person_surfaces, batch_format="pyarrow"),
+        "surface")
+    catalog = ray.data.from_arrow(pa.table({
+        "canon": pa.array(sorted(set(people)), pa.string())}))
+    return ann_link_bucketed(surf, catalog).sort("surface")
+
+
 def html_text_pages(sf_dir: str):
     """The byte-identical invariant stage over the html column: re-extract
     text and compare with the shipped text column per url.  SQL-oracled:
