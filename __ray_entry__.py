@@ -1956,7 +1956,7 @@ def oracle_sql() -> dict[str, str]:
                             FROM documents),
             ids AS (SELECT unnest(range(0, p.n)) AS i FROM params p)
             SELECT '/tmp/kgforge_gate_pdfs/doc-'
-                       || lpad(CAST(i AS VARCHAR), 5, '0') || '.pdf'
+                       || printf('%05d', i) || '.pdf'
                        AS doc_path,
                    u.pg AS doc_index,
                    CASE u.pg

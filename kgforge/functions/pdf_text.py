@@ -28,12 +28,47 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+# direct integer /Length only (an indirect "N 0 R" length falls back to
+# the delimiter scan)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s]+\d+\s+R)")
 
 
-def _find_objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+def _find_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """``num -> (dict_bytes, stream_bytes|None)`` via an xref-free
+    header scan.  Stream bodies are sliced by their direct ``/Length``
+    when present, NOT by searching for ``endstream`` — compressed bytes
+    are arbitrary binary and may contain the delimiter (or a fake
+    ``N 0 obj`` header, which is why headers inside a consumed stream
+    span are skipped)."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    skip_until = 0
+    for m in _HDR_RE.finditer(data):
+        if m.start() < skip_until:
+            continue  # binary stream content masquerading as a header
+        num, pos = int(m.group(1)), m.end()
+        sm = _STREAM_START_RE.search(data, pos)
+        eo = data.find(b"endobj", pos)
+        if sm is not None and (eo == -1 or sm.start() < eo):
+            head = data[pos:sm.start()]
+            lm = _LENGTH_RE.search(head)
+            s0 = sm.end()
+            if lm is not None:
+                end = min(s0 + int(lm.group(1)), len(data))
+                stream = data[s0:end]
+            else:
+                end = data.find(b"endstream", s0)
+                if end == -1:
+                    end = len(data)
+                stream = re.sub(rb"\r?\n\Z", b"", data[s0:end])
+            objs[num] = (head, stream)
+            skip_until = end
+        else:
+            end = eo if eo != -1 else len(data)
+            objs[num] = (data[pos:end], None)
+            skip_until = end
+    return objs
 
 
 def _ref(body: bytes, name: bytes) -> int | None:
@@ -50,45 +85,46 @@ def _refs_array(body: bytes, name: bytes) -> list[int]:
     return [one] if one is not None else []
 
 
-def _stream_bytes(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if m is None:
+def _stream_bytes(obj: tuple[bytes, bytes | None] | None) -> bytes | None:
+    if obj is None:
         return None
-    raw = m.group(1)
-    if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode", body):
+    head, raw = obj
+    if raw is None:
+        return None
+    if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode", head):
         try:
             return zlib.decompress(raw)
         except zlib.error:
             return None  # unsupported predictor/garbage: skip loudly-ish
-    if re.search(rb"/Filter", body):
+    if re.search(rb"/Filter", head):
         return None  # non-Flate filter: image/font stream, not text
     return raw
 
 
-def _page_objects(objs: dict[int, bytes]) -> list[int]:
+def _page_objects(objs: dict) -> list[int]:
     """Page object numbers in page-tree order (file order fallback)."""
     root = None
-    for body in objs.values():
-        if re.search(rb"/Type\s*/Catalog\b", body):
-            root = _ref(body, b"Pages")
+    for head, _stream in objs.values():
+        if re.search(rb"/Type\s*/Catalog\b", head):
+            root = _ref(head, b"Pages")
             break
     ordered: list[int] = []
 
     def walk(num: int, depth: int = 0) -> None:
         if depth > 64 or num not in objs:
             return
-        body = objs[num]
-        if re.search(rb"/Type\s*/Page\b", body):
+        head = objs[num][0]
+        if re.search(rb"/Type\s*/Page\b", head):
             ordered.append(num)
             return
-        for kid in _refs_array(body, b"Kids"):
+        for kid in _refs_array(head, b"Kids"):
             walk(kid, depth + 1)
 
     if root is not None:
         walk(root)
     if not ordered:  # malformed tree: every /Type /Page in file order
-        ordered = [n for n, b in sorted(objs.items())
-                   if re.search(rb"/Type\s*/Page\b", b)]
+        ordered = [n for n, (h, _s) in sorted(objs.items())
+                   if re.search(rb"/Type\s*/Page\b", h)]
     return ordered
 
 
@@ -110,9 +146,13 @@ def _literal_string(buf: bytes, i: int) -> tuple[bytes, int]:
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
-            elif nxt.isdigit():
+            elif nxt in b"01234567" and nxt:
+                # OCTAL digits only: \8 and \9 are undefined escapes
+                # (spec: drop the backslash, keep the char), and int(_, 8)
+                # on them would raise
                 j = i + 1
-                while j < min(i + 4, n) and buf[j:j + 1].isdigit():
+                while j < min(i + 4, n) and buf[j:j + 1] in \
+                        (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
                     j += 1
                 out.append(int(buf[i + 1:j], 8) & 0xFF)
                 i = j
@@ -234,7 +274,10 @@ def make_simple_pdf(page_texts: list[list[str]],
 def pdf_page_texts(data: bytes) -> list[str]:
     """All pages' text, one string per page (the ``PdfReader(...).pages
     → extract_text`` contract of the reference loader)."""
-    if re.search(rb"/Encrypt\b", data[:2048]) and b"/Encrypt" in data:
+    # /Encrypt lives in the TRAILER dictionary at the END of the file —
+    # scan the whole buffer for the reference form (an accidental match
+    # inside compressed bytes would need the full "key + ref" shape)
+    if re.search(rb"/Encrypt\s*(\d+\s+\d+\s+R|<<)", data):
         raise NotImplementedError(
             "encrypted PDFs are outside the vendored extractor's subset; "
             "install pypdf")
@@ -242,10 +285,10 @@ def pdf_page_texts(data: bytes) -> list[str]:
     pages = _page_objects(objs)
     out: list[str] = []
     for pnum in pages:
-        body = objs[pnum]
+        head = objs[pnum][0]
         texts = []
-        for cnum in _refs_array(body, b"Contents"):
-            stream = _stream_bytes(objs.get(cnum, b""))
+        for cnum in _refs_array(head, b"Contents"):
+            stream = _stream_bytes(objs.get(cnum))
             if stream:
                 texts.append(_content_text(stream))
         out.append("\n".join(t for t in texts if t))

@@ -80,6 +80,10 @@ def _ensure_gate_pages(sf_dir: str) -> None:
     _, pages_path = pages_for_sf(sf_dir)
     export_gate_pages(ray.data.read_parquet(
         pages_path, columns=["url", "warc_ts", "text"]))
+    # overwriting the pages artifact invalidates any OTHER sf's full
+    # export (its kg oracles would read this sf's pages) — both memos
+    # must agree on the single on-disk artifact
+    _GATE_EXPORTED.clear()
     _GATE_PAGES_EXPORTED.clear()
     _GATE_PAGES_EXPORTED.add(sf_dir)
 
@@ -106,6 +110,10 @@ def _ensure_gate_artifact(sf_dir: str) -> None:
         pages_path, columns=["url", "warc_ts", "text"]))
     _GATE_EXPORTED.clear()
     _GATE_EXPORTED.add(sf_dir)
+    # the pages artifact now belongs to THIS sf — keep the pages memo
+    # coherent with the on-disk state
+    _GATE_PAGES_EXPORTED.clear()
+    _GATE_PAGES_EXPORTED.add(sf_dir)
 
 
 def _kg_result(sf_dir: str):
@@ -156,60 +164,15 @@ def kg_mentions(sf_dir: str):
     return extract_mentions(pages, cfg)
 
 
-def entity_link_ann(sf_dir: str):
-    """Embedding-ANN entity-linking candidate generation (the north-star
-    "alias dictionary + embedding ANN" second half; reference links only
-    by exact unique attrs, ``extract_data_step.py:201-226``): distinct
-    pre-alias Person surface forms from the real extraction path are
-    linked to the canonical-people catalog by hashed char-3-gram cosine.
-    Everything is exact small integers, so the SQL oracle re-derives
-    every embedding, the argmax and the threshold bit-exactly."""
-    from ..stages.linker import AnnLinker, distinct_strings
+def _ann_link_inputs(sf_dir: str):
+    """Shared setup for BOTH linker gate queries (they must stay
+    output-identical — one surface-extraction body, not two copies):
+    (distinct pre-alias Person surfaces Dataset, canonical people)."""
+    from ..stages.linker import distinct_strings
     from ..testing.corpus import build_pools
     from .kg_build import KGBuildConfig, extract_mentions
     from .oracle_export import export_gate_canon
     _ensure_gate_pages(sf_dir)  # oracle re-derives surfaces from pages
-    corpus_dir, pages_path = pages_for_sf(sf_dir)
-    m = re.search(r"_n(\d+)_s(\d+)$", corpus_dir)
-    people = build_pools(int(m.group(1)), seed=int(m.group(2)))["people"]
-    export_gate_canon(people)
-
-    with open(f"{corpus_dir}/ontology.json") as fh:
-        ontology_json = fh.read()
-    pages = ray.data.read_parquet(pages_path)
-    mentions = extract_mentions(pages, KGBuildConfig(
-        ontology_json=ontology_json))
-
-    def person_surfaces(batch: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.equal(batch.column("kind"), "entity"),
-                       pc.equal(batch.column("label"), "Person"))
-        sub = batch.filter(mask)
-        names = [json.loads(a).get("name") for a in
-                 sub.column("attrs").to_pylist()]
-        return pa.table({"surface": pa.array(
-            [s for s in names if s is not None], pa.string())})
-
-    surf = distinct_strings(
-        mentions.map_batches(person_surfaces, batch_format="pyarrow"),
-        "surface")
-    cref = [ray.put(people)]
-    out = surf.map_batches(
-        AnnLinker, batch_format="pyarrow", batch_size=8192,
-        concurrency=(1, 2), fn_constructor_kwargs={"catalog": cref})
-    return out.sort("surface")
-
-
-def entity_link_ann_bucketed(sf_dir: str):
-    """The linker's catalog-as-Dataset scale path over the same
-    surfaces and catalog — output-identical to ``entity_link_ann``
-    (shares its oracle, the streaming-sessionize pattern): candidates
-    from the shared-dim co-partition, min-dim ownership, distributed
-    argmax, anti-join rejoin for no-candidate surfaces."""
-    from ..stages.linker import ann_link_bucketed, distinct_strings
-    from ..testing.corpus import build_pools
-    from .kg_build import KGBuildConfig, extract_mentions
-    from .oracle_export import export_gate_canon
-    _ensure_gate_pages(sf_dir)
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     m = re.search(r"_n(\d+)_s(\d+)$", corpus_dir)
     people = build_pools(int(m.group(1)), seed=int(m.group(2)))["people"]
@@ -232,6 +195,34 @@ def entity_link_ann_bucketed(sf_dir: str):
     surf = distinct_strings(
         mentions.map_batches(person_surfaces, batch_format="pyarrow"),
         "surface")
+    return surf, people
+
+
+def entity_link_ann(sf_dir: str):
+    """Embedding-ANN entity-linking candidate generation (the north-star
+    "alias dictionary + embedding ANN" second half; reference links only
+    by exact unique attrs, ``extract_data_step.py:201-226``): distinct
+    pre-alias Person surface forms from the real extraction path are
+    linked to the canonical-people catalog by hashed char-3-gram cosine.
+    Everything is exact small integers, so the SQL oracle re-derives
+    every embedding, the argmax and the threshold bit-exactly."""
+    from ..stages.linker import AnnLinker
+    surf, people = _ann_link_inputs(sf_dir)
+    cref = [ray.put(people)]
+    out = surf.map_batches(
+        AnnLinker, batch_format="pyarrow", batch_size=8192,
+        concurrency=(1, 2), fn_constructor_kwargs={"catalog": cref})
+    return out.sort("surface")
+
+
+def entity_link_ann_bucketed(sf_dir: str):
+    """The linker's catalog-as-Dataset scale path over the same
+    surfaces and catalog — output-identical to ``entity_link_ann``
+    (shares its oracle, the streaming-sessionize pattern): candidates
+    from the shared-dim co-partition, min-dim ownership, distributed
+    argmax, anti-join rejoin for no-candidate surfaces."""
+    from ..stages.linker import ann_link_bucketed
+    surf, people = _ann_link_inputs(sf_dir)
     catalog = ray.data.from_arrow(pa.table({
         "canon": pa.array(sorted(set(people)), pa.string())}))
     return ann_link_bucketed(surf, catalog).sort("surface")

@@ -149,10 +149,14 @@ def read_pdf_source(paths: list[str] | str) -> Dataset:
         out = []
         for p, b in zip(batch.column("path").to_pylist(),
                         batch.column("bytes").to_pylist()):
+            texts = None
             if PdfReader is not None:
-                reader = PdfReader(io.BytesIO(b))
-                texts = [page.extract_text() for page in reader.pages]
-            else:
+                try:
+                    reader = PdfReader(io.BytesIO(b))
+                    texts = [page.extract_text() for page in reader.pages]
+                except Exception:  # noqa: BLE001 — e.g. xref-less PDFs
+                    texts = None   # (make_simple_pdf output): vendored
+            if texts is None:      # extractor doesn't need the xref
                 texts = pdf_page_texts(b)
             out.append(_docs_table(p, texts))
         return pa.concat_tables(out) if out else _docs_table("", [])

@@ -1383,12 +1383,14 @@ def k_core(edges: Dataset, k: int, src_col: str = "src_id",
 
 def _pair_key_column(a: np.ndarray, b: np.ndarray) -> pa.Array:
     """Collision-free canonical pair key ``"min:max"`` (decimal strings
-    — exact for full-range uint64, unlike any 64-bit mixed hash)."""
-    lo = np.minimum(a, b)
-    hi = np.maximum(a, b)
+    — exact for full-range uint64, unlike any 64-bit mixed hash).
+    Fully vectorized: this runs on the SCALE path, where a per-row
+    Python str() loop would be the bottleneck it exists to avoid."""
+    lo = np.minimum(a, b).astype(np.uint64)
+    hi = np.maximum(a, b).astype(np.uint64)
     return pc.binary_join_element_wise(
-        pa.array([str(x) for x in lo], pa.string()),
-        pa.array([str(x) for x in hi], pa.string()), ":")
+        pc.cast(pa.array(lo, pa.uint64()), pa.string()),
+        pc.cast(pa.array(hi, pa.uint64()), pa.string()), ":")
 
 
 def negative_edge_samples(edges: Dataset, k: int = 5,

@@ -198,8 +198,12 @@ def importance_weights(docs: Dataset, target_col: str, target_value,
         else:
             dims = _dims_for(toks)
             c_all = np.bincount(dims, minlength=dim).astype(np.int64)
-            is_tgt = pc.equal(t.column(target_col),
-                              target_value).to_numpy(zero_copy_only=False)
+            # fill_null: a NULL target value is background-only (a bare
+            # to_numpy of a null-masked bool gives an object array that
+            # cannot index)
+            is_tgt = pc.fill_null(
+                pc.equal(t.column(target_col), target_value),
+                False).to_numpy(zero_copy_only=False).astype(bool)
             tmask = is_tgt[parents]
             c_tgt = np.bincount(dims[tmask], minlength=dim).astype(np.int64)
         return pa.table({"dim": pa.array(np.arange(dim, dtype=np.int64)),
@@ -237,10 +241,11 @@ def importance_weights(docs: Dataset, target_col: str, target_value,
             toks = np.asarray(flat.to_numpy(zero_copy_only=False),
                               dtype=object)
             dims = _dims_for(toks)
-            # float64 bincount is exact here: |llr|<=~3e10, <=1e6
-            # tokens/doc => sums < 2^53
-            score = np.bincount(parents, weights=w[dims].astype(np.float64),
-                                minlength=n).astype(np.int64)
+            # pure INT64 accumulation (np.add.at): a float64 weighted
+            # bincount loses exactness past 2^53, which a >3e5-token
+            # doc with large-|llr| buckets can reach — and exactness is
+            # this operator's whole contract
+            np.add.at(score, parents, w[dims])
         return pa.table({
             id_col: t.column(id_col),
             target_col: t.column(target_col),

@@ -873,3 +873,22 @@ def test_dsir_importance_weights_reference():
     assert out.loc[0, "score_e9"] > out.loc[len(tgt_docs), "score_e9"]
     # empty doc scores zero
     assert out.iloc[-1]["score_e9"] == 0 and out.iloc[-1]["n_tokens"] == 0
+
+
+def test_dsir_null_target_rows_are_background_only():
+    """A NULL in the target column must not crash pass 1 (review
+    finding: null-masked bool to_numpy gives an un-indexable object
+    array) — NULL rows count toward the background only."""
+    import pyarrow as pa
+
+    import ray
+    from kgforge.stages.retrieval import importance_weights
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "lang": pa.array(["en", None, "de"], pa.string()),
+                  "text": pa.array(["alpha beta", "alpha", "gamma"],
+                                   pa.string())})
+    out = (importance_weights(ray.data.from_arrow(t), "lang", "en")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [2, 1, 1]
+    # the en doc scores at least as high as the background-only docs
+    assert out.loc[0, "score_e9"] >= out.loc[2, "score_e9"]

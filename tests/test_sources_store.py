@@ -331,3 +331,52 @@ def test_vendored_pdf_extractor(tmp_path):
     enc = raw.replace(b"/Type /Catalog", b"/Type /Catalog /Encrypt 9 0 R")
     with pytest.raises(NotImplementedError, match="pypdf"):
         pdf_text.pdf_page_texts(enc)
+
+
+def test_vendored_pdf_extractor_hardening():
+    """Review-driven hardening cases: delimiter bytes inside stream
+    content (sliced by /Length, not by searching endstream), undefined
+    \\8/\\9 escapes (backslash dropped, char kept), and trailer-located
+    /Encrypt detection."""
+    from kgforge.functions.pdf_text import make_simple_pdf, pdf_page_texts
+
+    # raw (uncompressed) stream whose TEXT contains the delimiters and
+    # a fake object header — /Length slicing must survive all of them
+    tricky = ["x endstream y", "7 0 obj endobj", "stream"]
+    assert pdf_page_texts(make_simple_pdf([tricky])) == ["\n".join(tricky)]
+
+    # undefined escapes \8 \9: drop the backslash, keep the char;
+    # octal \101 still decodes (raw bytes — /Length slicing means the
+    # in-place replace trick would truncate the stream)
+    from kgforge.functions.pdf_text import _content_text
+    assert _content_text(rb"BT (a\8b\9c\101) Tj ET") == "a8b9cA"
+
+    # /Encrypt in a TRAILER at the end of the file (past any 2k prefix)
+    enc = make_simple_pdf([[("pad " * 600).strip()]])
+    enc += b"\ntrailer\n<< /Size 9 /Encrypt 9 0 R >>\n%%EOF\n"
+    with pytest.raises(NotImplementedError, match="pypdf"):
+        pdf_page_texts(enc)
+
+
+def test_pdf_loader_falls_back_when_pypdf_cannot_parse(tmp_path,
+                                                       monkeypatch):
+    """A present-but-failing pypdf (xref-less PDFs) must not kill the
+    loader — it falls back to the vendored extractor."""
+    import sys
+    import types
+
+    from kgforge.functions.pdf_text import make_simple_pdf
+    from kgforge.sources.loaders import read_pdf_source
+
+    class _AngryReader:
+        def __init__(self, fh):
+            raise ValueError("could not find xref table")
+
+    fake = types.ModuleType("pypdf")
+    fake.PdfReader = _AngryReader
+    monkeypatch.setitem(sys.modules, "pypdf", fake)
+    p = tmp_path / "noxref.pdf"
+    p.write_bytes(make_simple_pdf([["hello"], ["world"]], compress={1}))
+    out = (read_pdf_source(str(p)).to_pandas()
+           .sort_values("doc_index").reset_index(drop=True))
+    assert out["content"].tolist() == ["hello", "world"]
