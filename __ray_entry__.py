@@ -21,6 +21,7 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kgforge.functions.web import URL_RE as _WEB_URL_RE  # noqa: E402
 from kgforge.pipelines import queries as Q  # noqa: E402
 
 
@@ -153,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract_docs": Q.pdf_extract_docs,
         # new-this-round DSIR importance weights (window r5)
         "dsir_weights_docs": Q.dsir_weights_docs,
+        # new-this-round per-host duplication report (window r5)
+        "host_dedup_stats": Q.host_dedup_stats,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -1908,6 +1911,21 @@ def oracle_sql() -> dict[str, str]:
         # URL canonicalization: variant chosen by md5(url) % 6, every
         # normalization rule mirrored with the engine's own RE2 pattern
         "url_canonical_pages": _URL_CANONICAL_SQL,
+        # per-host duplication: page counts + distinct md5(text) per
+        # host parsed with the engine's own RE2 url pattern
+        "host_dedup_stats": """
+            WITH pages AS (
+              SELECT url, text
+              FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')),
+            hosted AS (
+              SELECT regexp_extract(url, '@URLRE@', 1) AS host,
+                     md5(COALESCE(text, '')) AS h
+              FROM pages WHERE regexp_matches(url, '@URLRE@'))
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts
+            FROM hosted GROUP BY host ORDER BY host
+        """.replace("@URLRE@", _WEB_URL_RE),
         # DSIR importance weights: per-bucket llr quantized to integer
         # nano-units (floor(x*1e9+0.5), ln ops mirrored verbatim), doc
         # scores are order-free integer sums => hash-exact

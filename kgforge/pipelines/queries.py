@@ -1652,6 +1652,62 @@ def url_canonical_pages(sf_dir: str):
                              batch_format="pyarrow").sort("url")
 
 
+def host_dedup_stats(sf_dir: str):
+    """Per-host duplication report (which hosts are boilerplate/mirror
+    farms — the crawl-curation signal that drives per-domain caps):
+    ``(host, n_pages, n_distinct_texts)``.  Page counts fold from
+    per-batch combiners; distinct text hashes ride ONE text-free
+    exchange of (host, md5) pairs already deduped per batch — the
+    exact_dedup keep_text=False discipline."""
+    from ..functions import hashing as H
+    from ..functions.web import url_host_section
+    _ensure_gate_pages(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        host, _sec, ok = url_host_section(t.column("url"))
+        tt = pa.table({"host": host,
+                       "text": t.column("text")}).filter(ok)
+        hs = tt.column("host").to_pylist()
+        md5s = [H.text_md5(x or "")
+                for x in tt.column("text").to_pylist()]
+        df = pd.DataFrame({"host": hs, "h": md5s})
+        pairs = df.drop_duplicates()                       # combiner
+        counts = df.groupby("host", as_index=False).size()
+        hb = pd.util.hash_array(
+            pairs["host"].to_numpy(object)) % 16
+        return pa.table({
+            "host": pa.array(pairs["host"].tolist() +
+                             counts["host"].tolist(), pa.string()),
+            "h": pa.array(pairs["h"].tolist() +
+                          [None] * len(counts), pa.string()),
+            "n": pa.array([0] * len(pairs) +
+                          counts["size"].astype(int).tolist(),
+                          pa.int64()),
+            "bucket": pa.array(
+                np.concatenate([hb.astype(np.int64),
+                                (pd.util.hash_array(
+                                    counts["host"].to_numpy(object))
+                                 % 16).astype(np.int64)]))})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        pairs = g[g["h"].notna()][["host", "h"]].drop_duplicates()
+        nd = pairs.groupby("host").size()
+        np_ = g[g["h"].isna()].groupby("host")["n"].sum()
+        hosts = sorted(set(nd.index) | set(np_.index))
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "n_pages": pa.array([int(np_.get(h, 0)) for h in hosts],
+                                pa.int64()),
+            "n_distinct_texts": pa.array([int(nd.get(h, 0))
+                                          for h in hosts], pa.int64())})
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(fold, batch_format="pandas")
+            .sort("host"))
+
+
 def docs_shuffle_shards(sf_dir: str):
     """Deterministic global shuffle + shard assignment over documents
     (training-export primitive): md5 shuffle key, hex-prefix shard,
