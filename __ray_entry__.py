@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights_docs": Q.dsir_weights_docs,
         # new-this-round per-host duplication report (window r5)
         "host_dedup_stats": Q.host_dedup_stats,
+        # new-this-round exact duplicate-span removal (window r5)
+        "dedup_span_docs": Q.dedup_span_docs,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -1913,6 +1915,63 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_pages": _URL_CANONICAL_SQL,
         # per-host duplication: page counts + distinct md5(text) per
         # host parsed with the engine's own RE2 url pattern
+        # exact duplicate-span removal: positional 5-grams via windowed
+        # string_agg (frame order == window ORDER BY), global count >= 2
+        # bans, interval-coverage anti-join, order-preserving rebuild
+        "dedup_span_docs": """
+            WITH raw AS (
+              SELECT doc_id, string_split_regex(COALESCE(text, ''),
+                     '[ \t\n\f\r]+') AS arr
+              FROM documents),
+            tok0 AS (
+              SELECT doc_id, unnest(arr) AS tok,
+                     generate_subscripts(arr, 1) AS i
+              FROM raw),
+            tok AS (
+              SELECT doc_id, tok,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                         - 1 AS p
+              FROM tok0 WHERE tok <> ''),
+            g5 AS (
+              SELECT doc_id, p, gram FROM (
+                SELECT doc_id, p,
+                       string_agg(tok, ' ') OVER w AS gram,
+                       count(*) OVER w AS klen
+                FROM tok
+                WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING))
+              WHERE klen = 5),
+            banned AS (
+              SELECT gram FROM g5 GROUP BY gram HAVING count(*) >= 2),
+            starts AS (
+              SELECT g.doc_id, g.p
+              FROM g5 g JOIN banned b ON g.gram = b.gram),
+            cov AS (
+              SELECT DISTINCT t.doc_id, t.p
+              FROM tok t JOIN starts s ON s.doc_id = t.doc_id
+                                      AND t.p BETWEEN s.p AND s.p + 4),
+            kept AS (
+              SELECT t.doc_id, t.tok, t.p
+              FROM tok t LEFT JOIN cov c
+                ON t.doc_id = c.doc_id AND t.p = c.p
+              WHERE c.doc_id IS NULL),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, count(*) AS n_tokens
+              FROM tok GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.text, '') AS text,
+                   CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(t.n_tokens, 0)
+                        - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM documents d
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+            LEFT JOIN tot t ON d.doc_id = t.doc_id
+            ORDER BY d.doc_id
+        """,
         "host_dedup_stats": """
             WITH pages AS (
               SELECT url, text

@@ -1485,6 +1485,18 @@ def line_dedup_docs(sf_dir: str):
                             columns=["doc_id", "text"]))
 
 
+def dedup_span_docs(sf_dir: str):
+    """Exact duplicate-SPAN removal over documents (Lee et al. 2022
+    ExactSubstr): strip every token covered by a word 5-gram occurring
+    >= 2 times corpus-wide.  SQL-oracled: the oracle re-derives
+    positional 5-grams with a windowed string_agg, counts them
+    globally, and rebuilds the covered-token-free text with an
+    order-preserving string_agg."""
+    from ..stages.dedup import span_dedup
+    return span_dedup(_read(sf_dir, "documents",
+                            columns=["doc_id", "text"])).sort("doc_id")
+
+
 def _loader_fixture(sf_dir: str, ext: str) -> str:
     """Deterministic loader fixture derived from the documents table
     (one line per doc, ordered by doc_id) so the reference loader

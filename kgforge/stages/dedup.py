@@ -970,3 +970,129 @@ def line_dedup(docs: Dataset, id_col: str = "doc_id",
                 pa.int64())})
 
     return docs.map_batches(strip, batch_format="pyarrow")
+
+
+def _positional_ngrams(col, n: int):
+    """All POSITIONAL word ``n``-grams of a string column, batch-flat:
+    returns ``(flat_tokens, doc_index, gram_strings, gram_start)`` where
+    ``flat_tokens``/``doc_index`` cover every non-empty token of every
+    row (RE2 ``\\S+`` tokenization, the repo-wide convention) and
+    ``gram_strings[j]`` is the space-joined ``n``-gram starting at flat
+    position ``gram_start[j]`` (windows never cross a document
+    boundary).  Unlike ``decontam._batch_ngrams`` this keeps every
+    occurrence and its position — span removal needs both.  The gram
+    join is elementwise ``+`` over numpy object arrays (C-loop str
+    concat), not a Python per-gram loop."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern_regex(pc.fill_null(col, ""),
+                                   pattern="[ \t\n\f\r]+")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    parents = parents.filter(nonempty)
+    toks = np.asarray(flat.to_pylist(), dtype=object)
+    docix = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(toks) < n:
+        return (toks, docix, np.array([], dtype=object),
+                np.array([], dtype=np.int64))
+    m = len(toks) - n + 1
+    valid = docix[:m] == docix[n - 1:]
+    grams = toks[:m].copy()
+    for j in range(1, n):
+        grams = grams + " "
+        grams = grams + toks[j:j + m]
+    starts = np.arange(m, dtype=np.int64)
+    return toks, docix, grams[valid], starts[valid]
+
+
+def span_dedup(docs: Dataset, id_col: str = "doc_id",
+               text_col: str = "text", n: int = 5,
+               min_count: int = 2, n_buckets: int = 64) -> Dataset:
+    """Exact duplicate-SPAN removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §4 ExactSubstr): drop
+    every token covered by any word ``n``-gram that occurs at least
+    ``min_count`` times across the whole corpus (counting every
+    occurrence, including repeats inside one document).  The rebuilt
+    text is whitespace-normalized (single spaces) on BOTH modified and
+    unmodified documents, so the transform is deterministic and
+    SQL-mirrorable.  Returns ``(id, text, n_tokens, n_removed)``.
+
+    Scale shape (the ``line_dedup`` discipline): document text NEVER
+    shuffles.  Stage A ships per-batch ``(distinct gram, partial
+    count)`` pairs through one coarse-bucket fold; the banned set
+    (grams with global count >= min_count) is collected to the driver
+    and broadcast once via ``ray.put`` — bounded by the DUPLICATED
+    n-gram vocabulary, not corpus size (web dup spans collapse hard).
+    Stage B re-derives positional grams per batch and strips covered
+    tokens with a difference-array coverage cumsum — fully batch-local.
+    If the banned vocabulary ever outgrew a broadcast, the documented
+    fallback is the posting-list semi-join used by
+    ``ngram_jaccard_pairs`` (ship (gram-hash, doc, pos), co-bucket);
+    the true suffix-array construction of the paper is the
+    beyond-broadcast endgame but needs no new exchange shape.
+
+    The reference has no span dedup; this extends the SURVEY.md §2
+    training-data family (same rationale as ``line_dedup``)."""
+    from .joins import _broadcast_value_array, key_bucket
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        _, _, grams, _ = _positional_ngrams(t.column(text_col), n)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        vc = pa.array(grams, pa.string()).value_counts()
+        gv = vc.field("values")
+        out = pa.table({"gram": gv,
+                        "n": vc.field("counts").cast(pa.int64())})
+        return out.append_column("bucket", key_bucket(gv, n_buckets))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object)})
+        tot = g.groupby("gram", sort=False)["n"].sum()
+        banned = tot[tot >= min_count]
+        return pd.DataFrame({"gram": banned.index.to_numpy(object)})
+
+    banned = (docs.select_columns([text_col])
+              .map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pandas")
+              .to_pandas())
+    ref = ray.put(banned["gram"].tolist() if len(banned) else [])
+
+    def strip(t: pa.Table) -> pa.Table:
+        banned_arr = _broadcast_value_array(ref)
+        toks, docix, grams, starts = _positional_ngrams(
+            t.column(text_col), n)
+        n_docs = t.num_rows
+        total_per_doc = np.bincount(docix, minlength=n_docs)
+        if len(grams) and len(banned_arr):
+            bad = pc.is_in(pa.array(grams, pa.string()),
+                           value_set=banned_arr).to_numpy(
+                               zero_copy_only=False)
+            bad_starts = starts[bad]
+        else:
+            bad_starts = np.array([], dtype=np.int64)
+        cov = np.zeros(len(toks) + n, dtype=np.int64)
+        np.add.at(cov, bad_starts, 1)
+        np.add.at(cov, bad_starts + n, -1)
+        covered = np.cumsum(cov[:len(toks)]) > 0
+        keep = ~covered
+        kept_per_doc = np.bincount(docix[keep], minlength=n_docs)
+        kept_toks = pd.Series(toks[keep])
+        joined = kept_toks.groupby(docix[keep]).agg(" ".join)
+        texts = np.full(n_docs, "", dtype=object)
+        texts[joined.index.to_numpy(np.int64)] = joined.to_numpy(object)
+        return pa.table({
+            id_col: t.column(id_col),
+            text_col: pa.array(texts, pa.string()),
+            "n_tokens": pa.array(total_per_doc.astype(np.int64),
+                                 pa.int64()),
+            "n_removed": pa.array(
+                (total_per_doc - kept_per_doc).astype(np.int64),
+                pa.int64())})
+
+    return docs.map_batches(strip, batch_format="pyarrow")

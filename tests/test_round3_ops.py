@@ -892,3 +892,44 @@ def test_dsir_null_target_rows_are_background_only():
     assert out["n_tokens"].tolist() == [2, 1, 1]
     # the en doc scores at least as high as the background-only docs
     assert out.loc[0, "score_e9"] >= out.loc[2, "score_e9"]
+
+
+def test_span_dedup_exact_substr():
+    from kgforge.stages.dedup import span_dedup
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "intro  text\tthe quick brown fox jumps again here",
+                 "unique document with no repeats at all whatsoever",
+                 "a a a a a a a a",   # self-repeating 5-gram
+                 ""]}))
+    out = (span_dedup(docs).to_pandas()
+           .set_index("doc_id").sort_index())
+    # "the quick brown fox jumps" occurs in docs 1+2 -> covered tokens go
+    assert out.loc[1, "text"] == "over the lazy dog"
+    assert out.loc[1, "n_tokens"] == 9 and out.loc[1, "n_removed"] == 5
+    # whitespace-normalized rebuild (double space / tab collapse)
+    assert out.loc[2, "text"] == "intro text again here"
+    # untouched doc still whitespace-normalized, zero removed
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "text"].startswith("unique document")
+    # within-document repetition counts toward the >=2 occurrences
+    assert out.loc[4, "text"] == "" and out.loc[4, "n_removed"] == 8
+    # empty doc: no tokens, empty rebuild
+    assert out.loc[5, "text"] == "" and out.loc[5, "n_tokens"] == 0
+
+
+def test_span_dedup_boundary_isolation():
+    # identical 5-grams split across two docs must NOT merge windows:
+    # each doc alone has the gram once -> global count 2 -> banned;
+    # but a window never crosses a doc boundary.
+    from kgforge.stages.dedup import span_dedup
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["p q r s t", "p q r s t u v"]}))
+    out = (span_dedup(docs).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1, "text"] == "" and out.loc[1, "n_removed"] == 5
+    # doc 2: grams "p q r s t"(x2 corpus-wide) banned; "q r s t u",
+    # "r s t u v" occur once -> only first 5 tokens covered
+    assert out.loc[2, "text"] == "u v" and out.loc[2, "n_removed"] == 5
