@@ -587,6 +587,70 @@ ORDER BY h.url
 
 _URL_CANONICAL_SQL = _url_canonical_sql()
 
+
+def _hll_sql(grouped: bool) -> str:
+    """HyperLogLog re-derived EXACTLY in SQL (``sketches.py:48-96``):
+    md5 hash → register index (top P bits) / rank (strpos of the first
+    '1' in the low 64-P bits of ``lpad(bin(h))``), per-register MAX,
+    and the integer-Z harmonic mean ``sum(2^(64-reg))`` as a HUGEINT
+    built from a recursive-doubling pow2 table (no float-sum order
+    dependence).  The estimate mirrors the engine op-for-op —
+    ``alpha * (float(m^2*2^64) / float(Z))`` then the small-range
+    ``m*ln(m/zeros)`` branch — and gates quantized to milli-units
+    (ln's last ulp is the one op DuckDB may round differently)."""
+    from kgforge.stages.sketches import _HLL_ALPHA, _HLL_M, _HLL_P
+    m, p = _HLL_M, _HLL_P
+    g_sel = "event_type AS g," if grouped else ""
+    g_where = "WHERE event_type IS NOT NULL" if grouped else ""
+    g_col = "g," if grouped else ""
+    g_by = lambda cols: f"GROUP BY {cols}" if grouped else ""  # noqa: E731
+    g_out = "g AS event_type," if grouped else ""
+    g_ord = "ORDER BY event_type" if grouped else ""
+    return f"""
+WITH RECURSIVE pow2(k, v) AS (
+    SELECT 0, CAST(1 AS HUGEINT)
+    UNION ALL SELECT k + 1, v * 2 FROM pow2 WHERE k < 64),
+hashes AS (
+    SELECT {g_sel}
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+               AS h
+    FROM events {g_where}),
+bits AS (
+    SELECT {g_col} h >> {64 - p} AS idx,
+           strpos(substr(lpad(bin(h), 64, '0'), {p + 1}), '1') AS rp
+    FROM hashes),
+regmax AS (
+    SELECT {g_col} idx,
+           MAX(CASE WHEN rp = 0 THEN {64 - p + 1} ELSE rp END) AS r
+    FROM bits GROUP BY {g_col} idx),
+zsum AS (
+    SELECT {g_col}
+           COALESCE(SUM(p.v), CAST(0 AS HUGEINT)) AS zpresent,
+           COUNT(*) AS npresent
+    FROM regmax x JOIN pow2 p ON p.k = 64 - x.r {g_by('g')}),
+est0 AS (
+    SELECT {g_col} CAST({m} - npresent AS BIGINT) AS zeros,
+           {_HLL_ALPHA!r} * ({float((m * m) << 64)!r} / CAST(zpresent
+               + ({m} - npresent) * (SELECT v FROM pow2 WHERE k = 64)
+               AS DOUBLE)) AS raw
+    FROM zsum),
+est1 AS (
+    SELECT {g_col} CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                ELSE raw END AS est, zeros
+    FROM est0)
+SELECT {g_out}
+       CAST(CAST(floor(est * 1000 + 0.5) AS BIGINT) AS DOUBLE) / 1000.0
+           AS approx_distinct,
+       CAST(floor(est * 1000 + 0.5) AS BIGINT) AS est_milli,
+       zeros AS n_zero_regs
+FROM est1 {g_ord}
+"""
+
+
+_HLL_GLOBAL_SQL = _hll_sql(grouped=False)
+_HLL_GROUPED_SQL = _hll_sql(grouped=True)
+
 _ANN_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS query_id,
                       CAST(embedding AS DOUBLE[]) AS qe
@@ -1915,6 +1979,10 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_pages": _URL_CANONICAL_SQL,
         # per-host duplication: page counts + distinct md5(text) per
         # host parsed with the engine's own RE2 url pattern
+        # HyperLogLog distinct estimates, EXACTLY re-derived: md5
+        # registers + integer-Z harmonic mean (see _hll_sql)
+        "distinct_users_hll": _HLL_GLOBAL_SQL,
+        "events_type_distinct_users_hll": _HLL_GROUPED_SQL,
         # exact duplicate-span removal: positional 5-grams via windowed
         # string_agg (frame order == window ORDER BY), global count >= 2
         # bans, interval-coverage anti-join, order-preserving rebuild

@@ -57,7 +57,10 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              # round-4 representatives (ANN entity linking over the
              # extracted mention stream, URL canonicalization over the
              # pages corpus)
-             "entity_link_ann", "url_canonical_pages"]
+             "entity_link_ann", "url_canonical_pages",
+             # corpus-hygiene additions (duplicate-span strip over
+             # documents, per-host dup report over the pages corpus)
+             "dedup_span_docs", "host_dedup_stats"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,

@@ -721,12 +721,20 @@ def distinct_users_exact(sf_dir: str):
 
 
 def distinct_users_hll(sf_dir: str):
-    """HyperLogLog distinct estimate (rows-only check; pytest asserts
-    the ~2% accuracy envelope against the exact count)."""
-    from ..stages.sketches import hll_distinct
+    """HyperLogLog distinct estimate — EXACTLY SQL-oracled: the md5
+    register construction, the integer-Z harmonic mean and the branch
+    choice are all re-derived in DuckDB; the estimate gates quantized
+    to milli-units (ln's last ulp is the only cross-engine float risk).
+    pytest additionally pins the ~2% accuracy envelope vs exact."""
+    from ..stages.sketches import (hll_estimate, hll_merged_registers,
+                                   hll_zero_registers)
     events = _read(sf_dir, "events", columns=["user_id"])
-    est = hll_distinct(events, "user_id")
-    return pa.table({"estimate": pa.array([round(est, 1)], pa.float64())})
+    regs = hll_merged_registers(events, "user_id")
+    milli = int(np.floor(hll_estimate(regs) * 1000 + 0.5))
+    return pa.table({
+        "approx_distinct": pa.array([milli / 1000.0], pa.float64()),
+        "est_milli": pa.array([milli], pa.int64()),
+        "n_zero_regs": pa.array([hll_zero_registers(regs)], pa.int64())})
 
 
 def events_sliding_window(sf_dir: str):
@@ -2482,9 +2490,10 @@ def events_json_stats(sf_dir: str):
 
 def events_type_distinct_users_hll(sf_dir: str):
     """Per-type APPROXIMATE distinct users (grouped HLL) — the
-    open-cardinality companion of events_type_distinct_users; accuracy
-    envelope vs the exact variant is pinned in pytest (rows-only
-    gate: approximate by nature)."""
+    open-cardinality companion of events_type_distinct_users.  EXACTLY
+    SQL-oracled: md5 registers + integer-Z harmonic mean re-derived
+    per group in DuckDB, estimate gated in milli-units; pytest
+    additionally pins the accuracy envelope vs the exact variant."""
     from ..stages.sketches import grouped_hll_distinct
     return grouped_hll_distinct(
         _read(sf_dir, "events", columns=["event_type", "user_id"]),

@@ -6,9 +6,9 @@ O(rows)).
 - :func:`distinct_count_exact`: per-batch key SETS (serialized), driver
   merge — exact; right when the distinct cardinality is bounded (it is
   for user ids / labels; for open-ended keys use the HLL below).
-- :func:`hll_distinct`: HyperLogLog (deterministic crc32-based), ~2%
-  error at 2^11 registers; registers are max-mergeable so any tree shape
-  works.
+- :func:`hll_distinct`: HyperLogLog (deterministic md5-based, so a SQL
+  oracle can rebuild every register), ~2% error at 2^11 registers;
+  registers are max-mergeable so any tree shape works.
 """
 
 from __future__ import annotations
@@ -41,19 +41,14 @@ def distinct_count_exact(ds: Dataset, col: str) -> int:
 _HLL_P = 11                      # 2^11 registers → ~2.3% relative error
 _HLL_M = 1 << _HLL_P
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
-_MIX_A = np.uint64(0x9E3779B97F4A7C15)
-_MIX_B = np.uint64(0xBF58476D1CE4E5B9)
-
-
 def _hll_hash(values: list) -> np.ndarray:
-    crcs = np.fromiter((zlib.crc32(str(v).encode("utf-8")) for v in values),
-                       dtype=np.uint64, count=len(values))
-    with np.errstate(over="ignore"):
-        h = crcs * _MIX_A + _MIX_B
-        h ^= h >> np.uint64(31)
-        h = h * _MIX_B
-        h ^= h >> np.uint64(29)
-    return h
+    """First 16 hex chars of ``md5(str(v))`` as uint64 — md5-derived
+    precisely so a DuckDB oracle can rebuild every register:
+    ``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16))::UBIGINT``
+    (the same scheme as :func:`_bloom_positions`)."""
+    return np.fromiter(
+        (int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:16], 16)
+         for v in values), dtype=np.uint64, count=len(values))
 
 
 def hll_partial(values: list) -> np.ndarray:
@@ -77,17 +72,36 @@ def hll_partial(values: list) -> np.ndarray:
 
 
 def hll_estimate(regs: np.ndarray) -> float:
-    m = float(_HLL_M)
-    est = _HLL_ALPHA * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int(np.sum(regs == 0))
+    """Exact-arithmetic HLL estimate, structured so a SQL oracle can
+    mirror it bit-for-bit: the harmonic denominator is the INTEGER
+    ``Z_scaled = sum(2^(64-reg))`` (the dyadic rationals ``2^-reg``
+    scaled by ``2^64`` — no float-sum order dependence), and the
+    estimate is ``alpha * (float(m^2 * 2^64) / float(Z_scaled))`` —
+    exact casts, one division, one multiply, in this order.  The
+    small-range branch keeps the classic ``m * ln(m/zeros)``; DuckDB's
+    ``ln`` can differ from libm in the last ulp (the BM25 lesson), so
+    gates quantize the estimate to milli-units."""
+    import math
+    m = _HLL_M
+    counts = np.bincount(regs.astype(np.int64), minlength=65)
+    z_scaled = sum(int(c) << (64 - r)
+                   for r, c in enumerate(counts.tolist()) if c)
+    est = _HLL_ALPHA * (float((m * m) << 64) / float(z_scaled))
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)      # small-range correction
+        est = m * math.log(m / zeros)    # small-range correction
     return float(est)
 
 
-def hll_distinct(ds: Dataset, col: str) -> float:
-    """Approximate COUNT(DISTINCT): one register row per batch, merged
-    with element-wise max (associative/commutative)."""
+def hll_zero_registers(regs: np.ndarray) -> int:
+    """Count of zero registers (the small-range-branch input) — gated
+    alongside the quantized estimate."""
+    return int(np.sum(regs == 0))
+
+
+def hll_merged_registers(ds: Dataset, col: str) -> np.ndarray:
+    """Merged register array over the whole dataset: one m-byte row per
+    batch rides the exchange, elementwise-max folded on the driver."""
 
     def partial(batch: pa.Table) -> pa.Table:
         regs = hll_partial(batch.column(col).to_pylist())
@@ -98,7 +112,13 @@ def hll_distinct(ds: Dataset, col: str) -> float:
                 .iter_batches(batch_size=1024, batch_format="pyarrow")):
         for raw in b.column("regs").to_pylist():
             merged = np.maximum(merged, np.frombuffer(raw, dtype=np.uint8))
-    return hll_estimate(merged)
+    return merged
+
+
+def hll_distinct(ds: Dataset, col: str) -> float:
+    """Approximate COUNT(DISTINCT): one register row per batch, merged
+    with element-wise max (associative/commutative)."""
+    return hll_estimate(hll_merged_registers(ds, col))
 
 
 class QuantileSketch:
@@ -338,17 +358,22 @@ def grouped_hll_distinct(ds: Dataset, group_col: str, col: str,
         return out.append_column("_b", pa.array(bk, pa.int64()))
 
     def fold(g: pd.DataFrame) -> pa.Table:
-        names, ests = [], []
+        names, millis, zeros = [], [], []
         for name, sub in g.groupby("g", sort=False):
             merged = np.zeros(_HLL_M, dtype=np.uint8)
             for raw in sub["regs"]:
                 merged = np.maximum(
                     merged, np.frombuffer(raw, dtype=np.uint8))
             names.append(name)
-            ests.append(hll_estimate(merged))
+            millis.append(int(np.floor(hll_estimate(merged) * 1000
+                                       + 0.5)))
+            zeros.append(hll_zero_registers(merged))
         return pa.table({
             group_col: pa.array(names, pa.string()),
-            "approx_distinct": pa.array(ests, pa.float64())})
+            "approx_distinct": pa.array(
+                [mv / 1000.0 for mv in millis], pa.float64()),
+            "est_milli": pa.array(millis, pa.int64()),
+            "n_zero_regs": pa.array(zeros, pa.int64())})
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("_b")
