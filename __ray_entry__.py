@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_dedup_stats": Q.host_dedup_stats,
         # new-this-round exact duplicate-span removal (window r5)
         "dedup_span_docs": Q.dedup_span_docs,
+        # new-this-round deterministic walk corpus (window r5)
+        "kg_walks": Q.kg_walks,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -301,6 +303,59 @@ def _kcore_sql(k: int, rounds: int) -> str:
                 GROUP BY nb.u)
         SELECT node_id, core_degree FROM fin ORDER BY node_id""")
     return "".join(parts)
+
+
+def _walks_sql(w: int, L: int) -> str:
+    """Deterministic-walk oracle mirroring
+    ``kgforge.stages.graph.deterministic_walks`` exactly: the ranked
+    adjacency is rebuilt with window functions (ascending-neighbor
+    row_number / partition count), and each step unrolls to ONE join
+    whose rank condition re-derives the engine's md5 choice hash.
+    Every operation is integer, so the corpus matches bit-for-bit."""
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT src_id, dst_id FROM ({_KG_EDGES_SQL})),
+        c AS MATERIALIZED (
+            SELECT DISTINCT
+                   CASE WHEN src_id < dst_id THEN src_id
+                        ELSE dst_id END AS a,
+                   CASE WHEN src_id < dst_id THEN dst_id
+                        ELSE src_id END AS b
+            FROM e WHERE src_id <> dst_id),
+        nb AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM c
+            UNION ALL SELECT b, a FROM c),
+        adj AS MATERIALIZED (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u ORDER BY v) - 1
+                       AS rnk,
+                   count(*) OVER (PARTITION BY u) AS deg
+            FROM nb),
+        w0 AS MATERIALIZED (
+            SELECT s.u AS start_id, r.rep, s.u AS cur
+            FROM (SELECT DISTINCT u FROM adj) s
+            CROSS JOIN (SELECT unnest(generate_series(0, {w - 1}))
+                        AS rep) r),"""]
+    for t in range(1, L + 1):
+        parts.append(f"""
+        w{t} AS MATERIALIZED (
+            SELECT p.start_id, p.rep, a.v AS cur
+            FROM w{t - 1} p JOIN adj a ON a.u = p.cur
+             AND CAST(a.rnk AS UBIGINT) =
+                 ('0x' || substr(md5(CAST(p.start_id AS VARCHAR)
+                      || ':' || CAST(p.rep AS VARCHAR)
+                      || ':{t}'), 1, 16))::UBIGINT
+                 % CAST(a.deg AS UBIGINT)),""")
+    steps = ["SELECT start_id, rep, 0 AS step, start_id AS node_id"
+             " FROM w0"]
+    steps += [f"SELECT start_id, rep, {t} AS step, cur FROM w{t}"
+              for t in range(1, L + 1)]
+    body = "\n            UNION ALL ".join(steps)
+    # strip the trailing comma of the last step CTE
+    parts[-1] = parts[-1].rstrip().rstrip(",")
+    return "".join(parts) + f"""
+        {body}
+        ORDER BY start_id, rep, step"""
 
 
 def _pagerank_sql(n_iter: int, scale_bits: int = 40,
@@ -1979,6 +2034,9 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_pages": _URL_CANONICAL_SQL,
         # per-host duplication: page counts + distinct md5(text) per
         # host parsed with the engine's own RE2 url pattern
+        # deterministic walk corpus: ranked adjacency via window
+        # functions, one unrolled join per step, md5 choice hash
+        "kg_walks": _walks_sql(w=2, L=3),
         # HyperLogLog distinct estimates, EXACTLY re-derived: md5
         # registers + integer-Z harmonic mean (see _hll_sql)
         "distinct_users_hll": _HLL_GLOBAL_SQL,

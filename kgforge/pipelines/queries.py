@@ -1746,6 +1746,17 @@ def kg_khop(sf_dir: str):
     return k_hop(_kg_result(sf_dir).edges, n_seeds=5, k=2)
 
 
+def kg_walks(sf_dir: str):
+    """Deterministic DeepWalk-style walk corpus over the built KG
+    (2 walks x 3 steps from every node): hash-seeded neighbor choice
+    makes the output byte-identical across re-runs/partitionings and
+    SQL-re-derivable (the oracle unrolls one join per step)."""
+    from ..stages.graph import deterministic_walks
+    _ensure_gate_artifact(sf_dir)
+    return deterministic_walks(_kg_result(sf_dir).edges,
+                               n_walks=2, walk_len=3)
+
+
 def events_value_rank(sf_dir: str):
     """rank() and dense_rank() of each event's value within its event
     type — integer-exact under ties (no tie-break needed)."""

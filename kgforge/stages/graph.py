@@ -1505,3 +1505,318 @@ def negative_edge_samples(edges: Dataset, k: int = 5,
         canon.map_batches(canon_key, batch_format="pyarrow"),
         "pair_key", "pair_key", strategy="join")
     return kept.select_columns(["src_id", "sample_j", "neg_id"])
+
+
+def _walk_adjacency(edges: Dataset, src_col: str, dst_col: str,
+                    n_buckets: int) -> Dataset:
+    """Ranked adjacency of the undirected simple graph as a Dataset:
+    ``(u, v, rnk, deg, bucket)`` where ``rnk`` is v's 0-based position
+    in u's ascending neighbor list and ``deg`` = |N(u)| — the indexable
+    form a deterministic walk step needs (one row lookup per step).
+    One coarse-bucket shuffle keyed on u; per-bucket vectorized rank."""
+    canon = _canonical_edges(edges, src_col, dst_col, n_buckets)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"u": pa.array([], pa.uint64()),
+                             "v": pa.array([], pa.uint64()),
+                             "bucket": pa.array([], pa.int64())})
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        u = np.concatenate([a, b]).astype(np.uint64)
+        v = np.concatenate([b, a]).astype(np.uint64)
+        return pa.table({
+            "u": pa.array(u, pa.uint64()),
+            "v": pa.array(v, pa.uint64()),
+            "bucket": pa.array((u % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    def rank_fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"u": pa.array([], pa.uint64()),
+                             "v": pa.array([], pa.uint64()),
+                             "rnk": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        g = g.sort_values(["u", "v"])
+        rnk = g.groupby("u", sort=False).cumcount().to_numpy(np.int64)
+        deg = (g.groupby("u", sort=False)["v"].transform("size")
+               .to_numpy(np.int64))
+        return pa.table({
+            "u": pa.array(g["u"].to_numpy(np.uint64), pa.uint64()),
+            "v": pa.array(g["v"].to_numpy(np.uint64), pa.uint64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "deg": pa.array(deg, pa.int64())})
+
+    return (canon.map_batches(both_dirs, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(rank_fold, batch_format="pandas"))
+
+
+def _walk_hash(starts, reps, step: int) -> np.ndarray:
+    """uint64 choice hash per walk row: first 16 hex chars of
+    ``md5(f"{start}:{rep}:{step}")`` — md5-derived precisely so the
+    oracle can rebuild every step
+    (``('0x' || substr(md5(s || ':' || r || ':' || t), 1, 16))``)."""
+    import hashlib
+    return np.fromiter(
+        (int(hashlib.md5(f"{s}:{r}:{step}".encode()).hexdigest()[:16],
+             16) for s, r in zip(starts, reps)),
+        dtype=np.uint64, count=len(starts))
+
+
+def deterministic_walks(edges: Dataset, n_walks: int = 2,
+                        walk_len: int = 3, src_col: str = "src_id",
+                        dst_col: str = "dst_id", mode: str = "auto",
+                        driver_adj_limit: int | None = None,
+                        n_buckets: int = 64) -> Dataset:
+    """DeepWalk-style walk-corpus generation (Perozzi et al. 2014) with
+    DETERMINISTIC neighbor choice: from every node of the undirected
+    simple graph, ``n_walks`` walks of ``walk_len`` steps; at step t
+    the walk at node u moves to u's ascending-sorted neighbor number
+    ``md5(f"{start}:{rep}:{t}") % deg(u)``.  Hash-seeded instead of
+    RNG-seeded so re-runs are byte-identical regardless of
+    partitioning AND the whole corpus is SQL-re-derivable (walks never
+    die: every node in the edge universe has deg >= 1).  Returns
+    ``(start_id, rep, step, node_id)`` rows — step 0 is the start.
+
+    Scale shape: the ranked adjacency (2|E| rows) stays a Dataset.
+    Below ``driver_adj_limit`` rows it is collected once and broadcast
+    via ``ray.put`` (the k_hop frontier discipline) and each step is
+    one ``map_batches`` over the walk-state Dataset — zero per-step
+    shuffles.  Above the limit, each step is two coarse-bucket
+    tag-union shuffle joins of the state against the keyed adjacency
+    ((cur)->deg to pick the neighbor rank, then (cur, rnk)->v), the
+    same exchange shape as ``k_hop_distributed`` — no driver state at
+    any size.  Both paths are output-identical (pinned in pytest).
+
+    The reference has no walk generator (graph access is Cypher via
+    FalkorDB, graphrag_sdk/kg.py); this extends the SURVEY.md §2 graph
+    family as the training-data exporter for graph embeddings."""
+    from .joins import _broadcast_cache
+    limit = (DRIVER_NODE_LIMIT if driver_adj_limit is None
+             else driver_adj_limit)
+    adj = _walk_adjacency(edges, src_col, dst_col,
+                          n_buckets).materialize()
+    n_adj = adj.count()
+    if n_adj == 0:
+        # empty graph: typed empty corpus (group shuffles can emit
+        # schema-less empty partitions — don't touch adj further)
+        return ray.data.from_arrow(pa.table({
+            "start_id": pa.array([], pa.uint64()),
+            "rep": pa.array([], pa.int64()),
+            "step": pa.array([], pa.int64()),
+            "node_id": pa.array([], pa.uint64())}))
+    if mode == "auto":
+        mode = "broadcast" if n_adj <= limit else "distributed"
+
+    def starts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table({"start_id": pa.array([], pa.uint64()),
+                             "rep": pa.array([], pa.int64()),
+                             "cur": pa.array([], pa.uint64())})
+        first = t.filter(pc.equal(t.column("rnk"), 0))
+        u = first.column("u").to_numpy(zero_copy_only=False)
+        s = np.repeat(u, n_walks)
+        r = np.tile(np.arange(n_walks, dtype=np.int64), len(u))
+        return pa.table({"start_id": pa.array(s, pa.uint64()),
+                         "rep": pa.array(r, pa.int64()),
+                         "cur": pa.array(s, pa.uint64())})
+
+    state = adj.map_batches(starts, batch_format="pyarrow").materialize()
+
+    def emit(ds: Dataset, step: int) -> Dataset:
+        def fmt(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "cur" not in t.column_names:
+                return pa.table({
+                    "start_id": pa.array([], pa.uint64()),
+                    "rep": pa.array([], pa.int64()),
+                    "step": pa.array([], pa.int64()),
+                    "node_id": pa.array([], pa.uint64())})
+            return pa.table({
+                "start_id": t.column("start_id"),
+                "rep": t.column("rep"),
+                "step": pa.array(np.full(t.num_rows, step, np.int64),
+                                 pa.int64()),
+                "node_id": t.column("cur")})
+        return ds.map_batches(fmt, batch_format="pyarrow")
+
+    outputs = [emit(state, 0)]
+
+    if mode == "broadcast":
+        adj_pd = adj.to_pandas().sort_values(["u", "rnk"])
+        nbrs = {int(u): sub["v"].to_numpy(np.uint64)
+                for u, sub in adj_pd.groupby("u", sort=False)}
+        ref = ray.put(nbrs)
+
+        for t_step in range(1, walk_len + 1):
+            def step_fn(tb: pa.Table, _t=t_step) -> pa.Table:
+                if tb.num_rows == 0:
+                    return tb
+                d = _broadcast_cache(ref)
+                s = tb.column("start_id").to_numpy(zero_copy_only=False)
+                r = tb.column("rep").to_numpy(zero_copy_only=False)
+                c = tb.column("cur").to_numpy(zero_copy_only=False)
+                h = _walk_hash(s, r, _t)
+                new = np.empty(len(c), dtype=np.uint64)
+                for i in range(len(c)):
+                    nb = d[int(c[i])]
+                    new[i] = nb[int(h[i]) % len(nb)]
+                return pa.table({
+                    "start_id": pa.array(s, pa.uint64()),
+                    "rep": pa.array(r, pa.int64()),
+                    "cur": pa.array(new, pa.uint64())})
+
+            state = state.map_batches(
+                step_fn, batch_format="pyarrow").materialize()
+            outputs.append(emit(state, t_step))
+    elif mode == "distributed":
+        for t_step in range(1, walk_len + 1):
+            state = _walk_step_distributed(state, adj, t_step,
+                                           n_buckets).materialize()
+            outputs.append(emit(state, t_step))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out
+
+
+def _walk_step_distributed(state: Dataset, adj: Dataset, step: int,
+                           n_buckets: int) -> Dataset:
+    """One walk step with no driver state: tag-union shuffle #1 keys
+    both sides on the current node (state needs deg(cur) to turn its
+    hash into a neighbor rank); shuffle #2 keys on (node, rank) to
+    fetch the chosen neighbor.  Adjacency rides both exchanges — the
+    broadcast path avoids that when it fits."""
+
+    def tag_state1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cur" not in t.column_names:
+            return _walk_phase1_empty()
+        c = t.column("cur").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(c, pa.uint64()),
+            "start_id": t.column("start_id"),
+            "rep": t.column("rep"),
+            "rnk": pa.array(np.zeros(len(c), np.int64), pa.int64()),
+            "deg": pa.array(np.zeros(len(c), np.int64), pa.int64()),
+            "side": pa.array(np.ones(len(c), np.int8), pa.int8()),
+            "bucket": pa.array((c.astype(np.uint64)
+                                % np.uint64(n_buckets)).astype(np.int64),
+                               pa.int64())})
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return _walk_phase1_empty()
+        first = t.filter(pc.equal(t.column("rnk"), 0))
+        u = first.column("u").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(u, pa.uint64()),
+            "start_id": pa.array(np.zeros(len(u), np.uint64),
+                                 pa.uint64()),
+            "rep": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            "rnk": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            "deg": first.column("deg"),
+            "side": pa.array(np.zeros(len(u), np.int8), pa.int8()),
+            "bucket": pa.array((u.astype(np.uint64)
+                                % np.uint64(n_buckets)).astype(np.int64),
+                               pa.int64())})
+
+    def fold1(g: pd.DataFrame) -> pa.Table:
+        st = g[g["side"] == 1]
+        dg = g[g["side"] == 0][["k", "deg"]]
+        if len(st) == 0 or len(dg) == 0:
+            return pa.table({"start_id": pa.array([], pa.uint64()),
+                             "rep": pa.array([], pa.int64()),
+                             "cur": pa.array([], pa.uint64()),
+                             "sel": pa.array([], pa.int64())})
+        m = st.merge(dg, on="k", how="inner", suffixes=("_s", ""))
+        s = m["start_id"].to_numpy(np.uint64)
+        r = m["rep"].to_numpy(np.int64)
+        h = _walk_hash(s, r, step)
+        sel = (h % m["deg"].to_numpy(np.uint64)).astype(np.int64)
+        return pa.table({
+            "start_id": pa.array(s, pa.uint64()),
+            "rep": pa.array(r, pa.int64()),
+            "cur": pa.array(m["k"].to_numpy(np.uint64), pa.uint64()),
+            "sel": pa.array(sel, pa.int64())})
+
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag_state2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cur" not in t.column_names:
+            return _walk_phase2_empty()
+        c = t.column("cur").to_numpy(zero_copy_only=False)
+        sel = t.column("sel").to_numpy(zero_copy_only=False)
+        bk = ((c.astype(np.uint64) * MIX + sel.astype(np.uint64))
+              % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "u": pa.array(c, pa.uint64()),
+            "rnk": pa.array(sel, pa.int64()),
+            "start_id": t.column("start_id"),
+            "rep": t.column("rep"),
+            "v": pa.array(np.zeros(len(c), np.uint64), pa.uint64()),
+            "side": pa.array(np.ones(len(c), np.int8), pa.int8()),
+            "bucket": pa.array(bk, pa.int64())})
+
+    def tag_adj2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return _walk_phase2_empty()
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        rnk = t.column("rnk").to_numpy(zero_copy_only=False)
+        bk = ((u.astype(np.uint64) * MIX + rnk.astype(np.uint64))
+              % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "u": pa.array(u, pa.uint64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "start_id": pa.array(np.zeros(len(u), np.uint64),
+                                 pa.uint64()),
+            "rep": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            "v": t.column("v"),
+            "side": pa.array(np.zeros(len(u), np.int8), pa.int8()),
+            "bucket": pa.array(bk, pa.int64())})
+
+    def fold2(g: pd.DataFrame) -> pa.Table:
+        st = g[g["side"] == 1]
+        ad = g[g["side"] == 0][["u", "rnk", "v"]]
+        if len(st) == 0 or len(ad) == 0:
+            return pa.table({"start_id": pa.array([], pa.uint64()),
+                             "rep": pa.array([], pa.int64()),
+                             "cur": pa.array([], pa.uint64())})
+        m = st.merge(ad, on=["u", "rnk"], how="inner",
+                     suffixes=("_s", ""))
+        return pa.table({
+            "start_id": pa.array(m["start_id"].to_numpy(np.uint64),
+                                 pa.uint64()),
+            "rep": pa.array(m["rep"].to_numpy(np.int64), pa.int64()),
+            "cur": pa.array(m["v"].to_numpy(np.uint64), pa.uint64())})
+
+    phase1 = (state.map_batches(tag_state1, batch_format="pyarrow")
+              .union(adj.map_batches(tag_deg, batch_format="pyarrow"))
+              .groupby("bucket")
+              .map_groups(fold1, batch_format="pandas"))
+    return (phase1.map_batches(tag_state2, batch_format="pyarrow")
+            .union(adj.map_batches(tag_adj2, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(fold2, batch_format="pandas"))
+
+
+def _walk_phase1_empty() -> pa.Table:
+    return pa.table({"k": pa.array([], pa.uint64()),
+                     "start_id": pa.array([], pa.uint64()),
+                     "rep": pa.array([], pa.int64()),
+                     "rnk": pa.array([], pa.int64()),
+                     "deg": pa.array([], pa.int64()),
+                     "side": pa.array([], pa.int8()),
+                     "bucket": pa.array([], pa.int64())})
+
+
+def _walk_phase2_empty() -> pa.Table:
+    return pa.table({"u": pa.array([], pa.uint64()),
+                     "rnk": pa.array([], pa.int64()),
+                     "start_id": pa.array([], pa.uint64()),
+                     "rep": pa.array([], pa.int64()),
+                     "v": pa.array([], pa.uint64()),
+                     "side": pa.array([], pa.int8()),
+                     "bucket": pa.array([], pa.int64())})

@@ -933,3 +933,33 @@ def test_span_dedup_boundary_isolation():
     # doc 2: grams "p q r s t"(x2 corpus-wide) banned; "q r s t u",
     # "r s t u v" occur once -> only first 5 tokens covered
     assert out.loc[2, "text"] == "u v" and out.loc[2, "n_removed"] == 5
+
+
+def test_deterministic_walks_paths_and_handcheck():
+    import hashlib
+    from kgforge.stages.graph import deterministic_walks
+    edges = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([1, 1, 2, 3, 4, 5, 2**63 + 7], pa.uint64()),
+        "dst_id": pa.array([2, 3, 3, 4, 1, 1, 1], pa.uint64())}))
+    a = (deterministic_walks(edges, n_walks=2, walk_len=3)
+         .to_pandas().sort_values(["start_id", "rep", "step"])
+         .reset_index(drop=True))
+    b = (deterministic_walks(edges, n_walks=2, walk_len=3,
+                             mode="distributed")
+         .to_pandas().sort_values(["start_id", "rep", "step"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # every walk has exactly walk_len+1 rows; walks never die
+    assert len(a) == 6 * 2 * 4          # 6 nodes x 2 reps x 4 steps
+    # hand-derived first step of walk (start=1, rep=0): neighbors of 1
+    # ascending are [2,3,4,5,2^63+7]; choice = md5("1:0:1") % 5
+    h = int(hashlib.md5(b"1:0:1").hexdigest()[:16], 16)
+    nb = sorted([2, 3, 4, 5, 2**63 + 7])
+    got = a[(a.start_id == 1) & (a.rep == 0)
+            & (a.step == 1)].node_id.iloc[0]
+    assert int(got) == nb[h % 5]
+    # empty graph -> empty corpus on both paths
+    empty = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([], pa.uint64()),
+        "dst_id": pa.array([], pa.uint64())}))
+    assert deterministic_walks(empty, 2, 2).count() == 0
