@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_span_docs": Q.dedup_span_docs,
         # new-this-round deterministic walk corpus (window r5)
         "kg_walks": Q.kg_walks,
+        # new-this-round personalized PageRank (window r5)
+        "kg_ppr": Q.kg_ppr,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -302,6 +304,68 @@ def _kcore_sql(k: int, rounds: int) -> str:
                 JOIN {last} q ON nb.v = q.n
                 GROUP BY nb.u)
         SELECT node_id, core_degree FROM fin ORDER BY node_id""")
+    return "".join(parts)
+
+
+def _ppr_sql(n_iter: int, n_seeds: int, scale_bits: int = 40,
+             num: int = 17, den: int = 20) -> str:
+    """Mechanically-unrolled personalized PageRank mirroring
+    ``kgforge.stages.graph.personalized_pagerank_fixed`` exactly — the
+    ``_pagerank_sql`` chain with a seeds table: teleport and dangling
+    mass land on the ``n_seeds`` smallest node ids only.  Every
+    operation is integer, so the chain is bit-exact."""
+    S = 1 << scale_bits
+    base_num = (den - num) * S
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT src_id, dst_id FROM ({_KG_EDGES_SQL})),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT node_id FROM (
+                SELECT src_id AS node_id FROM e
+                UNION ALL SELECT dst_id FROM e)),
+        seeds AS MATERIALIZED (
+            SELECT node_id FROM nodes ORDER BY node_id
+            LIMIT {n_seeds}),
+        kk AS MATERIALIZED (SELECT count(*) AS k FROM seeds),
+        deg AS MATERIALIZED (
+            SELECT nodes.node_id, COALESCE(od.d, 0) AS outdeg,
+                   (s.node_id IS NOT NULL) AS is_seed
+            FROM nodes
+            LEFT JOIN (SELECT src_id AS node_id, count(*) AS d
+                       FROM e GROUP BY 1) od USING (node_id)
+            LEFT JOIN seeds s USING (node_id)),
+        r0 AS MATERIALIZED (
+            SELECT node_id,
+                   CASE WHEN is_seed THEN {S} // kk.k ELSE 0 END AS r
+            FROM deg CROSS JOIN kk),"""]
+    for i in range(n_iter):
+        parts.append(f"""
+        r{i + 1} AS MATERIALIZED (
+            SELECT d.node_id,
+                   CASE WHEN d.is_seed
+                        THEN {base_num} // ({den} * kk.k)
+                        ELSE 0 END
+                   + ({num} * (COALESCE(inc.s, 0)
+                        + CASE WHEN d.is_seed THEN dang.dg // kk.k
+                               ELSE 0 END)) // {den} AS r
+            FROM deg d
+            CROSS JOIN kk
+            CROSS JOIN (SELECT COALESCE(SUM(p.r), 0) AS dg
+                        FROM r{i} p JOIN deg dd USING (node_id)
+                        WHERE dd.outdeg = 0) dang
+            LEFT JOIN (SELECT e.dst_id AS node_id,
+                              SUM(p.r // dd.outdeg) AS s
+                       FROM e
+                       JOIN r{i} p ON e.src_id = p.node_id
+                       JOIN deg dd ON e.src_id = dd.node_id
+                       GROUP BY e.dst_id) inc
+                ON d.node_id = inc.node_id),""")
+    parts.append(f"""
+        fin AS (SELECT node_id, CAST(r AS BIGINT) AS ppr_fixed
+                FROM r{n_iter})
+        SELECT node_id, ppr_fixed,
+               CAST(ppr_fixed AS DOUBLE) / {float(S)} AS ppr
+        FROM fin ORDER BY node_id""")
     return "".join(parts)
 
 
@@ -2037,6 +2101,9 @@ def oracle_sql() -> dict[str, str]:
         # deterministic walk corpus: ranked adjacency via window
         # functions, one unrolled join per step, md5 choice hash
         "kg_walks": _walks_sql(w=2, L=3),
+        # personalized PageRank: integer recurrence unrolled, teleport
+        # and dangling mass restricted to the seed set
+        "kg_ppr": _ppr_sql(n_iter=10, n_seeds=5),
         # HyperLogLog distinct estimates, EXACTLY re-derived: md5
         # registers + integer-Z harmonic mean (see _hll_sql)
         "distinct_users_hll": _HLL_GLOBAL_SQL,

@@ -1757,6 +1757,18 @@ def kg_walks(sf_dir: str):
                                n_walks=2, walk_len=3)
 
 
+def kg_ppr(sf_dir: str):
+    """Personalized (seed-restart) PageRank over the built KG from the
+    5 smallest node ids — the GraphRAG-style "which entities matter to
+    this seed set" primitive.  Integer fixed point => bit-exact and
+    SQL-oracled as an unrolled CTE chain (the kg_pagerank trick with a
+    seeds table)."""
+    from ..stages.graph import personalized_pagerank_fixed
+    _ensure_gate_artifact(sf_dir)
+    return personalized_pagerank_fixed(_kg_result(sf_dir).edges,
+                                       n_seeds=5, n_iter=10)
+
+
 def events_value_rank(sf_dir: str):
     """rank() and dense_rank() of each event's value within its event
     type — integer-exact under ties (no tie-break needed)."""

@@ -1820,3 +1820,96 @@ def _walk_phase2_empty() -> pa.Table:
                      "v": pa.array([], pa.uint64()),
                      "side": pa.array([], pa.int8()),
                      "bucket": pa.array([], pa.int64())})
+
+
+def personalized_pagerank_fixed(edges: Dataset, n_seeds: int = 5,
+                                src_col: str = "src_id",
+                                dst_col: str = "dst_id",
+                                damping_num: int = 17,
+                                damping_den: int = 20,
+                                n_iter: int = 10,
+                                scale_bits: int = 40) -> pd.DataFrame:
+    """Personalized (seed-restart) PageRank in the same deterministic
+    fixed-point arithmetic as :func:`pagerank_fixed` — relevance of
+    every KG node RELATIVE to a seed set (the "which entities matter
+    to this query/user" primitive behind GraphRAG-style retrieval).
+    Seed rule mirrors :func:`k_hop`: the ``n_seeds`` smallest node ids
+    (deterministic and SQL-expressible).  Teleport AND dangling mass
+    return to the seeds only:
+
+    - ``r0[v]  = S // k``  for seeds, else 0   (k = |seeds|)
+    - ``r'[v] = (v in seeds ? ((den-num)*S) // (den*k) : 0)
+              + (num * (incoming[v]
+                        + (v in seeds ? dangling // k : 0))) // den``
+
+    All integer → bit-exact regardless of summation order → the gate
+    unrolls the identical recurrence as a DuckDB CTE chain
+    (``__ray_entry__._ppr_sql``).  Dataflow is :func:`pagerank_fixed`'s
+    driver path (edge list indexed once, distributed scatter per
+    iteration, node-sized rank vector — the documented ~8 B/node
+    bound); past driver memory the same seed-indicator column rides
+    :func:`pagerank_fixed_distributed`'s keyed rank table unchanged."""
+    if n_iter < 1 or n_seeds < 1:
+        raise ValueError("n_iter and n_seeds must be >= 1")
+    deg = degree_table(edges, src_col, dst_col).to_pandas()
+    nodes = np.sort(deg["node_id"].to_numpy(np.uint64))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({
+            "node_id": pd.Series([], dtype=np.uint64),
+            "ppr_fixed": pd.Series([], dtype=np.int64),
+            "ppr": pd.Series([], dtype=np.float64)})
+    outdeg = np.zeros(n, np.int64)
+    pos = np.searchsorted(nodes, deg["node_id"].to_numpy(np.uint64))
+    outdeg[pos] = deg["out_degree"].to_numpy(np.int64)
+    k = min(int(n_seeds), n)
+    seed_mask = np.zeros(n, bool)
+    seed_mask[:k] = True                    # nodes sorted ascending
+    nodes_ref = ray.put(nodes)
+
+    def index_edges(batch: pa.Table) -> pa.Table:
+        nds = ray.get(nodes_ref)
+        s = np.searchsorted(nds, batch.column(src_col)
+                            .to_numpy(zero_copy_only=False))
+        d = np.searchsorted(nds, batch.column(dst_col)
+                            .to_numpy(zero_copy_only=False))
+        return pa.table({"si": pa.array(s, pa.int64()),
+                         "di": pa.array(d, pa.int64())})
+
+    indexed = (edges.select_columns([src_col, dst_col])
+               .map_batches(index_edges, batch_format="pyarrow")
+               .materialize())
+
+    S = 1 << scale_bits
+    num, den = int(damping_num), int(damping_den)
+    base = ((den - num) * S) // (den * k)
+    safe_out = np.maximum(outdeg, 1)
+    dangling_mask = outdeg == 0
+    seed_base = np.where(seed_mask, base, 0).astype(np.int64)
+    r = np.where(seed_mask, S // k, 0).astype(np.int64)
+    for _ in range(n_iter):
+        contrib_ref = ray.put(r // safe_out)
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            c = ray.get(contrib_ref)
+            si = batch.column("si").to_numpy()
+            di = batch.column("di").to_numpy()
+            sums = np.zeros(len(c), np.int64)
+            np.add.at(sums, di, c[si])
+            nz = np.flatnonzero(sums)
+            return pa.table({"i": pa.array(nz, pa.int64()),
+                             "s": pa.array(sums[nz], pa.int64())})
+
+        parts = indexed.map_batches(scatter,
+                                    batch_format="pyarrow").to_pandas()
+        incoming = np.zeros(n, np.int64)
+        np.add.at(incoming, parts["i"].to_numpy(np.int64),
+                  parts["s"].to_numpy(np.int64))
+        dangling = int(r[dangling_mask].sum())
+        r = seed_base + (num * (incoming
+                                + np.where(seed_mask, dangling // k, 0))
+                         ) // den
+
+    return pd.DataFrame({"node_id": nodes,
+                         "ppr_fixed": r.astype(np.int64),
+                         "ppr": r.astype(np.float64) / float(S)})

@@ -963,3 +963,34 @@ def test_deterministic_walks_paths_and_handcheck():
         "src_id": pa.array([], pa.uint64()),
         "dst_id": pa.array([], pa.uint64())}))
     assert deterministic_walks(empty, 2, 2).count() == 0
+
+
+def test_personalized_pagerank_fixed():
+    from kgforge.stages.graph import personalized_pagerank_fixed
+    # chain 1-2-3-4-5-6: seeds = {1,2} (n_seeds=2); mass concentrates
+    # near the seeds and decays along the chain
+    edges = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([1, 2, 3, 4, 5], pa.uint64()),
+        "dst_id": pa.array([2, 3, 4, 5, 6], pa.uint64())}))
+    # n_iter=30: the initial seed pulse decays ~0.85^30 so the
+    # steady-state ordering assertions below hold
+    out = personalized_pagerank_fixed(edges, n_seeds=2, n_iter=30)
+    out = out.set_index("node_id").sort_index()
+    assert len(out) == 6
+    # total mass bounded by S
+    assert out["ppr_fixed"].sum() <= (1 << 40)
+    # steady state (hand-derived fixpoint): r2 > r3 > r4 > r5 > r6,
+    # seed 1 holds only teleport + dangling return (~0.127)
+    assert out.loc[2, "ppr"] == out["ppr"].max()
+    assert (out.loc[3, "ppr"] > out.loc[4, "ppr"]
+            > out.loc[5, "ppr"] > out.loc[6, "ppr"])
+    assert 0.07 < out.loc[1, "ppr"] < out.loc[2, "ppr"]
+    # non-seed unreachable node gets zero teleport: isolated via a
+    # second component reachable only FROM it (no in-edges, not seed)
+    edges2 = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([1, 9], pa.uint64()),
+        "dst_id": pa.array([2, 8], pa.uint64())}))
+    out2 = (personalized_pagerank_fixed(edges2, n_seeds=2, n_iter=5)
+            .set_index("node_id"))
+    assert out2.loc[9, "ppr_fixed"] == 0       # no teleport, no paths in
+    assert out2.loc[1, "ppr_fixed"] > 0 and out2.loc[2, "ppr_fixed"] > 0
