@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": Q.kg_walks,
         # new-this-round personalized PageRank (window r5)
         "kg_ppr": Q.kg_ppr,
+        # new-this-round per-user event-type crosstab (window r5)
+        "events_user_pivot": Q.events_user_pivot,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -305,6 +307,29 @@ def _kcore_sql(k: int, rounds: int) -> str:
                 GROUP BY nb.u)
         SELECT node_id, core_degree FROM fin ORDER BY node_id""")
     return "".join(parts)
+
+
+def _pivot_sql() -> str:
+    """FILTER conditional aggregation mirroring
+    ``relational.pivot_counts`` over the events table: per-batch
+    integer-cents partials sum order-free, so every cell is exact
+    (``round(value*100)`` == the engine's floor(v*100+0.5) on this
+    corpus's non-negative values)."""
+    from kgforge.pipelines.queries import EVENT_TYPES
+    cols = []
+    for c in EVENT_TYPES:
+        cols.append(f"CAST(count(*) FILTER (WHERE event_type = '{c}')"
+                    f" AS BIGINT) AS n_{c}")
+        cols.append(
+            f"CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)) "
+            f"FILTER (WHERE event_type = '{c}'), 0) AS BIGINT) "
+            f"AS cents_{c}")
+    cats = ", ".join(f"'{c}'" for c in EVENT_TYPES)
+    return f"""
+        SELECT user_id, {', '.join(cols)}
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IN ({cats})
+        GROUP BY user_id ORDER BY user_id"""
 
 
 def _ppr_sql(n_iter: int, n_seeds: int, scale_bits: int = 40,
@@ -2104,6 +2129,8 @@ def oracle_sql() -> dict[str, str]:
         # personalized PageRank: integer recurrence unrolled, teleport
         # and dangling mass restricted to the seed set
         "kg_ppr": _ppr_sql(n_iter=10, n_seeds=5),
+        # per-user event-type crosstab: FILTER conditional aggregation
+        "events_user_pivot": _pivot_sql(),
         # HyperLogLog distinct estimates, EXACTLY re-derived: md5
         # registers + integer-Z harmonic mean (see _hll_sql)
         "distinct_users_hll": _HLL_GLOBAL_SQL,

@@ -1757,6 +1757,20 @@ def kg_walks(sf_dir: str):
                                n_walks=2, walk_len=3)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_user_pivot(sf_dir: str):
+    """Per-user crosstab over event types — one (n_<type>,
+    cents_<type>) column pair per type (the per-entity feature-table
+    layout).  SQL-oracled as a FILTER conditional aggregation."""
+    from ..stages.relational import pivot_counts
+    events = _read(sf_dir, "events",
+                   columns=["user_id", "event_type", "value"])
+    return pivot_counts(events, "user_id", "event_type", "value",
+                        EVENT_TYPES).sort("user_id")
+
+
 def kg_ppr(sf_dir: str):
     """Personalized (seed-restart) PageRank over the built KG from the
     5 smallest node ids — the GraphRAG-style "which entities matter to

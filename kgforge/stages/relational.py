@@ -1456,3 +1456,69 @@ def bottom_k_sample(ds: Dataset, id_col: str, k: int = 50,
 
     return picked.repartition(1).map_batches(rank,
                                              batch_format="pyarrow")
+
+
+def pivot_counts(ds: Dataset, row_col: str, col_col: str,
+                 value_col: str, categories: list[str],
+                 n_buckets: int = 64) -> Dataset:
+    """Crosstab / wide conditional aggregation: one output row per
+    ``row_col`` key with a ``(n_<cat>, cents_<cat>)`` column pair per
+    category — the feature-table layout model-training joins want
+    (per-user interaction features, per-domain type mixes).  The
+    category list is EXPLICIT (fixed output schema; rows whose
+    ``col_col`` is outside it are dropped, as are null row keys — the
+    repo-wide grouped-op contract).  Values fold as integer cents
+    (:func:`_cents`), so sums are order-free exact.
+
+    Scale shape: the classic combiner→fold pair — pass 1 pre-pivots
+    per batch to at most ``rows x |categories|`` partial cells, ONE
+    coarse-bucket shuffle on the row key, pass 2 pivots vectorized per
+    bucket (never a per-key group).  Equivalent SQL is a FILTER
+    conditional aggregation, which is how the oracle mirrors it."""
+    from .joins import key_bucket
+    cats = list(categories)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column(row_col).is_valid())
+        df = pd.DataFrame({
+            "r": t.column(row_col).to_pandas(),
+            "c": t.column(col_col).to_pandas(),
+            "cents": _cents(t.column(value_col).to_numpy(
+                zero_copy_only=False))})
+        df = df[df["c"].isin(cats)]
+        agg = (df.groupby(["r", "c"], sort=False)["cents"]
+               .agg(["size", "sum"]).reset_index())
+        out = pa.table({
+            "r": pa.array(agg["r"].to_numpy()),
+            "c": pa.array(agg["c"].to_numpy(object), pa.string()),
+            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(agg["sum"].to_numpy(np.int64), pa.int64())})
+        return out.append_column(
+            "bucket", key_bucket(out.column("r"), n_buckets))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({row_col: pa.array([], pa.int64()),
+                             **{f"n_{c}": pa.array([], pa.int64())
+                                for c in cats},
+                             **{f"cents_{c}": pa.array([], pa.int64())
+                                for c in cats}})
+        summed = (g.groupby(["r", "c"], sort=False)[["n", "s"]]
+                  .sum().reset_index())
+        nw = summed.pivot(index="r", columns="c", values="n")
+        sw = summed.pivot(index="r", columns="c", values="s")
+        idx = nw.index.sort_values()
+        cols = {row_col: pa.array(idx.to_numpy())}
+        for c in cats:
+            nv = (nw[c].reindex(idx).fillna(0).to_numpy(np.int64)
+                  if c in nw.columns else np.zeros(len(idx), np.int64))
+            sv = (sw[c].reindex(idx).fillna(0).to_numpy(np.int64)
+                  if c in sw.columns else np.zeros(len(idx), np.int64))
+            cols[f"n_{c}"] = pa.array(nv, pa.int64())
+            cols[f"cents_{c}"] = pa.array(sv, pa.int64())
+        return pa.table(cols)
+
+    return (ds.select_columns([row_col, col_col, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pandas"))
