@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": Q.kg_ppr,
         # new-this-round per-user event-type crosstab (window r5)
         "events_user_pivot": Q.events_user_pivot,
+        # new-this-round deterministic KMV approx quantiles (window r5)
+        "events_value_quantiles_kmv": Q.events_value_quantiles_kmv,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -2131,6 +2133,21 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": _ppr_sql(n_iter=10, n_seeds=5),
         # per-user event-type crosstab: FILTER conditional aggregation
         "events_user_pivot": _pivot_sql(),
+        # deterministic KMV approx quantiles: quantile_disc over the
+        # bottom-500 md5(event_id||':bk') sample (bottom_k_sample's
+        # exact key), mirroring relational.exact_quantiles' rank rule
+        "events_value_quantiles_kmv": """
+            WITH samp AS (
+              SELECT value FROM events
+              ORDER BY substr(md5(CAST(event_id AS VARCHAR) || ':bk'),
+                              1, 16)
+              LIMIT 500)
+            SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value
+            FROM samp
+            UNION ALL SELECT 0.5, quantile_disc(value, 0.5) FROM samp
+            UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM samp
+            UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM samp
+        """,
         # HyperLogLog distinct estimates, EXACTLY re-derived: md5
         # registers + integer-Z harmonic mean (see _hll_sql)
         "distinct_users_hll": _HLL_GLOBAL_SQL,

@@ -979,6 +979,18 @@ def events_value_quantiles(sf_dir: str):
     return exact_quantiles(events, "value", [0.25, 0.5, 0.9, 0.99])
 
 
+def events_value_quantiles_kmv(sf_dir: str):
+    """Deterministic APPROXIMATE quantiles: quantile_disc over the
+    bottom-k (k=500) md5 sample — the oracled companion of the
+    rows-only mergeable sketch (a deterministic sample makes the
+    approximation itself SQL-exact; rank error vs the exact quantiles
+    is pinned in pytest)."""
+    from ..stages.relational import bottom_k_sample, exact_quantiles
+    events = _read(sf_dir, "events", columns=["event_id", "value"])
+    samp = bottom_k_sample(events, "event_id", k=500)
+    return exact_quantiles(samp, "value", [0.25, 0.5, 0.9, 0.99])
+
+
 def pack_documents(sf_dir: str):
     """GPT-style sequence packing over the documents table: token counts
     → distributed exclusive prefix sum (concat layout) → fixed 2048-token

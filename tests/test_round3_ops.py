@@ -994,3 +994,19 @@ def test_personalized_pagerank_fixed():
             .set_index("node_id"))
     assert out2.loc[9, "ppr_fixed"] == 0       # no teleport, no paths in
     assert out2.loc[1, "ppr_fixed"] > 0 and out2.loc[2, "ppr_fixed"] > 0
+
+
+def test_kmv_quantiles_envelope():
+    """The deterministic bottom-k sample's quantiles track the exact
+    quantiles (uniform sample; loose envelope — exactness vs the SQL
+    oracle is the gate's job, this pins statistical sanity)."""
+    from kgforge.pipelines.queries import (events_value_quantiles,
+                                           events_value_quantiles_kmv)
+    sf = "/root/testdata/sf0.001"
+    ex = {r["q"]: r["value"]
+          for r in events_value_quantiles(sf).to_pylist()}
+    ap = {r["q"]: r["value"]
+          for r in events_value_quantiles_kmv(sf).to_pylist()}
+    assert set(ex) == set(ap)
+    for q in ex:
+        assert abs(ap[q] - ex[q]) <= 0.25 * max(abs(ex[q]), 1.0)
