@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_pivot": Q.events_user_pivot,
         # new-this-round deterministic KMV approx quantiles (window r5)
         "events_value_quantiles_kmv": Q.events_value_quantiles_kmv,
+        # new-this-round fuzzy record-linkage pairs (window r5)
+        "supplier_fuzzy_pairs": Q.supplier_fuzzy_pairs,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -2133,6 +2135,19 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": _ppr_sql(n_iter=10, n_seeds=5),
         # per-user event-type crosstab: FILTER conditional aggregation
         "events_user_pivot": _pivot_sql(),
+        # fuzzy record linkage: deletion-neighborhood blocking has
+        # recall exactly 1 for dist<=1, so the brute-force levenshtein
+        # cross join is the precise oracle
+        "supplier_fuzzy_pairs": """
+            SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+                   a.s_name AS name_a, b.s_name AS name_b,
+                   CAST(levenshtein(a.s_name, b.s_name) AS BIGINT)
+                       AS dist
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
+            ORDER BY a_id, b_id
+        """,
         # deterministic KMV approx quantiles: quantile_disc over the
         # bottom-500 md5(event_id||':bk') sample (bottom_k_sample's
         # exact key), mirroring relational.exact_quantiles' rank rule

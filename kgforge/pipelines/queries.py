@@ -1772,6 +1772,17 @@ def kg_walks(sf_dir: str):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def supplier_fuzzy_pairs(sf_dir: str):
+    """Fuzzy record linkage: all supplier-name pairs within Levenshtein
+    distance 1 via deletion-neighborhood blocking (recall exactly 1,
+    final exact verify).  SQL-oracled against a brute-force
+    levenshtein cross join."""
+    from ..stages.dedup import fuzzy_pairs_editdist1
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return (fuzzy_pairs_editdist1(sup, "s_suppkey", "s_name")
+            .sort(["a_id", "b_id"]))
+
+
 def events_user_pivot(sf_dir: str):
     """Per-user crosstab over event types — one (n_<type>,
     cents_<type>) column pair per type (the per-entity feature-table

@@ -1096,3 +1096,123 @@ def span_dedup(docs: Dataset, id_col: str = "doc_id",
                 pa.int64())})
 
     return docs.map_batches(strip, batch_format="pyarrow")
+
+
+def _editdist_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 in O(len) with early exit — only
+    ever called on blocking-verified candidate pairs."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        diff = 0
+        for x, y in zip(a, b):
+            if x != y:
+                diff += 1
+                if diff > 1:
+                    return False
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # lb == la + 1: b must equal a with one char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_pairs_editdist1(ds: Dataset, id_col: str, name_col: str,
+                          n_buckets: int = 64) -> Dataset:
+    """Record-linkage candidate mining: ALL unordered pairs of rows
+    whose names are within Levenshtein distance 1 (typo/OCR-variant
+    entity keys — the fuzzy companion of the exact alias dictionary
+    and the ANN linker).  Blocking is the deletion neighborhood: a
+    string's keys are itself plus every 1-char deletion; two strings
+    at distance <= 1 ALWAYS share a key (substitution: same deletion
+    at the edit position; insertion/deletion: the shorter string IS a
+    deletion of the longer), so recall is exactly 1 and the final
+    Levenshtein check makes precision exactly 1.
+
+    Scale shape: each row emits len(name)+1 ``(key, id, name)`` rows
+    into ONE coarse-bucket exchange (keys are short for entity names;
+    for long strings swap the key for its md5 and rejoin names by id —
+    same macro shape).  Per-key candidate groups pair locally; a
+    second tiny exchange dedups pairs found under multiple shared keys
+    and runs the exact verify once per distinct pair.  Output:
+    ``(a_id, b_id, name_a, name_b, dist)`` with a_id < b_id."""
+    from .joins import key_bucket
+
+    def expand(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t.column(id_col).is_valid(),
+                             t.column(name_col).is_valid()))
+        ids = t.column(id_col).to_pylist()
+        names = t.column(name_col).to_pylist()
+        keys: list[str] = []
+        out_ids: list[int] = []
+        out_names: list[str] = []
+        for i, nm in zip(ids, names):
+            variants = [nm] + [nm[:j] + nm[j + 1:]
+                               for j in range(len(nm))]
+            keys.extend(variants)
+            out_ids.extend([i] * len(variants))
+            out_names.extend([nm] * len(variants))
+        karr = pa.array(keys, pa.string())
+        out = pa.table({"k": karr,
+                        "id": pa.array(out_ids, pa.int64()),
+                        "nm": pa.array(out_names, pa.string())})
+        return out.append_column("bucket", key_bucket(karr, n_buckets))
+
+    def candidates(g: pd.DataFrame) -> pa.Table:
+        a_ids, b_ids, a_nms, b_nms = [], [], [], []
+        for _, sub in g.groupby("k", sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.drop_duplicates("id").sort_values("id")
+            ids = sub["id"].to_numpy(np.int64)
+            nms = sub["nm"].to_numpy(object)
+            for x in range(len(ids) - 1):
+                for y in range(x + 1, len(ids)):
+                    a_ids.append(ids[x]); b_ids.append(ids[y])
+                    a_nms.append(nms[x]); b_nms.append(nms[y])
+        return pa.table({
+            "a_id": pa.array(a_ids, pa.int64()),
+            "b_id": pa.array(b_ids, pa.int64()),
+            "name_a": pa.array(a_nms, pa.string()),
+            "name_b": pa.array(b_nms, pa.string()),
+            "bucket": pa.array(
+                (np.asarray(a_ids, np.int64)
+                 + np.asarray(b_ids, np.int64)) % n_buckets
+                if a_ids else np.array([], np.int64), pa.int64())})
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "name_a": pa.array([], pa.string()),
+                             "name_b": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.int64())})
+        g = g.drop_duplicates(["a_id", "b_id"]).sort_values(
+            ["a_id", "b_id"])
+        keep, dist = [], []
+        for na, nb in zip(g["name_a"], g["name_b"]):
+            ok = _editdist_le1(na, nb)
+            keep.append(ok)
+            dist.append(0 if na == nb else 1)
+        g = g[np.asarray(keep, bool)]
+        d = [0 if na == nb else 1
+             for na, nb in zip(g["name_a"], g["name_b"])]
+        return pa.table({
+            "a_id": pa.array(g["a_id"].to_numpy(np.int64), pa.int64()),
+            "b_id": pa.array(g["b_id"].to_numpy(np.int64), pa.int64()),
+            "name_a": pa.array(g["name_a"].to_numpy(object),
+                               pa.string()),
+            "name_b": pa.array(g["name_b"].to_numpy(object),
+                               pa.string()),
+            "dist": pa.array(d, pa.int64())})
+
+    return (ds.select_columns([id_col, name_col])
+              .map_batches(expand, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(candidates, batch_format="pandas")
+              .groupby("bucket")
+              .map_groups(verify, batch_format="pandas"))

@@ -1010,3 +1010,34 @@ def test_kmv_quantiles_envelope():
     assert set(ex) == set(ap)
     for q in ex:
         assert abs(ap[q] - ex[q]) <= 0.25 * max(abs(ex[q]), 1.0)
+
+
+def test_fuzzy_pairs_editdist1_semantics():
+    from kgforge.stages.dedup import _editdist_le1, fuzzy_pairs_editdist1
+    # unit: every edit kind + rejections
+    assert _editdist_le1("abc", "abc")          # dist 0
+    assert _editdist_le1("abc", "abd")          # substitution
+    assert _editdist_le1("abc", "abxc")         # insertion
+    assert _editdist_le1("abc", "ab")           # deletion
+    assert not _editdist_le1("abc", "adx")      # dist 2 same length
+    assert not _editdist_le1("abc", "cab")      # rotation = dist 2
+    assert not _editdist_le1("abc", "abcde")    # length gap 2
+    assert _editdist_le1("", "x") and _editdist_le1("", "")
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "name": pa.array(["kitten", "kitteo", "kitte", "sitten",
+                          "mitten", "müller"], pa.string())}))
+    out = (fuzzy_pairs_editdist1(ds, "id", "name").to_pandas()
+           .sort_values(["a_id", "b_id"]))
+    got = set(zip(out["a_id"], out["b_id"]))
+    # kitten~kitteo (sub), kitten~kitte (del), kitten~sitten (sub),
+    # kitten~mitten (sub), kitteo~kitte (del), sitten~mitten (sub)
+    assert got == {(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (4, 5)}
+    assert (out["dist"] == 1).all()
+    # duplicate names pair at dist 0, exactly once despite many
+    # shared deletion keys
+    ds2 = ray.data.from_arrow(pa.table({
+        "id": pa.array([7, 8], pa.int64()),
+        "name": pa.array(["same", "same"], pa.string())}))
+    out2 = fuzzy_pairs_editdist1(ds2, "id", "name").to_pandas()
+    assert len(out2) == 1 and out2["dist"].iloc[0] == 0
