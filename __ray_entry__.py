@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_kmv": Q.events_value_quantiles_kmv,
         # new-this-round fuzzy record-linkage pairs (window r5)
         "supplier_fuzzy_pairs": Q.supplier_fuzzy_pairs,
+        # new-this-round per-language stratified sample (window r5)
+        "lang_stratified_sample": Q.lang_stratified_sample,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -2135,6 +2137,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": _ppr_sql(n_iter=10, n_seeds=5),
         # per-user event-type crosstab: FILTER conditional aggregation
         "events_user_pivot": _pivot_sql(),
+        # per-language stratified bottom-k sample: QUALIFY row_number
+        # over the engine's exact md5('<id>:bk') hash key
+        "lang_stratified_sample": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)
+                                           || ':bk'), 1, 16))
+                        AS BIGINT) AS sample_rank
+            FROM documents
+            WHERE lang IS NOT NULL
+            QUALIFY sample_rank <= 20
+            ORDER BY lang, sample_rank
+        """,
         # fuzzy record linkage: deletion-neighborhood blocking has
         # recall exactly 1 for dist<=1, so the brute-force levenshtein
         # cross join is the precise oracle

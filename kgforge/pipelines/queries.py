@@ -1772,6 +1772,17 @@ def kg_walks(sf_dir: str):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def lang_stratified_sample(sf_dir: str):
+    """Per-language fixed-size (k=20) deterministic sample over
+    documents — the stratified training-mix slice.  SQL-oracled via a
+    QUALIFY row_number over the same md5 key."""
+    from ..stages.relational import grouped_bottom_k_sample
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "n_chars"])
+    return (grouped_bottom_k_sample(docs, "lang", "doc_id", k=20)
+            .sort(["lang", "sample_rank"]))
+
+
 def supplier_fuzzy_pairs(sf_dir: str):
     """Fuzzy record linkage: all supplier-name pairs within Levenshtein
     distance 1 via deletion-neighborhood blocking (recall exactly 1,

@@ -1522,3 +1522,49 @@ def pivot_counts(ds: Dataset, row_col: str, col_col: str,
               .map_batches(partial, batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(fold, batch_format="pandas"))
+
+
+def grouped_bottom_k_sample(ds: Dataset, group_col: str, id_col: str,
+                            k: int = 20, salt: str = "bk",
+                            n_buckets: int = 16) -> Dataset:
+    """STRATIFIED deterministic sampling: the ``k`` rows with the
+    smallest md5-derived hash PER GROUP (fixed-size per-stratum
+    uniform sample — per-language / per-domain training-mix slices).
+    Same mergeability as :func:`bottom_k_sample`: per-batch local
+    min-k per group is a lossless combiner, so the only exchange is
+    the (blocks x groups x k)-row coarse-bucket fold — never the
+    corpus.  Null group keys drop (repo-wide grouped-op contract).
+    Returns the sampled rows + ``sample_rank`` (1-based hash order
+    within the group)."""
+    import hashlib
+
+    from .joins import key_bucket
+
+    def local_k(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column(group_col).is_valid())
+        ids = t.column(id_col).to_pylist()
+        hk = [hashlib.md5(f"{i}:{salt}".encode("utf-8")).hexdigest()[:16]
+              for i in ids]
+        t = t.append_column("_hk", pa.array(hk, pa.string()))
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "h": hk, "i": np.arange(len(hk), dtype=np.int64)})
+        take = (df.sort_values(["g", "h"])
+                .groupby("g", sort=False).head(k)["i"]
+                .sort_values().to_numpy())
+        out = t.take(pa.array(take, pa.int64()))
+        return out.append_column(
+            "bucket", key_bucket(out.column(group_col), n_buckets))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g.drop(columns=["bucket"], errors="ignore")
+        g = g.sort_values([group_col, "_hk"])
+        g = g.groupby(group_col, sort=False).head(k).copy()
+        g["sample_rank"] = (g.groupby(group_col, sort=False)
+                            .cumcount() + 1)
+        return g.drop(columns=["bucket", "_hk"])
+
+    return (ds.map_batches(local_k, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pandas"))
