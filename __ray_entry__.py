@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_fuzzy_pairs": Q.supplier_fuzzy_pairs,
         # new-this-round per-language stratified sample (window r5)
         "lang_stratified_sample": Q.lang_stratified_sample,
+        # new-this-round composed curation -> KG build (window r5)
+        "kg_curated_nodes": Q.kg_curated_nodes,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -2137,6 +2139,60 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": _ppr_sql(n_iter=10, n_seeds=5),
         # per-user event-type crosstab: FILTER conditional aggregation
         "events_user_pivot": _pivot_sql(),
+        # composed curation -> KG build: the curated url set is
+        # re-derived IN SQL from the exported pages (length gate +
+        # min-md5(url) per distinct md5(text)), then the flagship LWW
+        # node canonicalization replays over the mention artifact
+        # restricted to those urls (mention extraction is per-page
+        # deterministic, so the restriction IS the curated build)
+        "kg_curated_nodes": """
+            WITH p AS (SELECT url, url_hash, text FROM read_parquet(
+                   '/tmp/kgforge_gate/pages/*.parquet')),
+            dq AS (
+              SELECT url, url_hash FROM p
+              WHERE length(COALESCE(text, '')) >= 64
+              QUALIFY row_number() OVER (
+                  PARTITION BY md5(COALESCE(text, ''))
+                  ORDER BY md5(url)) = 1),
+            q AS (
+              SELECT url_hash FROM dq
+              WHERE regexp_matches(url, '@URLRE@')
+              QUALIFY row_number() OVER (
+                  PARTITION BY regexp_extract(url, '@URLRE@', 1)
+                               || chr(31)
+                               || regexp_extract(url, '@URLRE@', 2)
+                  ORDER BY md5(url)) <= 50),
+            m AS (SELECT e.* FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet') e
+                  JOIN q ON e.url_hash = q.url_hash),
+            marks AS (
+              SELECT node_key, any_value(label) AS label,
+                     any_value(node_id) AS node_id,
+                     any_value(u_name) AS name,
+                     any_value(u_title) AS title,
+                     count(*) AS n_mentions
+              FROM m WHERE attr = '' GROUP BY node_key),
+            lww AS (
+              SELECT node_key, attr, vn, vb
+              FROM m WHERE attr <> ''
+              QUALIFY row_number() OVER (
+                  PARTITION BY node_key, attr
+                  ORDER BY ts DESC, url_hash DESC, seq DESC,
+                           vjson DESC) = 1),
+            piv AS (
+              SELECT node_key,
+                     max(CASE WHEN attr = 'age' THEN vn END) AS age,
+                     max(CASE WHEN attr = 'release_year' THEN vn END)
+                         AS release_year,
+                     max(CASE WHEN attr = 'is_sequel' THEN vb END)
+                         AS is_sequel
+              FROM lww GROUP BY node_key)
+            SELECT marks.node_id, marks.node_key, marks.label,
+                   marks.name, piv.age, marks.title, piv.release_year,
+                   piv.is_sequel, marks.n_mentions
+            FROM marks LEFT JOIN piv USING (node_key)
+            ORDER BY node_key
+        """.replace("@URLRE@", _WEB_URL_RE),
         # per-language stratified bottom-k sample: QUALIFY row_number
         # over the engine's exact md5('<id>:bk') hash key
         "lang_stratified_sample": """

@@ -198,7 +198,13 @@ def export_gate_pages(pages: Dataset, out_dir: str = GATE_DIR) -> str:
         ts = t.column("warc_ts")
         if pa.types.is_timestamp(ts.type):
             ts = ts.cast(pa.int64())
+        # url_hash (blake2b-8, keys.hash64) is exported so SQL oracles
+        # can map url-level selections onto the mention artifact's
+        # url_hash (the curated-KG oracle's join key) — blake2b is not
+        # SQL-derivable, the mapping itself is artifact data
+        uh = [hash64(u) for u in t.column("url").to_pylist()]
         return pa.table({"url": t.column("url"),
+                         "url_hash": pa.array(uh, pa.uint64()),
                          "warc_ts_us": ts,
                          "text": t.column("text")})
 

@@ -1772,6 +1772,75 @@ def kg_walks(sf_dir: str):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def kg_curated_nodes(sf_dir: str):
+    """Composed curation → KG build (the end-to-end web-corpus story):
+    quality-gate pages (≥ 64 text chars), exact text-dedup (keep the
+    min-md5(url) page per distinct md5(text)), cap every
+    (host, section) stratum at 50 pages in md5(url) order (bites at
+    every gate scale: the corpus carries ~67 pages/section at
+    sf0.001), then run the flagship build over the survivors.  The
+    oracle re-derives the curated url set IN SQL from the exported
+    pages — independent of the engine's curation — and filters the
+    full per-mention artifact to it: valid because mention extraction
+    is per-page deterministic, so the full-corpus mentions restricted
+    to curated urls ARE the curated-corpus mentions, and
+    canonicalization replays as the same LWW window query."""
+    from ..functions import hashing as H
+    from ..functions.web import url_host_section
+    from ..stages.relational import grouped_limit
+    from .kg_build import KGBuildConfig, build_kg
+    _ensure_gate_artifact(sf_dir)
+    corpus_dir, pages_path = pages_for_sf(sf_dir)
+    with open(f"{corpus_dir}/ontology.json") as fh:
+        ontology_json = fh.read()
+    with open(f"{corpus_dir}/aliases.json") as fh:
+        alias_map = json.load(fh)
+    pages = ray.data.read_parquet(pages_path)
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        t = t.filter(pc.greater_equal(pc.utf8_length(txt), 64))
+        tm = [H.text_md5(x or "")
+              for x in t.column("text").to_pylist()]
+        um = [H.text_md5(u) for u in t.column("url").to_pylist()]
+        t = t.append_column("_tmd5", pa.array(tm, pa.string()))
+        t = t.append_column("_umd5", pa.array(um, pa.string()))
+        bk = pd.util.hash_array(np.asarray(tm, object)) % 32
+        return t.append_column(
+            "bucket", pa.array(bk.astype(np.int64), pa.int64()))
+
+    def dedup_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g.drop(columns=["bucket"], errors="ignore")
+        g = (g.sort_values(["_tmd5", "_umd5"])
+             .groupby("_tmd5", sort=False).head(1))
+        return g.drop(columns=["bucket", "_tmd5", "_umd5"])
+
+    deduped = (pages.map_batches(prep, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(dedup_fold, batch_format="pandas"))
+
+    def cap_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "url" not in t.column_names:
+            return pa.table({})
+        host, sec, ok = url_host_section(t.column("url"))
+        t = (t.append_column("_host", host)
+             .append_column("_sec", sec).filter(ok))
+        key = pc.binary_join_element_wise(
+            t.column("_host"), t.column("_sec"), "\x1f")
+        ordh = [H.text_md5(u) for u in t.column("url").to_pylist()]
+        t = t.drop_columns(["_host", "_sec"])
+        return (t.append_column("key", key)
+                .append_column("ord", pa.array(ordh, pa.string())))
+
+    curated = grouped_limit(
+        deduped.map_batches(cap_prep, batch_format="pyarrow"),
+        "key", "ord", k=50).drop_columns(["key", "ord"])
+    cfg = KGBuildConfig(ontology_json=ontology_json,
+                        alias_map=alias_map)
+    return build_kg(curated, cfg).nodes
+
+
 def lang_stratified_sample(sf_dir: str):
     """Per-language fixed-size (k=20) deterministic sample over
     documents — the stratified training-mix slice.  SQL-oracled via a
