@@ -980,9 +980,12 @@ def _positional_ngrams(col, n: int):
     ``gram_strings[j]`` is the space-joined ``n``-gram starting at flat
     position ``gram_start[j]`` (windows never cross a document
     boundary).  Unlike ``decontam._batch_ngrams`` this keeps every
-    occurrence and its position — span removal needs both.  The gram
-    join is elementwise ``+`` over numpy object arrays (C-loop str
-    concat), not a Python per-gram loop."""
+    occurrence and its position — span removal needs both.  Fully
+    arrow-native: the gram join is ONE ``binary_join_element_wise``
+    over n zero-copy slices of the flat token array (no Python or
+    object-array loop).  Returns ``(flat_tokens: pa.StringArray,
+    doc_index: np.int64[], grams: pa.StringArray,
+    gram_start: np.int64[])``."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     lists = pc.split_pattern_regex(pc.fill_null(col, ""),
@@ -991,20 +994,21 @@ def _positional_ngrams(col, n: int):
     parents = pc.list_parent_indices(lists)
     nonempty = pc.not_equal(flat, "")
     flat = flat.filter(nonempty)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
     parents = parents.filter(nonempty)
-    toks = np.asarray(flat.to_pylist(), dtype=object)
     docix = parents.to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(toks) < n:
-        return (toks, docix, np.array([], dtype=object),
+    empty_grams = pa.array([], pa.string())
+    if len(flat) < n:
+        return (flat, docix, empty_grams,
                 np.array([], dtype=np.int64))
-    m = len(toks) - n + 1
+    m = len(flat) - n + 1
     valid = docix[:m] == docix[n - 1:]
-    grams = toks[:m].copy()
-    for j in range(1, n):
-        grams = grams + " "
-        grams = grams + toks[j:j + m]
-    starts = np.arange(m, dtype=np.int64)
-    return toks, docix, grams[valid], starts[valid]
+    grams = pc.binary_join_element_wise(
+        *[flat.slice(j, m) for j in range(n)], " ")
+    grams = grams.filter(pa.array(valid))
+    starts = np.arange(m, dtype=np.int64)[valid]
+    return flat, docix, grams, starts
 
 
 def span_dedup(docs: Dataset, id_col: str = "doc_id",
@@ -1043,7 +1047,7 @@ def span_dedup(docs: Dataset, id_col: str = "doc_id",
             return pa.table({"gram": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64())})
-        vc = pa.array(grams, pa.string()).value_counts()
+        vc = grams.value_counts()
         gv = vc.field("values")
         out = pa.table({"gram": gv,
                         "n": vc.field("counts").cast(pa.int64())})
@@ -1070,9 +1074,8 @@ def span_dedup(docs: Dataset, id_col: str = "doc_id",
         n_docs = t.num_rows
         total_per_doc = np.bincount(docix, minlength=n_docs)
         if len(grams) and len(banned_arr):
-            bad = pc.is_in(pa.array(grams, pa.string()),
-                           value_set=banned_arr).to_numpy(
-                               zero_copy_only=False)
+            bad = pc.is_in(grams, value_set=banned_arr).to_numpy(
+                zero_copy_only=False)
             bad_starts = starts[bad]
         else:
             bad_starts = np.array([], dtype=np.int64)
@@ -1082,13 +1085,19 @@ def span_dedup(docs: Dataset, id_col: str = "doc_id",
         covered = np.cumsum(cov[:len(toks)]) > 0
         keep = ~covered
         kept_per_doc = np.bincount(docix[keep], minlength=n_docs)
-        kept_toks = pd.Series(toks[keep])
-        joined = kept_toks.groupby(docix[keep]).agg(" ".join)
-        texts = np.full(n_docs, "", dtype=object)
-        texts[joined.index.to_numpy(np.int64)] = joined.to_numpy(object)
+        kept_flat = toks.filter(pa.array(keep))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        # per-doc rebuild without any Python loop: tokens are already
+        # in doc order, so per-doc kept counts ARE the list offsets
+        offsets = np.concatenate(
+            [[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+        texts = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     kept_flat), " ")
         return pa.table({
             id_col: t.column(id_col),
-            text_col: pa.array(texts, pa.string()),
+            text_col: texts,
             "n_tokens": pa.array(total_per_doc.astype(np.int64),
                                  pa.int64()),
             "n_removed": pa.array(
