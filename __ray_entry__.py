@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": Q.lang_stratified_sample,
         # new-this-round composed curation -> KG build (window r5)
         "kg_curated_nodes": Q.kg_curated_nodes,
+        "kg_curated_edges": Q.kg_curated_edges,
         # rows-only HLL + two window-family siblings whose machinery is
         # gated via events_value_rank / events_user_running_total ---
         "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
@@ -2192,6 +2193,54 @@ def oracle_sql() -> dict[str, str]:
                    piv.is_sequel, marks.n_mentions
             FROM marks LEFT JOIN piv USING (node_key)
             ORDER BY node_key
+        """.replace("@URLRE@", _WEB_URL_RE),
+        # curated edge table: the flagship edge dedup + endpoint
+        # semi-join replayed over the curated-url-restricted artifact
+        # (same SQL-re-derived q as kg_curated_nodes)
+        "kg_curated_edges": """
+            WITH p AS (SELECT url, url_hash, text FROM read_parquet(
+                   '/tmp/kgforge_gate/pages/*.parquet')),
+            dq AS (
+              SELECT url, url_hash FROM p
+              WHERE length(COALESCE(text, '')) >= 64
+              QUALIFY row_number() OVER (
+                  PARTITION BY md5(COALESCE(text, ''))
+                  ORDER BY md5(url)) = 1),
+            q AS (
+              SELECT url_hash FROM dq
+              WHERE regexp_matches(url, '@URLRE@')
+              QUALIFY row_number() OVER (
+                  PARTITION BY regexp_extract(url, '@URLRE@', 1)
+                               || chr(31)
+                               || regexp_extract(url, '@URLRE@', 2)
+                  ORDER BY md5(url)) <= 50),
+            m AS (SELECT e.* FROM read_parquet(
+                 '/tmp/kgforge_gate/mentions/kind=relation/*.parquet') e
+                  JOIN q USING (url_hash)),
+            nk AS (SELECT DISTINCT node_key FROM read_parquet(
+                 '/tmp/kgforge_gate/mentions/kind=entity/*.parquet') e
+                   JOIN q USING (url_hash)),
+            marks AS (
+              SELECT label, src_key, dst_key,
+                     any_value(edge_id) AS edge_id,
+                     any_value(src_id) AS src_id,
+                     any_value(dst_id) AS dst_id,
+                     count(*) AS n_mentions
+              FROM m WHERE attr = '' GROUP BY label, src_key, dst_key),
+            lww AS (
+              SELECT label, src_key, dst_key, vs AS role
+              FROM m WHERE attr = 'role'
+              QUALIFY row_number() OVER (
+                  PARTITION BY label, src_key, dst_key
+                  ORDER BY ts DESC, url_hash DESC, seq DESC,
+                           vjson DESC) = 1)
+            SELECT marks.edge_id, marks.label, marks.src_id,
+                   marks.dst_id, lww.role, marks.n_mentions
+            FROM marks
+            JOIN nk s ON marks.src_key = s.node_key
+            JOIN nk d ON marks.dst_key = d.node_key
+            LEFT JOIN lww USING (label, src_key, dst_key)
+            ORDER BY marks.edge_id
         """.replace("@URLRE@", _WEB_URL_RE),
         # per-language stratified bottom-k sample: QUALIFY row_number
         # over the engine's exact md5('<id>:bk') hash key

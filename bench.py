@@ -164,6 +164,7 @@ def run_bench() -> dict:
         # query ray.get-ing them would crash or silently reread stale
         # state, so drop them with the session
         Q._KG_RESULT_CACHE.clear()
+        Q._KG_CURATED_CACHE.clear()
         Q._KG_INCR_CACHE.clear()
         Q._GATE_EXPORTED.clear()
         Q._GATE_PAGES_EXPORTED.clear()

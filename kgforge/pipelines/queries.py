@@ -66,6 +66,7 @@ def pages_for_sf(sf_dir: str, n_override: int | None = None) -> tuple:
 
 
 _KG_RESULT_CACHE: dict = {}
+_KG_CURATED_CACHE: dict = {}
 _GATE_EXPORTED: set = set()
 _GATE_PAGES_EXPORTED: set = set()
 
@@ -1838,7 +1839,19 @@ def kg_curated_nodes(sf_dir: str):
         "key", "ord", k=50).drop_columns(["key", "ord"])
     cfg = KGBuildConfig(ontology_json=ontology_json,
                         alias_map=alias_map)
-    return build_kg(curated, cfg).nodes
+    res = build_kg(curated, cfg)
+    _KG_CURATED_CACHE.clear()
+    _KG_CURATED_CACHE[sf_dir] = res
+    return res.nodes
+
+
+def kg_curated_edges(sf_dir: str):
+    """Edge table of the curated build (see :func:`kg_curated_nodes`) —
+    the dedup + endpoint semi-join replayed in SQL over the mention
+    artifact restricted to the SQL-re-derived curated url set."""
+    if sf_dir not in _KG_CURATED_CACHE:
+        kg_curated_nodes(sf_dir)
+    return _KG_CURATED_CACHE[sf_dir].edges
 
 
 def lang_stratified_sample(sf_dir: str):
