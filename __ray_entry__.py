@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": Q.kg_walks,
         # new-this-round personalized PageRank (window r5)
         "kg_ppr": Q.kg_ppr,
+        # new-this-round weighted PageRank (window r5)
+        "kg_pagerank_weighted": Q.kg_pagerank_weighted,
         # new-this-round per-user event-type crosstab (window r5)
         "events_user_pivot": Q.events_user_pivot,
         # new-this-round deterministic KMV approx quantiles (window r5)
@@ -399,6 +401,65 @@ def _ppr_sql(n_iter: int, n_seeds: int, scale_bits: int = 40,
                 FROM r{n_iter})
         SELECT node_id, ppr_fixed,
                CAST(ppr_fixed AS DOUBLE) / {float(S)} AS ppr
+        FROM fin ORDER BY node_id""")
+    return "".join(parts)
+
+
+def _wpagerank_sql(n_iter: int, scale_bits: int = 40,
+                   num: int = 17, den: int = 20) -> str:
+    """Mechanically-unrolled WEIGHTED fixed-point PageRank mirroring
+    ``kgforge.stages.graph.pagerank_weighted_fixed`` over the
+    co-mention graph: per-edge contribution ``(r*w) // Wsum(u)``, all
+    integer, bit-exact.  The co-mention weights are re-derived from
+    the entity mention artifact (distinct pages mentioning both)."""
+    S = 1 << scale_bits
+    base_num = (den - num) * S
+    parts = [f"""
+        WITH pm AS MATERIALIZED (
+            SELECT DISTINCT url_hash, node_id FROM read_parquet(
+                '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
+            WHERE attr = ''),
+        c AS MATERIALIZED (
+            SELECT x.node_id AS a, y.node_id AS b,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM pm x JOIN pm y ON x.url_hash = y.url_hash
+                               AND x.node_id < y.node_id
+            GROUP BY 1, 2),
+        nb AS MATERIALIZED (
+            SELECT a AS u, b AS v, w FROM c
+            UNION ALL SELECT b, a, w FROM c),
+        nodes AS MATERIALIZED (SELECT DISTINCT u AS node_id FROM nb),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        wsum AS MATERIALIZED (
+            SELECT u AS node_id, SUM(w) AS ws FROM nb GROUP BY u),
+        r0 AS MATERIALIZED (
+            SELECT node_id, {S} // nn.n AS r
+            FROM nodes CROSS JOIN nn),"""]
+    for i in range(n_iter):
+        parts.append(f"""
+        r{i + 1} AS MATERIALIZED (
+            SELECT d.node_id,
+                   ({base_num} // ({den} * nn.n))
+                   + ({num} * (COALESCE(inc.s, 0) + dang.dg // nn.n))
+                     // {den} AS r
+            FROM nodes d
+            CROSS JOIN nn
+            CROSS JOIN (SELECT COALESCE(SUM(p.r), 0) AS dg
+                        FROM r{i} p LEFT JOIN wsum ws
+                            USING (node_id)
+                        WHERE COALESCE(ws.ws, 0) = 0) dang
+            LEFT JOIN (SELECT nb.v AS node_id,
+                              SUM((p.r * nb.w) // ws.ws) AS s
+                       FROM nb
+                       JOIN r{i} p ON nb.u = p.node_id
+                       JOIN wsum ws ON nb.u = ws.node_id
+                       GROUP BY nb.v) inc
+                ON d.node_id = inc.node_id),""")
+    parts.append(f"""
+        fin AS (SELECT node_id, CAST(r AS BIGINT) AS wpr_fixed
+                FROM r{n_iter})
+        SELECT node_id, wpr_fixed,
+               CAST(wpr_fixed AS DOUBLE) / {float(S)} AS wpr
         FROM fin ORDER BY node_id""")
     return "".join(parts)
 
@@ -2138,6 +2199,9 @@ def oracle_sql() -> dict[str, str]:
         # personalized PageRank: integer recurrence unrolled, teleport
         # and dangling mass restricted to the seed set
         "kg_ppr": _ppr_sql(n_iter=10, n_seeds=5),
+        # weighted PageRank over the co-mention graph: per-edge
+        # contribution (r*w)//Wsum(u), weights re-derived in SQL
+        "kg_pagerank_weighted": _wpagerank_sql(n_iter=10),
         # per-user event-type crosstab: FILTER conditional aggregation
         "events_user_pivot": _pivot_sql(),
         # composed curation -> KG build: the curated url set is

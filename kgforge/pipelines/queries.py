@@ -1956,6 +1956,85 @@ def _comention_edges(sf_dir: str):
                                             batch_format="pandas"))
 
 
+def _comention_weighted_edges(sf_dir: str):
+    """(src_id, dst_id, w) weighted co-mention pairs — w = number of
+    distinct pages mentioning both entities (the weight kg_cooccurrence
+    reports per key pair, here on node ids for the graph ops)."""
+    import pyarrow.compute as pc
+    from .kg_build import KGBuildConfig, extract_mentions
+    from .oracle_export import MentionOracleRows
+    corpus_dir, pages_path = pages_for_sf(sf_dir)
+    with open(f"{corpus_dir}/ontology.json") as fh:
+        ontology_json = fh.read()
+    with open(f"{corpus_dir}/aliases.json") as fh:
+        alias_map = json.load(fh)
+    pages = ray.data.read_parquet(pages_path)
+    mentions = extract_mentions(pages, KGBuildConfig(
+        ontology_json=ontology_json))
+    fn = MentionOracleRows(ontology_json, alias_map)
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def markers(t):
+        t = fn(t)
+        mask = pc.and_(pc.equal(t.column("kind"), "entity"),
+                       pc.equal(t.column("attr"), ""))
+        return t.filter(mask).select(["url_hash", "node_id"])
+
+    pm = mentions.map_batches(markers, batch_format="pyarrow")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        pg = t.column("url_hash").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((pg % 64).astype(np.int64), pa.int64()))
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        pk = g[["url_hash", "node_id"]].drop_duplicates()
+        m = pk.merge(pk, on="url_hash")
+        m = m[m["node_id_x"] < m["node_id_y"]]
+        c = (m.groupby(["node_id_x", "node_id_y"], as_index=False)
+             .size())
+        a = c["node_id_x"].to_numpy(np.uint64)
+        b = c["node_id_y"].to_numpy(np.uint64)
+        with np.errstate(over="ignore"):
+            pb = ((a * MIX + b) % np.uint64(64)).astype(np.int64)
+        return pa.table({
+            "src_id": pa.array(a, pa.uint64()),
+            "dst_id": pa.array(b, pa.uint64()),
+            "n": pa.array(c["size"].to_numpy(np.int64), pa.int64()),
+            "pair_bucket": pa.array(pb, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"src_id": pa.array([], pa.uint64()),
+                             "dst_id": pa.array([], pa.uint64()),
+                             "w": pa.array([], pa.int64())})
+        agg = (g.groupby(["src_id", "dst_id"], as_index=False)["n"]
+               .sum())
+        return pa.table({
+            "src_id": pa.array(agg["src_id"].to_numpy(np.uint64),
+                               pa.uint64()),
+            "dst_id": pa.array(agg["dst_id"].to_numpy(np.uint64),
+                               pa.uint64()),
+            "w": pa.array(agg["n"].to_numpy(np.int64), pa.int64())})
+
+    return (pm.map_batches(bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(pairs,
+                                            batch_format="pandas")
+              .groupby("pair_bucket").map_groups(
+                  fold, batch_format="pandas"))
+
+
+def kg_pagerank_weighted(sf_dir: str):
+    """Weighted fixed-point PageRank over the co-mention graph (mass
+    flows in proportion to shared-page counts) — integer recurrence,
+    bit-exact, oracled as an unrolled CTE chain with weighted
+    contributions."""
+    from ..stages.graph import pagerank_weighted_fixed
+    _ensure_gate_artifact(sf_dir)
+    return pagerank_weighted_fixed(_comention_weighted_edges(sf_dir),
+                                   n_iter=10)
+
+
 def kg_triangles(sf_dir: str):
     """Per-node triangle participation counts over the entity
     co-mention graph — degree-ordered orientation, wedge/edge

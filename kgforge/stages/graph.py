@@ -1913,3 +1913,129 @@ def personalized_pagerank_fixed(edges: Dataset, n_seeds: int = 5,
     return pd.DataFrame({"node_id": nodes,
                          "ppr_fixed": r.astype(np.int64),
                          "ppr": r.astype(np.float64) / float(S)})
+
+
+def pagerank_weighted_fixed(edges: Dataset, weight_col: str = "w",
+                            src_col: str = "src_id",
+                            dst_col: str = "dst_id",
+                            damping_num: int = 17,
+                            damping_den: int = 20, n_iter: int = 10,
+                            scale_bits: int = 40,
+                            undirected: bool = True) -> pd.DataFrame:
+    """WEIGHTED fixed-point PageRank: mass flows along each edge in
+    proportion to its integer weight — ``contrib(u->v) =
+    (r[u] * w(u,v)) // Wsum(u)`` — in the same deterministic integer
+    arithmetic as :func:`pagerank_fixed`, so the result is bit-exact
+    at any partitioning and the gate unrolls the identical recurrence
+    (``__ray_entry__._wpagerank_sql``).  ``undirected=True`` expands
+    each input pair into both directions first (the co-mention-graph
+    use).  Overflow bound: ``S * max_weight < 2^63`` (checked at
+    runtime; lower ``scale_bits`` for heavier weights).
+
+    Dataflow matches :func:`pagerank_fixed`'s driver path — weighted
+    edge list indexed once and kept distributed, rank and weight-sum
+    vectors broadcast per iteration (node-sized, the documented
+    bound), per-block int64 partial sums."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    cols = [src_col, dst_col, weight_col]
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return pa.table({
+                "u": pa.array([], pa.uint64()),
+                "v": pa.array([], pa.uint64()),
+                "w": pa.array([], pa.int64())})
+        s = t.column(src_col).to_numpy(zero_copy_only=False)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if undirected:
+            u = np.concatenate([s, d]).astype(np.uint64)
+            v = np.concatenate([d, s]).astype(np.uint64)
+            w = np.concatenate([w, w])
+        else:
+            u, v = s.astype(np.uint64), d.astype(np.uint64)
+        return pa.table({"u": pa.array(u, pa.uint64()),
+                         "v": pa.array(v, pa.uint64()),
+                         "w": pa.array(w, pa.int64())})
+
+    dir_edges = (edges.select_columns(cols)
+                 .map_batches(expand, batch_format="pyarrow")
+                 .materialize())
+
+    def wsum_partial(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        s = np.zeros(len(uu), np.int64)
+        np.add.at(s, inv, w)
+        return pa.table({"node_id": pa.array(uu, pa.uint64()),
+                         "s": pa.array(s, pa.int64())})
+
+    # nodes = sources ∪ destinations (undirected expansion makes the
+    # two sets equal); node-sized driver vectors as in pagerank_fixed
+    agg = (dir_edges.map_batches(wsum_partial, batch_format="pyarrow")
+           .to_pandas().groupby("node_id", sort=True)["s"].sum())
+    nodes = agg.index.to_numpy(np.uint64)
+    wsum = agg.to_numpy(np.int64)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({
+            "node_id": pd.Series([], dtype=np.uint64),
+            "wpr_fixed": pd.Series([], dtype=np.int64),
+            "wpr": pd.Series([], dtype=np.float64)})
+    S = 1 << scale_bits
+    w_max = int(dir_edges.max("w"))
+    if S * w_max >= (1 << 63):
+        raise ValueError(
+            f"S*max_weight={S * w_max} overflows int64; lower "
+            f"scale_bits (={scale_bits}) or pre-scale weights")
+    nodes_ref = ray.put(nodes)
+
+    def index_edges(batch: pa.Table) -> pa.Table:
+        nds = ray.get(nodes_ref)
+        si = np.searchsorted(nds, batch.column("u")
+                             .to_numpy(zero_copy_only=False))
+        di = np.searchsorted(nds, batch.column("v")
+                             .to_numpy(zero_copy_only=False))
+        return pa.table({"si": pa.array(si, pa.int64()),
+                         "di": pa.array(di, pa.int64()),
+                         "w": batch.column("w")})
+
+    indexed = dir_edges.map_batches(
+        index_edges, batch_format="pyarrow").materialize()
+
+    num, den = int(damping_num), int(damping_den)
+    base = ((den - num) * S) // (den * n)
+    safe_ws = np.maximum(wsum, 1)
+    dangling_mask = wsum == 0
+    r = np.full(n, S // n, np.int64)
+    ws_ref = ray.put(safe_ws)
+    for _ in range(n_iter):
+        r_ref = ray.put(r)
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            rv = ray.get(r_ref)
+            ws = ray.get(ws_ref)
+            si = batch.column("si").to_numpy()
+            di = batch.column("di").to_numpy()
+            w = batch.column("w").to_numpy()
+            contrib = (rv[si] * w) // ws[si]
+            sums = np.zeros(len(rv), np.int64)
+            np.add.at(sums, di, contrib)
+            nz = np.flatnonzero(sums)
+            return pa.table({"i": pa.array(nz, pa.int64()),
+                             "s": pa.array(sums[nz], pa.int64())})
+
+        parts = indexed.map_batches(scatter,
+                                    batch_format="pyarrow").to_pandas()
+        incoming = np.zeros(n, np.int64)
+        np.add.at(incoming, parts["i"].to_numpy(np.int64),
+                  parts["s"].to_numpy(np.int64))
+        dangling = int(r[dangling_mask].sum())
+        r = base + (num * (incoming + dangling // n)) // den
+
+    return pd.DataFrame({"node_id": nodes,
+                         "wpr_fixed": r.astype(np.int64),
+                         "wpr": r.astype(np.float64) / float(S)})

@@ -1041,3 +1041,34 @@ def test_fuzzy_pairs_editdist1_semantics():
         "name": pa.array(["same", "same"], pa.string())}))
     out2 = fuzzy_pairs_editdist1(ds2, "id", "name").to_pandas()
     assert len(out2) == 1 and out2["dist"].iloc[0] == 0
+
+
+def test_weighted_pagerank_weights_matter():
+    from kgforge.stages.graph import pagerank_weighted_fixed
+    # star: hub 1 linked to 2 (weight 9) and 3 (weight 1) — mass from
+    # the hub splits 9:1, so 2 must outrank 3; with equal weights they
+    # tie exactly
+    edges = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([1, 1], pa.uint64()),
+        "dst_id": pa.array([2, 3], pa.uint64()),
+        "w": pa.array([9, 1], pa.int64())}))
+    out = (pagerank_weighted_fixed(edges, n_iter=10)
+           .set_index("node_id"))
+    assert out.loc[2, "wpr_fixed"] > out.loc[3, "wpr_fixed"]
+    eq = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([1, 1], pa.uint64()),
+        "dst_id": pa.array([2, 3], pa.uint64()),
+        "w": pa.array([5, 5], pa.int64())}))
+    oeq = (pagerank_weighted_fixed(eq, n_iter=10)
+           .set_index("node_id"))
+    assert oeq.loc[2, "wpr_fixed"] == oeq.loc[3, "wpr_fixed"]
+    # mass bounded by S
+    assert out["wpr_fixed"].sum() <= (1 << 40)
+    # overflow guard trips loudly
+    import pytest as _pt
+    heavy = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([1], pa.uint64()),
+        "dst_id": pa.array([2], pa.uint64()),
+        "w": pa.array([1 << 40], pa.int64())}))
+    with _pt.raises(ValueError):
+        pagerank_weighted_fixed(heavy, n_iter=1)
