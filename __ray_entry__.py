@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": Q.kg_ppr,
         # new-this-round weighted PageRank (window r5)
         "kg_pagerank_weighted": Q.kg_pagerank_weighted,
+        # new-this-round temporal + distribution KG reports (window r5)
+        "kg_mention_timeseries": Q.kg_mention_timeseries,
+        "kg_degree_histogram": Q.kg_degree_histogram,
         # new-this-round per-user event-type crosstab (window r5)
         "events_user_pivot": Q.events_user_pivot,
         # new-this-round deterministic KMV approx quantiles (window r5)
@@ -1052,6 +1055,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(od, 0) + COALESCE(id_, 0) AS BIGINT)
                        AS degree
             FROM o FULL OUTER JOIN i ON o.node_id = i.node_id
+        """,
+        # degree-distribution histogram: fixed width-4 bins (16, last
+        # open-ended via LEAST), all 16 bins emitted incl. empty
+        "kg_degree_histogram": f"""
+            WITH e AS ({_KG_EDGES_SQL}),
+            o AS (SELECT src_id AS node_id, count(*) AS od
+                  FROM e GROUP BY 1),
+            i AS (SELECT dst_id AS node_id, count(*) AS id_
+                  FROM e GROUP BY 1),
+            deg AS (
+              SELECT COALESCE(od, 0) + COALESCE(id_, 0) AS degree
+              FROM o FULL OUTER JOIN i ON o.node_id = i.node_id),
+            binned AS (
+              SELECT CASE WHEN degree // 4 > 15 THEN 15
+                          ELSE degree // 4 END AS bin, count(*) AS n
+              FROM deg GROUP BY 1),
+            bins AS (SELECT unnest(generate_series(0, 15)) AS bin)
+            SELECT CAST(bins.bin AS BIGINT) AS bin,
+                   CAST(bins.bin * 4 AS BIGINT) AS lo,
+                   CAST(COALESCE(b.n, 0) AS BIGINT) AS n_nodes
+            FROM bins LEFT JOIN binned b ON bins.bin = b.bin
+            ORDER BY bins.bin
+        """,
+        # per-entity mention counts per UTC day (floor-div on epoch-us)
+        "kg_mention_timeseries": """
+            SELECT node_id, CAST(ts // 86400000000 AS BIGINT) AS day,
+                   CAST(count(*) AS BIGINT) AS n_mentions
+            FROM read_parquet(
+                '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
+            WHERE attr = ''
+            GROUP BY node_id, day
+            ORDER BY node_id, day
         """,
         # undirected min-reachable-id components over the (re-derived)
         # edge oracle; the recursive reach table is the same pattern as

@@ -2024,6 +2024,87 @@ def _comention_weighted_edges(sf_dir: str):
                   fold, batch_format="pandas"))
 
 
+def kg_mention_timeseries(sf_dir: str):
+    """Temporal KG signal: per-entity mention counts per UTC day
+    (crawl-time trend of every node) — per-batch combiner over the
+    mention stream, one coarse-bucket fold."""
+    import pyarrow.compute as pc
+    from .kg_build import KGBuildConfig, extract_mentions
+    from .oracle_export import MentionOracleRows
+    _ensure_gate_artifact(sf_dir)
+    corpus_dir, pages_path = pages_for_sf(sf_dir)
+    with open(f"{corpus_dir}/ontology.json") as fh:
+        ontology_json = fh.read()
+    with open(f"{corpus_dir}/aliases.json") as fh:
+        alias_map = json.load(fh)
+    mentions = extract_mentions(
+        ray.data.read_parquet(pages_path),
+        KGBuildConfig(ontology_json=ontology_json))
+    fn = MentionOracleRows(ontology_json, alias_map)
+    DAY_US = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = fn(t)
+        t = t.filter(pc.and_(pc.equal(t.column("kind"), "entity"),
+                             pc.equal(t.column("attr"), "")))
+        node = t.column("node_id").to_numpy(zero_copy_only=False)
+        day = (t.column("ts").to_numpy(zero_copy_only=False)
+               // DAY_US).astype(np.int64)
+        df = (pd.DataFrame({"node_id": node, "day": day})
+              .groupby(["node_id", "day"], as_index=False).size())
+        nd = df["node_id"].to_numpy(np.uint64)
+        return pa.table({
+            "node_id": pa.array(nd, pa.uint64()),
+            "day": pa.array(df["day"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(df["size"].to_numpy(np.int64), pa.int64()),
+            "bucket": pa.array((nd % np.uint64(32)).astype(np.int64),
+                               pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"node_id": pa.array([], pa.uint64()),
+                             "day": pa.array([], pa.int64()),
+                             "n_mentions": pa.array([], pa.int64())})
+        agg = (g.groupby(["node_id", "day"], as_index=False)["n"]
+               .sum())
+        return pa.table({
+            "node_id": pa.array(agg["node_id"].to_numpy(np.uint64),
+                                pa.uint64()),
+            "day": pa.array(agg["day"].to_numpy(np.int64), pa.int64()),
+            "n_mentions": pa.array(agg["n"].to_numpy(np.int64),
+                                   pa.int64())})
+
+    return (mentions.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas")
+            .sort(["node_id", "day"]))
+
+
+def kg_degree_histogram(sf_dir: str):
+    """Degree-distribution histogram of the KG edge table (the classic
+    scale-free sanity plot): fixed-width buckets over total degree,
+    composed from degree_table + the histogram fold."""
+    from ..stages.graph import degree_table
+    _ensure_gate_artifact(sf_dir)
+    deg = degree_table(_kg_result(sf_dir).edges)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("degree").to_numpy(zero_copy_only=False)
+        b = np.minimum(d // 4, 15).astype(np.int64)   # width 4, 16 bins
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    out = (deg.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("bin", as_index=True)["n"].sum())
+    bins = np.arange(16, dtype=np.int64)
+    return pa.table({
+        "bin": pa.array(bins, pa.int64()),
+        "lo": pa.array(bins * 4, pa.int64()),
+        "n_nodes": pa.array([int(out.get(b, 0)) for b in bins],
+                            pa.int64())})
+
+
 def kg_pagerank_weighted(sf_dir: str):
     """Weighted fixed-point PageRank over the co-mention graph (mass
     flows in proportion to shared-page counts) — integer recurrence,
