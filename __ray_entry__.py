@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new-this-round temporal + distribution KG reports (window r5)
         "kg_mention_timeseries": Q.kg_mention_timeseries,
         "kg_degree_histogram": Q.kg_degree_histogram,
+        # new-this-round streaming exact dedup (window r5)
+        "dedup_exact_streaming": Q.dedup_exact_streaming,
         # new-this-round per-user event-type crosstab (window r5)
         "events_user_pivot": Q.events_user_pivot,
         # new-this-round deterministic KMV approx quantiles (window r5)
@@ -2982,4 +2984,7 @@ def oracle_sql() -> dict[str, str]:
     # it shares the flagship oracles verbatim
     sqls["kg_incremental_nodes"] = sqls["kg_nodes"]
     sqls["kg_incremental_edges"] = sqls["kg_edges"]
+    # the streaming dedup's min-id/count state merge is order-free, so
+    # its final emission is identical to the batch operator's output
+    sqls["dedup_exact_streaming"] = sqls["dedup_exact_hash_docs"]
     return sqls

@@ -389,6 +389,16 @@ def dedup_exact_hash_docs(sf_dir: str):
                              columns=["doc_id", "text"]), keep_text=False)
 
 
+def dedup_exact_streaming(sf_dir: str):
+    """Exact dedup as an unbounded-stream operator (hash-partitioned
+    stateful actors, driver as message bus) — output IDENTICAL to the
+    batch ``dedup_exact_hash_docs`` (min-id wins is order-free), so it
+    shares that query's SQL oracle; batch ≡ stream pinned in pytest."""
+    from ..stages.streaming import streaming_exact_dedup
+    return streaming_exact_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def dedup_minhash_docs(sf_dir: str):
     """Minhash-LSH near-dup PAIR SET at threshold 0.5 — SQL-oracled
     against the exact-Jaccard pair set: on this corpus the planted

@@ -141,3 +141,93 @@ def streaming_sessionize(ds: Dataset, key_col: str = "user_id",
     futures.extend(w.flush.remote() for w in workers)
     tables = [t for t in ray.get(futures) if t.num_rows]
     return ray.data.from_arrow(tables or [pa.table(_EMPTY)])
+
+
+_DEDUP_EMPTY = {"doc_id": pa.array([], pa.int64()),
+                "n_dups": pa.array([], pa.int64()),
+                "text_hash": pa.array([], pa.string())}
+
+
+@ray.remote(num_cpus=0)
+class DedupWorker:
+    """Streaming exact-dedup state for one hash partition: per text
+    hash, the smallest id seen so far and the running duplicate count.
+    Min-id + count merging is ORDER-FREE, so the final emission is
+    deterministic regardless of arrival order / micro-batch boundaries
+    — which is what lets the streaming operator share the batch
+    operator's oracle.  State is bounded by DISTINCT texts in the
+    partition (the honest streaming-dedup memory reality; production
+    backends spill this map to RocksDB or TTL it)."""
+
+    def __init__(self, id_col: str):
+        self.id_col = id_col
+        self.state: dict[str, list] = {}   # hash -> [min_id, n]
+
+    def ingest(self, t: pa.Table) -> int:
+        df = pd.DataFrame({"i": t.column("i").to_numpy(
+                               zero_copy_only=False),
+                           "h": t.column("h").to_pylist()})
+        agg = df.groupby("h")["i"].agg(["min", "size"])
+        st = self.state
+        for h, mn, n in zip(agg.index, agg["min"], agg["size"]):
+            cur = st.get(h)
+            if cur is None:
+                st[h] = [int(mn), int(n)]
+            else:
+                if mn < cur[0]:
+                    cur[0] = int(mn)
+                cur[1] += int(n)
+        return len(st)
+
+    def flush(self) -> pa.Table:
+        if not self.state:
+            return pa.table(dict(_DEDUP_EMPTY))
+        hs = list(self.state)
+        ids = [self.state[h][0] for h in hs]
+        ns = [self.state[h][1] for h in hs]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_dups": pa.array(ns, pa.int64()),
+                         "text_hash": pa.array(hs, pa.string())})
+
+
+def streaming_exact_dedup(docs: Dataset, id_col: str = "doc_id",
+                          text_col: str = "text", n_workers: int = 4,
+                          batch_rows: int = 4096,
+                          max_in_flight: int = 32) -> Dataset:
+    """Exact dedup as an UNBOUNDED-STREAM operator: the driver plays
+    the message bus (micro-batches from ``iter_batches``), routing each
+    row to one of ``n_workers`` hash-partitioned stateful actors; the
+    final flush emits one ``(doc_id, n_dups, text_hash)`` winner per
+    distinct text — IDENTICAL to ``dedup.exact_dedup(keep_text=False)``
+    (min-id wins; pinned in pytest, shares its SQL oracle).  Text never
+    leaves the ingest node: only (id, md5) routes to state holders —
+    the same 100-TB discipline as the batch operator's shuffle.
+    Ingest backpressure is a bounded in-flight window (``ray.wait``),
+    the streaming analogue of the batch executor's backpressure."""
+    from ..functions import hashing as H
+    workers = [DedupWorker.remote(id_col) for _ in range(n_workers)]
+    pending: list = []
+    for t in docs.select_columns([id_col, text_col]).iter_batches(
+            batch_size=batch_rows, batch_format="pyarrow"):
+        hashes = [H.text_md5(x or "")
+                  for x in t.column(text_col).to_pylist()]
+        part = np.fromiter((int(h[:8], 16) % n_workers
+                            for h in hashes),
+                           dtype=np.int64, count=len(hashes))
+        ids = t.column(id_col)
+        harr = pa.array(hashes, pa.string())
+        routed = pa.table({"i": ids, "h": harr})
+        for w in range(n_workers):
+            mask = part == w
+            if not mask.any():
+                continue
+            sub = routed.take(pa.array(np.flatnonzero(mask),
+                                       pa.int64()))
+            pending.append(workers[w].ingest.remote(sub))
+        while len(pending) > max_in_flight:
+            _, pending = ray.wait(pending, num_returns=1)
+    if pending:
+        ray.get(pending)
+    tables = ray.get([w.flush.remote() for w in workers])
+    import ray.data as rd
+    return rd.from_arrow([tb for tb in tables])

@@ -1072,3 +1072,23 @@ def test_weighted_pagerank_weights_matter():
         "w": pa.array([1 << 40], pa.int64())}))
     with _pt.raises(ValueError):
         pagerank_weighted_fixed(heavy, n_iter=1)
+
+
+def test_streaming_exact_dedup_equals_batch():
+    """The streaming operator's min-id/count state merge is order-free,
+    so its final emission must equal the batch operator's output — the
+    property that lets it share the SQL oracle."""
+    from kgforge.stages.dedup import exact_dedup
+    from kgforge.stages.streaming import streaming_exact_dedup
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([5, 1, 3, 2, 9, 7], pa.int64()),
+        "text": pa.array(["a", "b", "a", "b", "c", "a"], pa.string())}))
+    key = ["doc_id", "n_dups", "text_hash"]
+    batch = (exact_dedup(docs, keep_text=False).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+    stream = (streaming_exact_dedup(docs, n_workers=2, batch_rows=2)
+              .to_pandas()[key].sort_values(key)
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(batch[key], stream, check_exact=True)
+    assert stream["n_dups"].sum() == 6 and len(stream) == 3
+    assert set(stream["doc_id"]) == {1, 3, 9}  # min id per text
