@@ -410,6 +410,30 @@ def _ppr_sql(n_iter: int, n_seeds: int, scale_bits: int = 40,
     return "".join(parts)
 
 
+# curated url set shared by kg_curated_nodes / kg_curated_edges: the
+# quality gate + exact text-dedup + per-(host,section) cap re-derived
+# purely in SQL from the exported pages (ONE definition — the two
+# gates must never disagree on the curation rule)
+_CURATED_Q_SQL = """
+            p AS (SELECT url, url_hash, text FROM read_parquet(
+                   '/tmp/kgforge_gate/pages/*.parquet')),
+            dq AS (
+              SELECT url, url_hash FROM p
+              WHERE length(COALESCE(text, '')) >= 64
+              QUALIFY row_number() OVER (
+                  PARTITION BY md5(COALESCE(text, ''))
+                  ORDER BY md5(url)) = 1),
+            q AS (
+              SELECT url_hash FROM dq
+              WHERE regexp_matches(url, '@URLRE@')
+              QUALIFY row_number() OVER (
+                  PARTITION BY regexp_extract(url, '@URLRE@', 1)
+                               || chr(31)
+                               || regexp_extract(url, '@URLRE@', 2)
+                  ORDER BY md5(url)) <= 50)""".replace(
+    "@URLRE@", _WEB_URL_RE)
+
+
 def _wpagerank_sql(n_iter: int, scale_bits: int = 40,
                    num: int = 17, den: int = 20) -> str:
     """Mechanically-unrolled WEIGHTED fixed-point PageRank mirroring
@@ -2247,23 +2271,8 @@ def oracle_sql() -> dict[str, str]:
         # node canonicalization replays over the mention artifact
         # restricted to those urls (mention extraction is per-page
         # deterministic, so the restriction IS the curated build)
-        "kg_curated_nodes": """
-            WITH p AS (SELECT url, url_hash, text FROM read_parquet(
-                   '/tmp/kgforge_gate/pages/*.parquet')),
-            dq AS (
-              SELECT url, url_hash FROM p
-              WHERE length(COALESCE(text, '')) >= 64
-              QUALIFY row_number() OVER (
-                  PARTITION BY md5(COALESCE(text, ''))
-                  ORDER BY md5(url)) = 1),
-            q AS (
-              SELECT url_hash FROM dq
-              WHERE regexp_matches(url, '@URLRE@')
-              QUALIFY row_number() OVER (
-                  PARTITION BY regexp_extract(url, '@URLRE@', 1)
-                               || chr(31)
-                               || regexp_extract(url, '@URLRE@', 2)
-                  ORDER BY md5(url)) <= 50),
+        "kg_curated_nodes": f"""
+            WITH {_CURATED_Q_SQL},
             m AS (SELECT e.* FROM read_parquet(
                    '/tmp/kgforge_gate/mentions/kind=entity/*.parquet') e
                   JOIN q ON e.url_hash = q.url_hash),
@@ -2294,27 +2303,12 @@ def oracle_sql() -> dict[str, str]:
                    piv.is_sequel, marks.n_mentions
             FROM marks LEFT JOIN piv USING (node_key)
             ORDER BY node_key
-        """.replace("@URLRE@", _WEB_URL_RE),
+        """,
         # curated edge table: the flagship edge dedup + endpoint
         # semi-join replayed over the curated-url-restricted artifact
         # (same SQL-re-derived q as kg_curated_nodes)
-        "kg_curated_edges": """
-            WITH p AS (SELECT url, url_hash, text FROM read_parquet(
-                   '/tmp/kgforge_gate/pages/*.parquet')),
-            dq AS (
-              SELECT url, url_hash FROM p
-              WHERE length(COALESCE(text, '')) >= 64
-              QUALIFY row_number() OVER (
-                  PARTITION BY md5(COALESCE(text, ''))
-                  ORDER BY md5(url)) = 1),
-            q AS (
-              SELECT url_hash FROM dq
-              WHERE regexp_matches(url, '@URLRE@')
-              QUALIFY row_number() OVER (
-                  PARTITION BY regexp_extract(url, '@URLRE@', 1)
-                               || chr(31)
-                               || regexp_extract(url, '@URLRE@', 2)
-                  ORDER BY md5(url)) <= 50),
+        "kg_curated_edges": f"""
+            WITH {_CURATED_Q_SQL},
             m AS (SELECT e.* FROM read_parquet(
                  '/tmp/kgforge_gate/mentions/kind=relation/*.parquet') e
                   JOIN q USING (url_hash)),
@@ -2342,7 +2336,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN nk d ON marks.dst_key = d.node_key
             LEFT JOIN lww USING (label, src_key, dst_key)
             ORDER BY marks.edge_id
-        """.replace("@URLRE@", _WEB_URL_RE),
+        """,
         # per-language stratified bottom-k sample: QUALIFY row_number
         # over the engine's exact md5('<id>:bk') hash key
         "lang_stratified_sample": """

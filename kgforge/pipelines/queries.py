@@ -1807,6 +1807,17 @@ def kg_curated_nodes(sf_dir: str):
     with open(f"{corpus_dir}/aliases.json") as fh:
         alias_map = json.load(fh)
     pages = ray.data.read_parquet(pages_path)
+    # typed empties for the group shuffle's schema-less empty
+    # partitions (the _canonical_edges lesson) — grouped_limit sorts
+    # on key/ord in EVERY block, so empties must carry the schema
+    sch = pages.schema()
+    page_fields = list(zip(sch.names, sch.types))
+    empty_pages = pa.table({nm: pa.array([], tp)
+                            for nm, tp in page_fields})
+    empty_cap = pa.table({**{nm: pa.array([], tp)
+                             for nm, tp in page_fields},
+                          "key": pa.array([], pa.string()),
+                          "ord": pa.array([], pa.string())})
 
     def prep(t: pa.Table) -> pa.Table:
         txt = pc.fill_null(t.column("text"), "")
@@ -1820,9 +1831,9 @@ def kg_curated_nodes(sf_dir: str):
         return t.append_column(
             "bucket", pa.array(bk.astype(np.int64), pa.int64()))
 
-    def dedup_fold(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_fold(g: pd.DataFrame):
         if len(g) == 0:
-            return g.drop(columns=["bucket"], errors="ignore")
+            return empty_pages
         g = (g.sort_values(["_tmd5", "_umd5"])
              .groupby("_tmd5", sort=False).head(1))
         return g.drop(columns=["bucket", "_tmd5", "_umd5"])
@@ -1833,7 +1844,7 @@ def kg_curated_nodes(sf_dir: str):
 
     def cap_prep(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "url" not in t.column_names:
-            return pa.table({})
+            return empty_cap
         host, sec, ok = url_host_section(t.column("url"))
         t = (t.append_column("_host", host)
              .append_column("_sec", sec).filter(ok))
@@ -2099,6 +2110,10 @@ def kg_degree_histogram(sf_dir: str):
     deg = degree_table(_kg_result(sf_dir).edges)
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "degree" not in t.column_names:
+            # schema-less empty partition from degree_table's fold
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
         d = t.column("degree").to_numpy(zero_copy_only=False)
         b = np.minimum(d // 4, 15).astype(np.int64)   # width 4, 16 bins
         u, c = np.unique(b, return_counts=True)

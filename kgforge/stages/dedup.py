@@ -1202,11 +1202,8 @@ def fuzzy_pairs_editdist1(ds: Dataset, id_col: str, name_col: str,
                              "dist": pa.array([], pa.int64())})
         g = g.drop_duplicates(["a_id", "b_id"]).sort_values(
             ["a_id", "b_id"])
-        keep, dist = [], []
-        for na, nb in zip(g["name_a"], g["name_b"]):
-            ok = _editdist_le1(na, nb)
-            keep.append(ok)
-            dist.append(0 if na == nb else 1)
+        keep = [_editdist_le1(na, nb)
+                for na, nb in zip(g["name_a"], g["name_b"])]
         g = g[np.asarray(keep, bool)]
         d = [0 if na == nb else 1
              for na, nb in zip(g["name_a"], g["name_b"])]

@@ -1965,16 +1965,24 @@ def pagerank_weighted_fixed(edges: Dataset, weight_col: str = "w",
                  .materialize())
 
     def wsum_partial(t: pa.Table) -> pa.Table:
-        u = t.column("u").to_numpy(zero_copy_only=False)
-        w = t.column("w").to_numpy(zero_copy_only=False)
+        # emit destinations with weight 0 so pure-sink nodes (possible
+        # when undirected=False) enter the node universe with Wsum=0 —
+        # they then take the dangling path instead of being silently
+        # credited to a neighboring index by searchsorted
+        u = np.concatenate([
+            t.column("u").to_numpy(zero_copy_only=False),
+            t.column("v").to_numpy(zero_copy_only=False)])
+        w = np.concatenate([
+            t.column("w").to_numpy(zero_copy_only=False),
+            np.zeros(t.num_rows, np.int64)])
         uu, inv = np.unique(u, return_inverse=True)
         s = np.zeros(len(uu), np.int64)
         np.add.at(s, inv, w)
         return pa.table({"node_id": pa.array(uu, pa.uint64()),
                          "s": pa.array(s, pa.int64())})
 
-    # nodes = sources ∪ destinations (undirected expansion makes the
-    # two sets equal); node-sized driver vectors as in pagerank_fixed
+    # nodes = sources ∪ destinations; node-sized driver vectors as in
+    # pagerank_fixed
     agg = (dir_edges.map_batches(wsum_partial, batch_format="pyarrow")
            .to_pandas().groupby("node_id", sort=True)["s"].sum())
     nodes = agg.index.to_numpy(np.uint64)

@@ -1540,6 +1540,14 @@ def grouped_bottom_k_sample(ds: Dataset, group_col: str, id_col: str,
 
     from .joins import key_bucket
 
+    # typed empty matching the non-empty fold output (input columns +
+    # sample_rank): group shuffles emit schema-less empty partitions,
+    # and the caller's sort needs the key in every block
+    sch = ds.schema()
+    empty_out = pa.table({**{nm: pa.array([], tp)
+                             for nm, tp in zip(sch.names, sch.types)},
+                          "sample_rank": pa.array([], pa.int64())})
+
     def local_k(t: pa.Table) -> pa.Table:
         t = t.filter(t.column(group_col).is_valid())
         ids = t.column(id_col).to_pylist()
@@ -1556,9 +1564,9 @@ def grouped_bottom_k_sample(ds: Dataset, group_col: str, id_col: str,
         return out.append_column(
             "bucket", key_bucket(out.column(group_col), n_buckets))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
+    def fold(g: pd.DataFrame):
         if len(g) == 0:
-            return g.drop(columns=["bucket"], errors="ignore")
+            return empty_out
         g = g.sort_values([group_col, "_hk"])
         g = g.groupby(group_col, sort=False).head(k).copy()
         g["sample_rank"] = (g.groupby(group_col, sort=False)

@@ -52,7 +52,11 @@ def _hll_hash(values: list) -> np.ndarray:
 
 
 def hll_partial(values: list) -> np.ndarray:
-    """Register array (uint8[m]) for one batch of values."""
+    """Register array (uint8[m]) for one batch of values.  NULLs are
+    dropped (COUNT DISTINCT semantics — and the SQL oracle's
+    md5(CAST(x AS VARCHAR)) is NULL for NULL, which its register join
+    discards; hashing str(None) would silently diverge)."""
+    values = [v for v in values if v is not None]
     regs = np.zeros(_HLL_M, dtype=np.uint8)
     if not values:
         return regs

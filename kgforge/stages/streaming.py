@@ -159,8 +159,7 @@ class DedupWorker:
     partition (the honest streaming-dedup memory reality; production
     backends spill this map to RocksDB or TTL it)."""
 
-    def __init__(self, id_col: str):
-        self.id_col = id_col
+    def __init__(self):
         self.state: dict[str, list] = {}   # hash -> [min_id, n]
 
     def ingest(self, t: pa.Table) -> int:
@@ -205,7 +204,7 @@ def streaming_exact_dedup(docs: Dataset, id_col: str = "doc_id",
     Ingest backpressure is a bounded in-flight window (``ray.wait``),
     the streaming analogue of the batch executor's backpressure."""
     from ..functions import hashing as H
-    workers = [DedupWorker.remote(id_col) for _ in range(n_workers)]
+    workers = [DedupWorker.remote() for _ in range(n_workers)]
     pending: list = []
     for t in docs.select_columns([id_col, text_col]).iter_batches(
             batch_size=batch_rows, batch_format="pyarrow"):
@@ -225,7 +224,8 @@ def streaming_exact_dedup(docs: Dataset, id_col: str = "doc_id",
                                        pa.int64()))
             pending.append(workers[w].ingest.remote(sub))
         while len(pending) > max_in_flight:
-            _, pending = ray.wait(pending, num_returns=1)
+            done, pending = ray.wait(pending, num_returns=1)
+            ray.get(done)   # surface ingest errors loudly, not silently
     if pending:
         ray.get(pending)
     tables = ray.get([w.flush.remote() for w in workers])

@@ -84,7 +84,6 @@ def main() -> int:
             elif isinstance(res, pa.Table):
                 res = res.to_pandas()
             if name not in oracles:
-                ok = len(res) >= 0
                 n_rows_only += 1
                 print(f"ROWS-ONLY {name}: {len(res)} rows "
                       f"({time.time() - t0:.1f}s)")

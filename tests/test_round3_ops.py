@@ -1092,3 +1092,29 @@ def test_streaming_exact_dedup_equals_batch():
     pd.testing.assert_frame_equal(batch[key], stream, check_exact=True)
     assert stream["n_dups"].sum() == 6 and len(stream) == 3
     assert set(stream["doc_id"]) == {1, 3, 9}  # min id per text
+
+
+def test_hll_drops_nulls_like_sql():
+    # engine must DROP None (the oracle's md5(CAST(x AS VARCHAR)) is
+    # NULL for NULL and its register join discards it) — hashing
+    # str(None) would silently diverge on null-bearing data
+    from kgforge.stages.sketches import hll_partial
+    import numpy as np
+    a = hll_partial([1, 2, 3, None, None])
+    b = hll_partial([1, 2, 3])
+    assert np.array_equal(a, b)
+    assert not hll_partial([None]).any()
+
+
+def test_weighted_pagerank_directed_sinks():
+    # undirected=False with a pure-sink node: the sink must be in the
+    # node universe and receive mass (not crash / credit a neighbor)
+    from kgforge.stages.graph import pagerank_weighted_fixed
+    edges = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([1, 5], pa.uint64()),
+        "dst_id": pa.array([2, 1], pa.uint64()),
+        "w": pa.array([1, 1], pa.int64())}))
+    out = (pagerank_weighted_fixed(edges, n_iter=5, undirected=False)
+           .set_index("node_id").sort_index())
+    assert set(out.index) == {1, 2, 5}
+    assert out.loc[2, "wpr_fixed"] > out.loc[5, "wpr_fixed"]
