@@ -1118,3 +1118,88 @@ def test_weighted_pagerank_directed_sinks():
            .set_index("node_id").sort_index())
     assert set(out.index) == {1, 2, 5}
     assert out.loc[2, "wpr_fixed"] > out.loc[5, "wpr_fixed"]
+
+
+def _span_dedup_reference(texts, n=5, min_count=2):
+    """Plain-Python ExactSubstr reference: count positional word
+    n-grams corpus-wide, ban count >= min_count, strip covered
+    tokens, rebuild whitespace-normalized."""
+    toks = [t.split() for t in texts]
+    from collections import Counter
+    cnt = Counter()
+    for tk in toks:
+        for i in range(len(tk) - n + 1):
+            cnt[" ".join(tk[i:i + n])] += 1
+    banned = {g for g, c in cnt.items() if c >= min_count}
+    out = []
+    for tk in toks:
+        covered = [False] * len(tk)
+        for i in range(len(tk) - n + 1):
+            if " ".join(tk[i:i + n]) in banned:
+                for j in range(i, i + n):
+                    covered[j] = True
+        kept = [t for t, c in zip(tk, covered) if not c]
+        out.append((" ".join(kept), len(tk),
+                    len(tk) - len(kept)))
+    return out
+
+
+def test_span_dedup_matches_reference_randomized():
+    """Randomized parity vs the plain-Python ExactSubstr reference:
+    tiny vocabulary forces plenty of duplicated 5-grams, multiple
+    blocks force cross-batch gram counting."""
+    import random
+    from kgforge.stages.dedup import span_dedup
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randint(0, 14)))
+             for _ in range(60)]
+    ref = _span_dedup_reference(texts)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(7)
+    out = (span_dedup(ds).to_pandas().set_index("doc_id")
+           .sort_index())
+    for i, (txt, ntok, nrem) in enumerate(ref):
+        assert out.loc[i, "text"] == txt, i
+        assert out.loc[i, "n_tokens"] == ntok
+        assert out.loc[i, "n_removed"] == nrem
+
+
+def test_walks_match_reference_randomized():
+    """Randomized parity vs a plain-Python walk simulator on a random
+    graph (both paths of the engine already parity-pinned; this pins
+    the SEMANTICS against an independent implementation)."""
+    import hashlib
+    import random
+    from kgforge.stages.graph import deterministic_walks
+    rng = random.Random(13)
+    edges = set()
+    while len(edges) < 40:
+        a, b = rng.randint(1, 20), rng.randint(1, 20)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    el = sorted(edges)
+    ds = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([a for a, _ in el], pa.uint64()),
+        "dst_id": pa.array([b for _, b in el], pa.uint64())}))
+    out = deterministic_walks(ds, n_walks=2, walk_len=4).to_pandas()
+    nbrs: dict = {}
+    for a, b in el:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    nbrs = {k: sorted(v) for k, v in nbrs.items()}
+    expect = {}
+    for s in nbrs:
+        for rep in range(2):
+            cur = s
+            expect[(s, rep, 0)] = s
+            for t in range(1, 5):
+                h = int(hashlib.md5(
+                    f"{s}:{rep}:{t}".encode()).hexdigest()[:16], 16)
+                cur = nbrs[cur][h % len(nbrs[cur])]
+                expect[(s, rep, t)] = cur
+    got = {(int(r.start_id), int(r.rep), int(r.step)): int(r.node_id)
+           for r in out.itertuples()}
+    assert got == expect
