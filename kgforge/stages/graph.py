@@ -94,8 +94,9 @@ def entity_cooccurrence(page_entities: Dataset, page_col: str,
         m = m[m[f"{key_col}_a"] < m[f"{key_col}_b"]]
         c = (m.groupby([f"{key_col}_a", f"{key_col}_b"], as_index=False)
               .size())
-        buckets = [zlib.crc32(f"{a}\x1f{b}".encode()) % n_buckets
-                   for a, b in zip(c[f"{key_col}_a"], c[f"{key_col}_b"])]
+        from .joins import str_bucket
+        buckets = str_bucket(c[f"{key_col}_a"].astype(str) + "\x1f"
+                             + c[f"{key_col}_b"].astype(str), n_buckets)
         return pd.DataFrame({
             "src_key": c[f"{key_col}_a"].astype(str),
             "dst_key": c[f"{key_col}_b"].astype(str),

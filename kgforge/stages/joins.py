@@ -39,6 +39,22 @@ def arrow_type_of(t) -> pa.DataType:
         return pa.string()
 
 
+def str_bucket(values, n: int) -> np.ndarray:
+    """Vectorized TRANSIENT bucket ids for a sequence/Series of strings
+    (``pandas.util.hash_array`` — cython siphash — replacing per-item
+    Python crc32 loops on combiner outputs).  Same contract as
+    :func:`key_bucket`: buckets are run-internal shuffle routing only,
+    never persisted, so the hash needs no cross-version stability."""
+    if isinstance(values, pd.Series):
+        arr = values.to_numpy(dtype=object)
+    elif isinstance(values, np.ndarray) and values.dtype == object:
+        arr = values
+    else:
+        arr = np.asarray(list(values), dtype=object)
+    hashed = pd.util.hash_array(arr, categorize=False)
+    return (hashed % np.uint64(n)).astype(np.int64)
+
+
 def key_bucket(col, n: int) -> pa.Array:
     """Deterministic bucket id per key: vectorized modulo for integer
     keys (full uint64 range — a safe int64 cast would reject ids above

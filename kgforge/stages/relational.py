@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from .joins import arrow_type_of, key_bucket
+from .joins import arrow_type_of, key_bucket, str_bucket
 
 N_BUCKETS = 64
 
@@ -341,8 +341,7 @@ def token_frequencies(ds: Dataset, text_col: str = "text",
                              "bucket": pa.array([], pa.int64())})
         vc = pc.value_counts(toks)
         tokens = vc.field("values")
-        buckets = [zlib.crc32(tok.encode("utf-8")) % n_buckets
-                   for tok in tokens.to_pylist()]
+        buckets = str_bucket(tokens.to_pandas(), n_buckets)
         return pa.table({"token": tokens.cast(pa.string()),
                          "n": vc.field("counts").cast(pa.int64()),
                          "bucket": pa.array(buckets, pa.int64())})
@@ -453,8 +452,7 @@ def ngram_frequencies(ds: Dataset, text_col: str = "text", n: int = 2,
                              "n": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64())})
         vc = pd.Series(grams).value_counts()
-        buckets = [zlib.crc32(g.encode("utf-8")) % n_buckets
-                   for g in vc.index]
+        buckets = str_bucket(vc.index.to_series(), n_buckets)
         return pa.table({"ngram": pa.array(vc.index, pa.string()),
                          "n": pa.array(vc.to_numpy(), pa.int64()),
                          "bucket": pa.array(buckets, pa.int64())})
@@ -506,8 +504,7 @@ def doc_frequencies(ds: Dataset, text_col: str = "text",
         df_ = (pd.DataFrame({"r": rows, "t": toks}).drop_duplicates()
                  ["t"].value_counts())
         merged = pd.DataFrame({"tf": tf, "df": df_})
-        buckets = [_zlib.crc32(tok.encode("utf-8")) % n_buckets
-                   for tok in merged.index]
+        buckets = str_bucket(merged.index.to_series(), n_buckets)
         return pa.table({"token": pa.array(merged.index, pa.string()),
                          "df": pa.array(merged["df"].to_numpy(np.int64),
                                         pa.int64()),
@@ -746,8 +743,9 @@ def pmi_collocations(ds: Dataset, text_col: str = "text",
             terms += vc.index.tolist()
             kinds += ["b"] * len(vc)
             ns += [int(v) for v in vc.to_numpy()]
-        buckets = [zlib.crc32(f"{kd}\x1f{tm}".encode("utf-8"))
-                   % n_buckets for kd, tm in zip(kinds, terms)]
+        buckets = str_bucket(pd.Series(kinds, dtype=object)
+                             + "\x1f" + pd.Series(terms, dtype=object),
+                             n_buckets)
         return pa.table({"term": pa.array(terms, pa.string()),
                          "kind": pa.array(kinds, pa.string()),
                          "n": pa.array(ns, pa.int64()),
@@ -1021,7 +1019,7 @@ def rollup_aggregate(ds: Dataset, dims: list[tuple[str, object]],
         key = df[names[0]].astype(str)
         for n in names[1:]:
             key = key + "\x1f" + df[n].astype(str)
-        return [zlib.crc32(k.encode("utf-8")) % n_buckets for k in key]
+        return str_bucket(key, n_buckets).tolist()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # arrow-preserving (to_pandas→from_pandas would degrade typed
@@ -1269,16 +1267,15 @@ def grouped_token_frequencies(ds: Dataset, group_col: str = "lang",
         df = pd.DataFrame({"g": rows_g, "tok": rows_t})
         agg = (df.groupby(["g", "tok"], sort=False)
                  .size().reset_index(name="n"))
-        agg["_bucket"] = [
-            zlib.crc32(f"{a}\x1f{b}".encode("utf-8")) % n_buckets
-            for a, b in zip(agg["g"], agg["tok"])]
+        agg["_bucket"] = str_bucket(
+            agg["g"].astype(str) + "\x1f" + agg["tok"].astype(str),
+            n_buckets)
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     def fold(g: pd.DataFrame) -> pa.Table:
         agg = (g.groupby(["g", "tok"], sort=False)["n"].sum()
                 .reset_index())
-        agg["_gb"] = [zlib.crc32(x.encode("utf-8")) % 16
-                      for x in agg["g"]]
+        agg["_gb"] = str_bucket(agg["g"].astype(str), 16)
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     def head(g: pd.DataFrame) -> pa.Table:
@@ -1347,15 +1344,14 @@ def grouped_mode(ds: Dataset, group_col: str, col: str,
                                zero_copy_only=False))})
         agg = df.groupby(["g", "v"], sort=False).size().reset_index(
             name="n")
-        agg["_bucket"] = [
-            zlib.crc32(f"{a}\x1f{b}".encode("utf-8")) % n_buckets
-            for a, b in zip(agg["g"], agg["v"])]
+        agg["_bucket"] = str_bucket(
+            agg["g"].astype(str) + "\x1f" + agg["v"].astype(str),
+            n_buckets)
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     def fold(g: pd.DataFrame) -> pa.Table:
         agg = g.groupby(["g", "v"], sort=False)["n"].sum().reset_index()
-        agg["_gb"] = [zlib.crc32(x.encode("utf-8")) % 16
-                      for x in agg["g"]]
+        agg["_gb"] = str_bucket(agg["g"].astype(str), 16)
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     def argmax(g: pd.DataFrame) -> pa.Table:
@@ -1397,16 +1393,15 @@ def grouped_distinct_count(ds: Dataset, group_col: str, col: str,
         df = (pd.DataFrame({"g": t.column(group_col).to_pylist(),
                             "v": t.column(col).to_pylist()})
               .drop_duplicates())
-        df["_bucket"] = [
-            zlib.crc32(f"{a}\x1f{b}".encode("utf-8")) % n_buckets
-            for a, b in zip(df["g"], df["v"])]
+        df["_bucket"] = str_bucket(
+            df["g"].astype(str) + "\x1f" + df["v"].astype(str),
+            n_buckets)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def fold(g: pd.DataFrame) -> pa.Table:
         agg = (g.drop_duplicates(subset=["g", "v"])
                 .groupby("g").size().reset_index(name="nd"))
-        agg["_gb"] = [zlib.crc32(x.encode("utf-8")) % 16
-                      for x in agg["g"]]
+        agg["_gb"] = str_bucket(agg["g"].astype(str), 16)
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     def final(g: pd.DataFrame) -> pa.Table:

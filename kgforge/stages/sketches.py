@@ -358,7 +358,8 @@ def grouped_hll_distinct(ds: Dataset, group_col: str, col: str,
             blobs.append(hll_partial(sub["v"].tolist()).tobytes())
         out = pa.table({"g": pa.array(groups, pa.string()),
                         "regs": pa.array(blobs, pa.binary())})
-        bk = [zlib.crc32(x.encode("utf-8")) % n_buckets for x in groups]
+        from .joins import str_bucket
+        bk = str_bucket(pd.Series(groups, dtype=object), n_buckets)
         return out.append_column("_b", pa.array(bk, pa.int64()))
 
     def fold(g: pd.DataFrame) -> pa.Table:

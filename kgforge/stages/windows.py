@@ -168,8 +168,9 @@ def grouped_top_k(ds: Dataset, group_col: str, key_col: str,
             "g": batch.column(group_col).to_pylist(),
             "k": batch.column(key_col).to_pylist()})
         c = df.groupby(["g", "k"], as_index=False).size()
-        buckets = [zlib.crc32(f"{g}\x1f{kk}".encode()) % n_buckets
-                   for g, kk in zip(c["g"], c["k"])]
+        from .joins import str_bucket
+        buckets = str_bucket(c["g"].astype(str) + "\x1f"
+                             + c["k"].astype(str), n_buckets)
         return pa.table({"g": pa.array(c["g"].tolist(), g_type),
                          "k": pa.array(c["k"].tolist(), k_type),
                          "n": pa.array(c["size"].tolist(), pa.int64()),
@@ -213,9 +214,9 @@ def grouped_percent_rank(ds: Dataset, group_col: str, value_col: str,
     def add_bucket(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(t.column(value_col).is_valid(),
                              t.column(group_col).is_valid()))
-        vals = t.column(group_col).to_pylist()
-        b = [zlib.crc32(str(v).encode()) % 16 for v in vals]
-        return t.append_column("bucket", pa.array(b, pa.int64()))
+        from .joins import key_bucket
+        return t.append_column(
+            "bucket", key_bucket(t.column(group_col), 16))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -331,9 +332,9 @@ def grouped_ntile(ds: Dataset, group_col: str, value_col: str,
     def add_bucket(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(t.column(value_col).is_valid(),
                              t.column(group_col).is_valid()))
-        vals = t.column(group_col).to_pylist()
-        b = [zlib.crc32(str(v).encode()) % 16 for v in vals]
-        return t.append_column("bucket", pa.array(b, pa.int64()))
+        from .joins import key_bucket
+        return t.append_column(
+            "bucket", key_bucket(t.column(group_col), 16))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -390,9 +391,9 @@ def grouped_rank(ds: Dataset, group_col: str, value_col: str,
     def add_bucket(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(t.column(value_col).is_valid(),
                              t.column(group_col).is_valid()))
-        vals = t.column(group_col).to_pylist()
-        b = [zlib.crc32(str(v).encode()) % 16 for v in vals]
-        return t.append_column("bucket", pa.array(b, pa.int64()))
+        from .joins import key_bucket
+        return t.append_column(
+            "bucket", key_bucket(t.column(group_col), 16))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
