@@ -23,7 +23,6 @@ operators are expressed Ray-Data-first:
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd

@@ -10,7 +10,6 @@ documented partitioning assumption.  All four are SQL-oracle-checkable
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -480,7 +479,6 @@ def doc_frequencies(ds: Dataset, text_col: str = "text",
     tokens — and ONE bucket-grouped fold sums them.  Output is the
     top-``k`` by ``(df DESC, token ASC)``; the full table (no limit)
     is the broadcast side of a TF-IDF scoring pass."""
-    import zlib as _zlib
 
     def partial(t: pa.Table) -> pa.Table:
         col = t.column(text_col)

@@ -14,7 +14,6 @@ O(rows)).
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa

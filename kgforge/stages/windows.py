@@ -156,7 +156,6 @@ def grouped_top_k(ds: Dataset, group_col: str, key_col: str,
     """Top-k ``key_col`` values by count within each ``group_col`` —
     heavy hitters per group.  Per-batch count combiner → bucket fold on
     (group, key) → per-group vectorized head-k (ties: ascending key)."""
-    import zlib
 
     def partial(batch: pa.Table) -> pa.Table:
         # type-preserving: carry the INPUT column types explicitly — an
@@ -209,7 +208,6 @@ def grouped_percent_rank(ds: Dataset, group_col: str, value_col: str,
     group fits one worker (the keyed-window contract); for a single
     giant group use the sort + ``split_at_indices`` rank machinery of
     ``exact_quantiles`` instead."""
-    import zlib
 
     def add_bucket(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(t.column(value_col).is_valid(),
@@ -325,7 +323,6 @@ def grouped_ntile(ds: Dataset, group_col: str, value_col: str,
     Null values and null group keys are dropped up front (mirrored by
     the oracle, the running-total convention).
     Partitioning assumption: one group fits one worker."""
-    import zlib
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
 
@@ -386,7 +383,6 @@ def grouped_rank(ds: Dataset, group_col: str, value_col: str,
     Null values and null group keys are dropped up front (mirrored by
     the oracle, the running-total convention) — NaN poisons the rank
     int64 cast.  Partitioning assumption: one group fits one worker."""
-    import zlib
 
     def add_bucket(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(t.column(value_col).is_valid(),
