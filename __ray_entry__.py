@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_histogram": Q.kg_degree_histogram,
         # new-this-round streaming exact dedup (window r5)
         "dedup_exact_streaming": Q.dedup_exact_streaming,
+        # walks' distributed scale path, externally gated (window r5)
+        "kg_walks_bucketed": Q.kg_walks_bucketed,
         # new-this-round per-user event-type crosstab (window r5)
         "events_user_pivot": Q.events_user_pivot,
         # new-this-round deterministic KMV approx quantiles (window r5)
@@ -2981,4 +2983,6 @@ def oracle_sql() -> dict[str, str]:
     # the streaming dedup's min-id/count state merge is order-free, so
     # its final emission is identical to the batch operator's output
     sqls["dedup_exact_streaming"] = sqls["dedup_exact_hash_docs"]
+    # the walks' distributed path is output-identical by construction
+    sqls["kg_walks_bucketed"] = sqls["kg_walks"]
     return sqls

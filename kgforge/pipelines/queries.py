@@ -1908,6 +1908,19 @@ def events_user_pivot(sf_dir: str):
                         EVENT_TYPES).sort("user_id")
 
 
+def kg_walks_bucketed(sf_dir: str):
+    """The walk generator's DISTRIBUTED path (two tag-union bucket
+    joins per step, no driver state) forced externally — output
+    identical to kg_walks by construction, so it shares that query's
+    oracle (the entity_link_ann_bucketed pattern: path parity as
+    external gate signal, not just a pytest claim)."""
+    from ..stages.graph import deterministic_walks
+    _ensure_gate_artifact(sf_dir)
+    return deterministic_walks(_kg_result(sf_dir).edges,
+                               n_walks=2, walk_len=3,
+                               mode="distributed")
+
+
 def kg_ppr(sf_dir: str):
     """Personalized (seed-restart) PageRank over the built KG from the
     5 smallest node ids — the GraphRAG-style "which entities matter to
