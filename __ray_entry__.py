@@ -171,6 +171,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_streaming": Q.dedup_exact_streaming,
         # walks' distributed scale path, externally gated (window r5)
         "kg_walks_bucketed": Q.kg_walks_bucketed,
+        # minhash / embedding-LSH candidate-first scale paths forced
+        # externally against the fast paths' oracles (window r5)
+        "dedup_minhash_scalepath": Q.dedup_minhash_scalepath,
+        "dedup_embedding_scalepath": Q.dedup_embedding_scalepath,
         # new-this-round per-user event-type crosstab (window r5)
         "events_user_pivot": Q.events_user_pivot,
         # new-this-round deterministic KMV approx quantiles (window r5)
@@ -2985,4 +2989,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["dedup_exact_streaming"] = sqls["dedup_exact_hash_docs"]
     # the walks' distributed path is output-identical by construction
     sqls["kg_walks_bucketed"] = sqls["kg_walks"]
+    # the dedup scale paths are output-identical to their fast paths
+    # (candidate-first + exact verify; parity also pinned in pytest)
+    sqls["dedup_minhash_scalepath"] = sqls["dedup_minhash_docs"]
+    sqls["dedup_embedding_scalepath"] = sqls["dedup_embedding_lsh"]
     return sqls

@@ -413,6 +413,17 @@ def dedup_minhash_docs(sf_dir: str):
     return out.select_columns(["id_a", "id_b"])
 
 
+def dedup_minhash_scalepath(sf_dir: str):
+    """The minhash operator's candidate-first SCALE path forced
+    externally (``broadcast_sig_limit=0`` disables the broadcast-verify
+    fast path) — output-identical pair set, shares dedup_minhash_docs'
+    oracle (path parity as external gate signal)."""
+    out = minhash_lsh_pairs(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]),
+                            threshold=0.5, broadcast_sig_limit=0)
+    return out.select_columns(["id_a", "id_b"])
+
+
 def dedup_simhash_docs(sf_dir: str):
     return simhash_pairs(_read(sf_dir, "documents",
                                columns=["doc_id", "text"]), max_hamming=3)
@@ -501,6 +512,19 @@ def dedup_embedding_lsh(sf_dir: str):
     out = embedding_pairs(_augmented_embeddings(sf_dir), threshold=0.95)
     return out.map_batches(
         lambda t: t.set_column(t.schema.get_field_index("cosine"), "cosine",
+                               pc.round(t.column("cosine"), 6)),
+        batch_format="pyarrow")
+
+
+def dedup_embedding_scalepath(sf_dir: str):
+    """The embedding near-dup operator's bucketed SCALE path forced
+    externally (``broadcast_vec_limit=0``) — exact-cosine verification
+    makes it output-identical; shares dedup_embedding_lsh's oracle."""
+    out = embedding_pairs(_augmented_embeddings(sf_dir),
+                          threshold=0.95, broadcast_vec_limit=0)
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("cosine"),
+                               "cosine",
                                pc.round(t.column("cosine"), 6)),
         batch_format="pyarrow")
 
