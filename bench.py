@@ -113,7 +113,8 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from kgforge.pipelines import queries as Q
-    from kgforge.pipelines.kg_build import KGBuildConfig, build_kg
+    from kgforge.pipelines.kg_build import (KGBuildConfig, build_kg,
+                                            read_pages)
 
     sf = Q.sf_value(SF_DIR)
     n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0")) or \
@@ -141,7 +142,7 @@ def run_bench() -> dict:
     cfg = KGBuildConfig(ontology_json=ontology_json, alias_map=alias_map,
                         n_buckets=max(16, NUM_CPUS))
     t0 = time.time()
-    pages = ray.data.read_parquet(pages_path)
+    pages = read_pages(pages_path, cfg)
     res = build_kg(pages, cfg)
     headline = time.time() - t0
     mentions = res.metrics.get("mentions", 0)

@@ -19,6 +19,21 @@ def text_md5(text: str) -> str:
     return hashlib.md5(text.encode("utf-8")).hexdigest()
 
 
+def fast_text_hash64(values) -> np.ndarray:
+    """VECTORIZED 64-bit content hash of a string array → uint64
+    (``pd.util.hash_array`` siphash under the hood — the
+    ``SHARD_FN="pdhash64"`` discipline from kg_build).  The production
+    alternative to a per-row Python ``hashlib.md5`` loop (~1 µs/row is
+    real money at 10^12 docs); md5 stays for ``oracle_mode`` paths
+    that must re-derive the hash in DuckDB.  Callers keep the uint64
+    through routing and folds and hex-format only result-sized output
+    (if at all) — never per corpus row."""
+    import pandas as pd
+    arr = np.asarray(
+        [v if v is not None else "" for v in values], dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     """crc32 hashes of word n-gram shingles (unique, sorted)."""
     toks = text.split()

@@ -31,8 +31,10 @@ import zlib
 _HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 # direct integer /Length only (an indirect "N 0 R" length falls back to
-# the delimiter scan)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s]+\d+\s+R)")
+# the delimiter scan).  (?![0-9]) makes the digit run atomic so that a
+# multi-digit indirect length like "/Length 30 0 R" cannot backtrack to
+# match "3": '30' fails the indirect lookahead, '3' fails (?![0-9]).
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 
 
 def _find_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:

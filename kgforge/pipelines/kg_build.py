@@ -107,6 +107,44 @@ class KGResult:
     metrics: dict = field(default_factory=dict)
 
 
+def pages_read_columns(schema_names, cfg: "KGBuildConfig | None" = None
+                       ) -> list[str]:
+    """The column projection a KG build actually consumes from a pages
+    corpus: ``url, warc_ts, text`` (or ``html`` when
+    ``use_text_column=False`` / no text column exists), plus
+    ``instruction`` when present and ``lang`` when ``cfg.keep_lang``
+    filters on it."""
+    use_text = cfg is None or cfg.use_text_column
+    body = "text" if (use_text and "text" in schema_names) else "html"
+    want = ["url", "warc_ts", body, "instruction"]
+    if cfg is not None and cfg.keep_lang:
+        want.append("lang")
+    return [c for c in want if c in schema_names]
+
+
+def read_pages(pages_path, cfg: "KGBuildConfig | None" = None) -> Dataset:
+    """COLUMN-PRUNED pages read.  Ray 2.49 has no projection-pushdown
+    optimizer rule (only ``limit_pushdown`` exists in
+    ``ray/data/_internal/logical/rules/``), so a ``select_columns``
+    after ``read_parquet`` does NOT save the scan: the multi-MB
+    ``html`` column would be read and decoded, then dropped — ~half
+    the corpus bytes in the synthetic pages file and 5-10x the text on
+    real Common Crawl.  Resolve the projection from the Parquet footer
+    (metadata-only driver lookup) and pass ``columns=`` to the read so
+    only the needed columns ever leave storage."""
+    import pyarrow.dataset as pads
+    try:
+        names = pads.dataset(pages_path).schema.names
+    except Exception as exc:  # noqa: BLE001 — odd path/filesystem
+        import logging
+        logging.getLogger(__name__).warning(
+            "read_pages: could not resolve schema for %s (%s); "
+            "falling back to an UNPRUNED read", pages_path, exc)
+        return ray.data.read_parquet(pages_path)
+    return ray.data.read_parquet(
+        pages_path, columns=pages_read_columns(names, cfg))
+
+
 def _prepare_pages(pages: Dataset, cfg: KGBuildConfig) -> Dataset:
     cols = pages.schema().names
     if cfg.keep_lang and "lang" in cols:

@@ -96,14 +96,14 @@ def _ensure_gate_artifact(sf_dir: str) -> None:
     Ray query before its oracle, so the artifact is in place."""
     if sf_dir in _GATE_EXPORTED:
         return
-    from .kg_build import KGBuildConfig, extract_mentions
+    from .kg_build import KGBuildConfig, extract_mentions, read_pages
     from .oracle_export import export_gate_mentions, export_gate_pages
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
         ontology_json = fh.read()
     with open(f"{corpus_dir}/aliases.json") as fh:
         alias_map = json.load(fh)
-    pages = ray.data.read_parquet(pages_path)
+    pages = read_pages(pages_path)
     mentions = extract_mentions(pages, KGBuildConfig(
         ontology_json=ontology_json))
     export_gate_mentions(mentions, ontology_json, alias_map)
@@ -123,13 +123,13 @@ def _kg_result(sf_dir: str):
     # node/edge tables)
     if sf_dir in _KG_RESULT_CACHE:
         return _KG_RESULT_CACHE[sf_dir]
-    from .kg_build import KGBuildConfig, build_kg
+    from .kg_build import KGBuildConfig, build_kg, read_pages
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
         ontology_json = fh.read()
     with open(f"{corpus_dir}/aliases.json") as fh:
         alias_map = json.load(fh)
-    pages = ray.data.read_parquet(pages_path)
+    pages = read_pages(pages_path)
     cfg = KGBuildConfig(ontology_json=ontology_json, alias_map=alias_map)
     res = build_kg(pages, cfg)
     _KG_RESULT_CACHE.clear()
@@ -156,11 +156,11 @@ def kg_mentions(sf_dir: str):
     grammar extractor is re-derived in DuckDB as regexes over the
     exported pages (url, warc_ts_us, text)."""
     _ensure_gate_artifact(sf_dir)
-    from .kg_build import KGBuildConfig, extract_mentions
+    from .kg_build import KGBuildConfig, extract_mentions, read_pages
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
         ontology_json = fh.read()
-    pages = ray.data.read_parquet(pages_path)
+    pages = read_pages(pages_path)
     cfg = KGBuildConfig(ontology_json=ontology_json)
     return extract_mentions(pages, cfg)
 
@@ -171,7 +171,7 @@ def _ann_link_inputs(sf_dir: str):
     (distinct pre-alias Person surfaces Dataset, canonical people)."""
     from ..stages.linker import distinct_strings
     from ..testing.corpus import build_pools
-    from .kg_build import KGBuildConfig, extract_mentions
+    from .kg_build import KGBuildConfig, extract_mentions, read_pages
     from .oracle_export import export_gate_canon
     _ensure_gate_pages(sf_dir)  # oracle re-derives surfaces from pages
     corpus_dir, pages_path = pages_for_sf(sf_dir)
@@ -182,7 +182,7 @@ def _ann_link_inputs(sf_dir: str):
     with open(f"{corpus_dir}/ontology.json") as fh:
         ontology_json = fh.read()
     mentions = extract_mentions(
-        ray.data.read_parquet(pages_path),
+        read_pages(pages_path),
         KGBuildConfig(ontology_json=ontology_json))
 
     def person_surfaces(batch: pa.Table) -> pa.Table:
@@ -1428,14 +1428,14 @@ def _entity_page_mentions(sf_dir: str):
     distributed pair/degree machinery downstream is what the SQL
     oracles independently re-derive."""
     import pyarrow.compute as pc
-    from .kg_build import KGBuildConfig, extract_mentions
+    from .kg_build import KGBuildConfig, extract_mentions, read_pages
     from .oracle_export import MentionOracleRows
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
         ontology_json = fh.read()
     with open(f"{corpus_dir}/aliases.json") as fh:
         alias_map = json.load(fh)
-    pages = ray.data.read_parquet(pages_path)
+    pages = read_pages(pages_path)
     mentions = extract_mentions(pages, KGBuildConfig(
         ontology_json=ontology_json))
     fn = MentionOracleRows(ontology_json, alias_map)
@@ -1823,14 +1823,14 @@ def kg_curated_nodes(sf_dir: str):
     from ..functions import hashing as H
     from ..functions.web import url_host_section
     from ..stages.relational import grouped_limit
-    from .kg_build import KGBuildConfig, build_kg
+    from .kg_build import KGBuildConfig, build_kg, read_pages
     _ensure_gate_artifact(sf_dir)
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
         ontology_json = fh.read()
     with open(f"{corpus_dir}/aliases.json") as fh:
         alias_map = json.load(fh)
-    pages = ray.data.read_parquet(pages_path)
+    pages = read_pages(pages_path)
     # typed empties for the group shuffle's schema-less empty
     # partitions (the _canonical_edges lesson) — grouped_limit sorts
     # on key/ord in EVERY block, so empties must carry the schema
@@ -1971,14 +1971,14 @@ def _comention_edges(sf_dir: str):
     iff some page mentions both (the KG edge table itself is bipartite
     Person->Movie, so density analytics run on this projection)."""
     import pyarrow.compute as pc
-    from .kg_build import KGBuildConfig, extract_mentions
+    from .kg_build import KGBuildConfig, extract_mentions, read_pages
     from .oracle_export import MentionOracleRows
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
         ontology_json = fh.read()
     with open(f"{corpus_dir}/aliases.json") as fh:
         alias_map = json.load(fh)
-    pages = ray.data.read_parquet(pages_path)
+    pages = read_pages(pages_path)
     mentions = extract_mentions(pages, KGBuildConfig(
         ontology_json=ontology_json))
     fn = MentionOracleRows(ontology_json, alias_map)
@@ -2019,14 +2019,14 @@ def _comention_weighted_edges(sf_dir: str):
     distinct pages mentioning both entities (the weight kg_cooccurrence
     reports per key pair, here on node ids for the graph ops)."""
     import pyarrow.compute as pc
-    from .kg_build import KGBuildConfig, extract_mentions
+    from .kg_build import KGBuildConfig, extract_mentions, read_pages
     from .oracle_export import MentionOracleRows
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
         ontology_json = fh.read()
     with open(f"{corpus_dir}/aliases.json") as fh:
         alias_map = json.load(fh)
-    pages = ray.data.read_parquet(pages_path)
+    pages = read_pages(pages_path)
     mentions = extract_mentions(pages, KGBuildConfig(
         ontology_json=ontology_json))
     fn = MentionOracleRows(ontology_json, alias_map)
@@ -2087,7 +2087,7 @@ def kg_mention_timeseries(sf_dir: str):
     (crawl-time trend of every node) — per-batch combiner over the
     mention stream, one coarse-bucket fold."""
     import pyarrow.compute as pc
-    from .kg_build import KGBuildConfig, extract_mentions
+    from .kg_build import KGBuildConfig, extract_mentions, read_pages
     from .oracle_export import MentionOracleRows
     _ensure_gate_artifact(sf_dir)
     corpus_dir, pages_path = pages_for_sf(sf_dir)
@@ -2096,7 +2096,7 @@ def kg_mention_timeseries(sf_dir: str):
     with open(f"{corpus_dir}/aliases.json") as fh:
         alias_map = json.load(fh)
     mentions = extract_mentions(
-        ray.data.read_parquet(pages_path),
+        read_pages(pages_path),
         KGBuildConfig(ontology_json=ontology_json))
     fn = MentionOracleRows(ontology_json, alias_map)
     DAY_US = 86_400_000_000
@@ -2228,7 +2228,7 @@ def _kg_incremental(sf_dir: str):
     if sf_dir in _KG_INCR_CACHE:
         return _KG_INCR_CACHE[sf_dir]
     from ..keys import hash64
-    from .kg_build import KGBuildConfig, _fused_normalized
+    from .kg_build import KGBuildConfig, _fused_normalized, read_pages
     from .kg_update import apply_delta, compact_state
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
@@ -2244,7 +2244,7 @@ def _kg_incremental(sf_dir: str):
             return t.filter(pa.array(keep))
         return f
 
-    pages = ray.data.read_parquet(pages_path)
+    pages = read_pages(pages_path)
     state = compact_state(
         _fused_normalized(pages.map_batches(half(0),
                                             batch_format="pyarrow"),

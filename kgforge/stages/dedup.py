@@ -268,9 +268,10 @@ def _paired_payloads(group: pd.DataFrame, payload_col: str = "payload"):
 
 def exact_dedup(ds: Dataset, id_col: str = "doc_id",
                 text_col: str = "text", keep_text: bool = True,
-                keep_hash: bool = False) -> Dataset:
+                keep_hash: bool = False,
+                oracle_mode: bool = True) -> Dataset:
     """One row per distinct text: the smallest id wins (deterministic),
-    plus the duplicate count.  Shuffle key = md5(text) — uniform even
+    plus the duplicate count.  Shuffle key = hash(text) — uniform even
     when text lengths are skewed.
 
     ``keep_text=False`` is the 100-TB mode: only ``(id, text_hash)``
@@ -280,16 +281,31 @@ def exact_dedup(ds: Dataset, id_col: str = "doc_id",
     output contract includes it (the sf-scale oracle compares text).
     ``keep_hash=True`` additionally keeps ``text_hash`` alongside the
     text so downstream consumers (e.g. content-hash sharding in
-    ``run_curation_job.py``) don't re-md5 the corpus."""
+    ``run_curation_job.py``) don't re-hash the corpus.
+
+    ``oracle_mode=True`` (gate default) hashes with per-row md5 so the
+    DuckDB oracle can re-derive ``text_hash``; production passes
+    ``False`` for the vectorized siphash64 path
+    (:func:`kgforge.functions.hashing.fast_text_hash64` — a ~1 µs/row
+    hashlib loop is real money at 10^12 docs); fast-mode ``text_hash``
+    is uint64, same winners/counts (pinned in pytest)."""
     payload = [text_col] if keep_text else []
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [H.text_md5(t or "")
-                  for t in batch.column(text_col).to_pylist()]
+        texts = batch.column(text_col)
+        if oracle_mode:
+            hashes = [H.text_md5(t or "") for t in texts.to_pylist()]
+            harr = pa.array(hashes, pa.string())
+            buckets = pa.array([int(h[:8], 16) % 64 for h in hashes],
+                               pa.int64())
+        else:
+            h64 = H.fast_text_hash64(texts.to_pylist())
+            harr = pa.array(h64, pa.uint64())
+            buckets = pa.array((h64 % np.uint64(64)).astype(np.int64),
+                               pa.int64())
         out = batch.select([id_col] + payload).append_column(
-            "text_hash", pa.array(hashes, pa.string()))
-        buckets = [int(h[:8], 16) % 64 for h in hashes]
-        return out.append_column("bucket", pa.array(buckets, pa.int64()))
+            "text_hash", harr)
+        return out.append_column("bucket", buckets)
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
         # one call per coarse bucket; the per-key fold is a vectorized
@@ -528,7 +544,7 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id",
 def ngram_jaccard_pairs(ds: Dataset, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = None) -> Dataset:
+                        max_shingle_df: int | None = 1000) -> Dataset:
     """EXACT word-n-gram Jaccard >= threshold over all document pairs.
 
     Count-based exact algorithm (no shingle sets ever move, no per-pair
@@ -544,14 +560,19 @@ def ngram_jaccard_pairs(ds: Dataset, id_col: str = "doc_id",
        pair; sizes are attached from a broadcast ``{id: |S|}`` map and
        the Jaccard filter is a vectorized expression.
 
-    Recall is 1.0 by construction: any pair with J > 0 shares a shingle.
-    ``max_shingle_df`` optionally skips hotter-than-cutoff shingles at
-    candidate time (at 100-TB scale stop-shingles make any exact index
-    quadratic; pairs above a 0.5 threshold that ONLY share ultra-common
-    shingles are vanishingly rare — documented approximation, default
-    off).  The sizes broadcast is 8 B/doc; beyond ~10^9 docs swap it for
-    a pair-bucket join.  Docs with an empty shingle set are skipped —
-    empty-text duplicates belong to ``exact_dedup``."""
+    Recall is 1.0 by construction among pairs sharing a sub-cutoff
+    shingle: any pair with J > 0 shares a shingle.  ``max_shingle_df``
+    skips hotter-than-cutoff shingles at candidate time — a
+    stop-shingle shared by 10^6 docs would otherwise emit O(df^2) pair
+    rows in ONE bucket (the quadratic scale-killer this operator's own
+    docstring predicts at 100 TB), so the guard DEFAULTS ON at 1000
+    (pairs above a 0.5 threshold that ONLY share ultra-common shingles
+    are vanishingly rare — documented approximation; each skip logs the
+    shingle's df loudly).  Pass ``max_shingle_df=None`` to explicitly
+    opt out (exact, unbounded).  The sizes broadcast is 8 B/doc; beyond
+    ~10^9 docs swap it for a pair-bucket join.  Docs with an empty
+    shingle set are skipped — empty-text duplicates belong to
+    ``exact_dedup``."""
 
     def sizes_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -592,10 +613,18 @@ def ngram_jaccard_pairs(ds: Dataset, id_col: str = "doc_id",
         dup = group.duplicated(subset=["sh"], keep=False)
         group = group[dup]
         out_a, out_b = [], []
-        for _, sub in group.groupby("sh", sort=False):
+        for sh, sub in group.groupby("sh", sort=False):
             ids = np.unique(sub[id_col].to_numpy())
             m = len(ids)
-            if m < 2 or (max_shingle_df is not None and m > max_shingle_df):
+            if m < 2:
+                continue
+            if max_shingle_df is not None and m > max_shingle_df:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: skipping stop-shingle %x with "
+                    "df=%d > max_shingle_df=%d (would emit %d pair rows); "
+                    "pass max_shingle_df=None to force exactness",
+                    int(sh), m, max_shingle_df, m * (m - 1) // 2)
                 continue
             ia, ib = np.triu_indices(m, k=1)
             out_a.append(ids[ia])

@@ -217,9 +217,13 @@ def pagerank_fixed(edges: Dataset, src_col: str = "src_id",
     fixed-point ranking IS a PageRank ranking; parity of the ordering
     vs the float :func:`pagerank` is pinned in pytest.
 
-    ``mode="auto"`` switches to :func:`pagerank_fixed_distributed`
-    (the rank table stays a keyed Dataset — bit-identical output,
-    returned as a DATASET) past ``driver_node_limit`` nodes."""
+    Return contract: ``mode="auto"`` ALWAYS returns a Dataset (the
+    driver-path result is wrapped with ``ray.data.from_pandas``) so
+    caller code tested at small scale doesn't change type when the
+    ``driver_node_limit`` gate trips in production; explicit
+    ``mode="driver"`` is the documented DataFrame-out contract and
+    ``mode="distributed"`` forces :func:`pagerank_fixed_distributed`
+    (bit-identical output)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     if not (0 < damping_num < damping_den):
@@ -230,6 +234,7 @@ def pagerank_fixed(edges: Dataset, src_col: str = "src_id",
     limit = (DRIVER_NODE_LIMIT if driver_node_limit is None
              else driver_node_limit)
     deg_ds = degree_table(edges, src_col, dst_col).materialize()
+    wrap_out = mode == "auto"
     if mode == "auto":
         mode = "driver" if deg_ds.count() <= limit else "distributed"
     if mode == "distributed":
@@ -242,10 +247,11 @@ def pagerank_fixed(edges: Dataset, src_col: str = "src_id",
     nodes = np.sort(deg["node_id"].to_numpy(np.uint64))
     n = len(nodes)
     if n == 0:
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "node_id": pd.Series([], dtype=np.uint64),
             "pr_fixed": pd.Series([], dtype=np.int64),
             "pagerank": pd.Series([], dtype=np.float64)})
+        return ray.data.from_pandas(out) if wrap_out else out
     outdeg = np.zeros(n, np.int64)
     pos = np.searchsorted(nodes, deg["node_id"].to_numpy(np.uint64))
     outdeg[pos] = deg["out_degree"].to_numpy(np.int64)
@@ -291,9 +297,10 @@ def pagerank_fixed(edges: Dataset, src_col: str = "src_id",
         dangling = int(r[dangling_mask].sum())
         r = base + (num * (incoming + dangling // n)) // den
 
-    return pd.DataFrame({"node_id": nodes,
-                         "pr_fixed": r.astype(np.int64),
-                         "pagerank": r.astype(np.float64) / float(S)})
+    out = pd.DataFrame({"node_id": nodes,
+                        "pr_fixed": r.astype(np.int64),
+                        "pagerank": r.astype(np.float64) / float(S)})
+    return ray.data.from_pandas(out) if wrap_out else out
 
 
 def connected_components(edges: Dataset, src_col: str = "src_id",
@@ -314,14 +321,17 @@ def connected_components(edges: Dataset, src_col: str = "src_id",
     path-compressed (label := label-of-label until stable) so sweeps
     converge in O(log n), not graph diameter.
 
-    ``mode="auto"`` switches to
-    :func:`connected_components_distributed` (labels stay a keyed
-    Dataset; returns a DATASET, not a DataFrame) past
-    ``driver_node_limit`` nodes (default :data:`DRIVER_NODE_LIMIT`);
-    ``mode="driver"``/``"distributed"`` force a path."""
+    Return contract (mirrors :func:`pagerank_fixed`): ``mode="auto"``
+    ALWAYS returns a Dataset (the driver result is wrapped) so the
+    caller's type never changes when the ``driver_node_limit`` gate
+    trips past :data:`DRIVER_NODE_LIMIT` nodes; explicit
+    ``mode="driver"`` returns the node-sized DataFrame,
+    ``mode="distributed"`` forces
+    :func:`connected_components_distributed`."""
     limit = (DRIVER_NODE_LIMIT if driver_node_limit is None
              else driver_node_limit)
     deg_ds = degree_table(edges, src_col, dst_col).materialize()
+    wrap_out = mode == "auto"
     if mode == "auto":
         mode = "driver" if deg_ds.count() <= limit else "distributed"
     if mode == "distributed":
@@ -333,9 +343,10 @@ def connected_components(edges: Dataset, src_col: str = "src_id",
     nodes = np.sort(deg["node_id"].to_numpy(np.uint64))
     n = len(nodes)
     if n == 0:
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "node_id": pd.Series([], dtype=np.uint64),
             "component_id": pd.Series([], dtype=np.uint64)})
+        return ray.data.from_pandas(out) if wrap_out else out
     nodes_ref = ray.put(nodes)
 
     def index_edges(batch: pa.Table) -> pa.Table:
@@ -385,7 +396,8 @@ def connected_components(edges: Dataset, src_col: str = "src_id",
             break
         labels = new
 
-    return pd.DataFrame({"node_id": nodes, "component_id": labels})
+    out = pd.DataFrame({"node_id": nodes, "component_id": labels})
+    return ray.data.from_pandas(out) if wrap_out else out
 
 
 # Above this many nodes, the node-sized driver vectors (ranks, labels,
@@ -893,10 +905,13 @@ def k_hop(edges: Dataset, n_seeds: int = 5, k: int = 2,
     neighbor ids.  Driver state is the visited/frontier vectors —
     bounded by the k-hop neighborhood size, the same node-sized driver
     bound as :func:`pagerank` / :func:`connected_components`.
-    ``mode="auto"`` switches to :func:`k_hop_distributed` (visited set
-    and frontier stay keyed Datasets, dedup-vs-visited is an anti-join;
-    returns a DATASET, not a DataFrame) past ``driver_node_limit``
-    nodes (default :data:`DRIVER_NODE_LIMIT`).
+    Return contract (mirrors :func:`pagerank_fixed`): ``mode="auto"``
+    ALWAYS returns a Dataset — past ``driver_node_limit`` nodes
+    (default :data:`DRIVER_NODE_LIMIT`) it switches to
+    :func:`k_hop_distributed` (visited set and frontier stay keyed
+    Datasets, dedup-vs-visited is an anti-join), below it the driver
+    result is wrapped, so the caller's type never changes at the gate.
+    Explicit ``mode="driver"`` returns the DataFrame.
 
     Reference: graph traversal happens inside FalkorDB via generated
     Cypher (graphrag_sdk/kg.py ask/query path); here it is a native
@@ -904,6 +919,7 @@ def k_hop(edges: Dataset, n_seeds: int = 5, k: int = 2,
     limit = (DRIVER_NODE_LIMIT if driver_node_limit is None
              else driver_node_limit)
     deg_ds = degree_table(edges, src_col, dst_col).materialize()
+    wrap_out = mode == "auto"
     if mode == "auto":
         mode = "driver" if deg_ds.count() <= limit else "distributed"
     if mode == "distributed":
@@ -914,9 +930,10 @@ def k_hop(edges: Dataset, n_seeds: int = 5, k: int = 2,
     deg = deg_ds.to_pandas()
     universe = np.sort(deg["node_id"].to_numpy(np.uint64))
     if len(universe) == 0:
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "node_id": pd.Series([], dtype=np.uint64),
             "hops": pd.Series([], dtype=np.int64)})
+        return ray.data.from_pandas(out) if wrap_out else out
     if seeds is None:
         seeds = universe[:n_seeds]
     seeds = np.unique(np.asarray(seeds, dtype=np.uint64))
@@ -948,9 +965,10 @@ def k_hop(edges: Dataset, n_seeds: int = 5, k: int = 2,
         frontier = fresh
 
     ids = np.array(sorted(hops), dtype=np.uint64)
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "node_id": ids,
         "hops": np.array([hops[int(i)] for i in ids], dtype=np.int64)})
+    return ray.data.from_pandas(out) if wrap_out else out
 
 
 def _canonical_edges(edges: Dataset, src_col: str, dst_col: str,

@@ -295,25 +295,28 @@ def grouped_limit(ds: Dataset, key_col: str, order_col: str, k: int,
     if k < 1:
         raise ValueError("k must be >= 1")
 
-    def combiner(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, order_col], kind="mergesort")
-        keep = g.groupby(key_col, sort=False).cumcount() < k
-        return g[keep]
+    def keep_indices(t: pa.Table) -> pa.Array:
+        # rank on a (key, order) pandas PROJECTION only; payload columns
+        # never round-trip through pandas (a nullable int64/uint64
+        # payload would degrade to float64 and corrupt ids above 2^53)
+        g = pd.DataFrame({"k": t.column(key_col).to_pandas(),
+                          "o": t.column(order_col).to_pandas()})
+        g = g.sort_values(["k", "o"], kind="mergesort")
+        keep = (g.groupby("k", sort=False).cumcount() < k).to_numpy()
+        return pa.array(np.sort(g.index.to_numpy()[keep]), pa.int64())
 
     def local_head(t: pa.Table) -> pa.Table:
         # in-batch pre-trim: at most k rows per key leave each block
-        g = t.to_pandas()
-        out = combiner(g)
-        out = out.assign(_bucket=_key_bucket(
-            pa.Array.from_pandas(out[key_col]), n_buckets).to_pylist())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        out = t.take(keep_indices(t))
+        return out.append_column(
+            "_bucket", _key_bucket(out.column(key_col), n_buckets))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return combiner(g.drop(columns=["_bucket"]))
+    def fold(t: pa.Table) -> pa.Table:
+        return t.take(keep_indices(t)).drop_columns(["_bucket"])
 
     return (ds.map_batches(local_head, batch_format="pyarrow")
               .groupby("_bucket")
-              .map_groups(fold, batch_format="pandas"))
+              .map_groups(fold, batch_format="pyarrow"))
 
 
 def token_frequencies(ds: Dataset, text_col: str = "text",
@@ -1473,11 +1476,19 @@ def pivot_counts(ds: Dataset, row_col: str, col_col: str,
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(t.column(row_col).is_valid())
+        # NULL values count the row (COUNT(*)) but contribute 0 cents
+        # (SQL SUM skips NULLs); without the mask np.floor(NaN)→int64
+        # is undefined garbage.
+        vcol = t.column(value_col)
+        cents = np.where(
+            vcol.is_valid().to_numpy(zero_copy_only=False),
+            _cents(np.nan_to_num(
+                vcol.to_numpy(zero_copy_only=False).astype(np.float64))),
+            0)
         df = pd.DataFrame({
             "r": t.column(row_col).to_pandas(),
             "c": t.column(col_col).to_pandas(),
-            "cents": _cents(t.column(value_col).to_numpy(
-                zero_copy_only=False))})
+            "cents": cents})
         df = df[df["c"].isin(cats)]
         agg = (df.groupby(["r", "c"], sort=False)["cents"]
                .agg(["size", "sum"]).reset_index())

@@ -184,38 +184,63 @@ class DedupWorker:
         hs = list(self.state)
         ids = [self.state[h][0] for h in hs]
         ns = [self.state[h][1] for h in hs]
+        # hash keys are md5 hex strings (oracle mode) or uint64 ints
+        # (fast siphash mode) — type follows what ingest routed
+        htype = pa.string() if isinstance(hs[0], str) else pa.uint64()
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "n_dups": pa.array(ns, pa.int64()),
-                         "text_hash": pa.array(hs, pa.string())})
+                         "text_hash": pa.array(hs, htype)})
 
 
 def streaming_exact_dedup(docs: Dataset, id_col: str = "doc_id",
                           text_col: str = "text", n_workers: int = 4,
                           batch_rows: int = 4096,
-                          max_in_flight: int = 32) -> Dataset:
-    """Exact dedup as an UNBOUNDED-STREAM operator: the driver plays
-    the message bus (micro-batches from ``iter_batches``), routing each
-    row to one of ``n_workers`` hash-partitioned stateful actors; the
-    final flush emits one ``(doc_id, n_dups, text_hash)`` winner per
-    distinct text — IDENTICAL to ``dedup.exact_dedup(keep_text=False)``
-    (min-id wins; pinned in pytest, shares its SQL oracle).  Text never
-    leaves the ingest node: only (id, md5) routes to state holders —
-    the same 100-TB discipline as the batch operator's shuffle.
-    Ingest backpressure is a bounded in-flight window (``ray.wait``),
-    the streaming analogue of the batch executor's backpressure."""
+                          max_in_flight: int = 32,
+                          oracle_mode: bool = True) -> Dataset:
+    """Exact dedup as an UNBOUNDED-STREAM operator: hash+route runs
+    INSIDE parallel ``map_batches`` tasks that hold the state-actor
+    handles, so ingest parallelism scales with the cluster — the
+    driver never touches row data (it only launches the consuming pass
+    and the final flush; on a real bus each Kafka partition's consumer
+    plays the map task).  The final flush emits one
+    ``(doc_id, n_dups, text_hash)`` winner per distinct text —
+    IDENTICAL to ``dedup.exact_dedup(keep_text=False)`` (min-id wins;
+    pinned in pytest, shares its SQL oracle): the actors' min-id +
+    count merge is ORDER-FREE, so concurrent multi-task ingest cannot
+    change the result.  Text never leaves the ingest tasks: only
+    (id, hash) crosses to the state holders — the same 100-TB
+    discipline as the batch operator's shuffle.
+
+    Per-task backpressure: each ingest task bounds its un-acked sends
+    with ``ray.wait`` (``max_in_flight``), the streaming analogue of
+    the batch executor's backpressure; global in-flight is that window
+    x concurrent map tasks, which Ray Data already bounds.
+
+    ``oracle_mode=True`` (gate default) hashes with per-row md5 so
+    DuckDB can re-derive ``text_hash`` exactly; production passes
+    ``False`` for the vectorized siphash64 path
+    (:func:`kgforge.functions.hashing.fast_text_hash64` — no per-row
+    Python in the hot loop; hex text_hash formatted only on the
+    result-sized flush)."""
     from ..functions import hashing as H
     workers = [DedupWorker.remote() for _ in range(n_workers)]
-    pending: list = []
-    for t in docs.select_columns([id_col, text_col]).iter_batches(
-            batch_size=batch_rows, batch_format="pyarrow"):
-        hashes = [H.text_md5(x or "")
-                  for x in t.column(text_col).to_pylist()]
-        part = np.fromiter((int(h[:8], 16) % n_workers
-                            for h in hashes),
-                           dtype=np.int64, count=len(hashes))
-        ids = t.column(id_col)
-        harr = pa.array(hashes, pa.string())
-        routed = pa.table({"i": ids, "h": harr})
+
+    def route(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if oracle_mode:
+            hashes = np.asarray(
+                [H.text_md5(x or "") for x in texts.to_pylist()],
+                dtype=object)
+            part = np.fromiter(
+                (int(h[:8], 16) % n_workers for h in hashes),
+                dtype=np.int64, count=len(hashes))
+            harr = pa.array(hashes, pa.string())
+        else:
+            h64 = H.fast_text_hash64(texts.to_pylist())
+            part = (h64 % np.uint64(n_workers)).astype(np.int64)
+            harr = pa.array(h64, pa.uint64())
+        routed = pa.table({"i": t.column(id_col), "h": harr})
+        pending: list = []
         for w in range(n_workers):
             mask = part == w
             if not mask.any():
@@ -223,11 +248,28 @@ def streaming_exact_dedup(docs: Dataset, id_col: str = "doc_id",
             sub = routed.take(pa.array(np.flatnonzero(mask),
                                        pa.int64()))
             pending.append(workers[w].ingest.remote(sub))
-        while len(pending) > max_in_flight:
-            done, pending = ray.wait(pending, num_returns=1)
-            ray.get(done)   # surface ingest errors loudly, not silently
-    if pending:
-        ray.get(pending)
+            while len(pending) > max_in_flight:
+                done, pending = ray.wait(pending, num_returns=1)
+                ray.get(done)   # surface ingest errors loudly
+        if pending:
+            ray.get(pending)    # task completes only once acked
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    # the consuming count() drives the stream; rows never reach the
+    # driver (each block reduces to one ack row)
+    (docs.select_columns([id_col, text_col])
+         .map_batches(route, batch_size=batch_rows,
+                      batch_format="pyarrow").count())
     tables = ray.get([w.flush.remote() for w in workers])
+    if not oracle_mode:
+        # hex-format the result-sized output so both modes share one
+        # schema (text_hash: string)
+        tables = [
+            tb.set_column(
+                tb.column_names.index("text_hash"), "text_hash",
+                pa.array([format(v, "016x")
+                          for v in tb.column("text_hash").to_pylist()],
+                         pa.string()))
+            for tb in tables]
     import ray.data as rd
     return rd.from_arrow([tb for tb in tables])

@@ -12,9 +12,13 @@ On a real fixed-size cluster::
 
 Design notes (the 100-TB contract):
 
-- **Shard key = content hash** (``md5(text) % n_shards``): exact
+- **Shard key = content hash** (``hash(text) % n_shards``): exact
   duplicates always share a shard, so per-shard dedup IS global dedup
-  and a shard is a self-contained unit of work.
+  and a shard is a self-contained unit of work.  The hash fn is part
+  of the checkpoint contract (manifests record it; resume verifies):
+  default ``fast`` = vectorized siphash64
+  (``kgforge.functions.hashing.fast_text_hash64`` — no per-row Python
+  md5 loop at 10^12 docs); ``--hash md5`` keeps the oracle-parity md5.
 - **Resume in ONE scan**: completed-shard ids broadcast into the first
   ``map_batches``; their rows drop at the filter, so a resumed run
   streams the corpus once and pays gates/dedup only for unfinished
@@ -55,6 +59,9 @@ def main() -> int:
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     p.add_argument("--lang", default="en",
                    help="language gate ('' disables)")
+    p.add_argument("--hash", choices=["fast", "md5"], default="fast",
+                   help="content-hash fn (checkpoint contract; fast = "
+                        "vectorized siphash64, md5 = oracle parity)")
     args = p.parse_args()
 
     import ray
@@ -71,6 +78,7 @@ def main() -> int:
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from kgforge.functions.hashing import fast_text_hash64
     from kgforge.functions.textstats import (repetition_stats_batch,
                                              token_stats_batch)
     from kgforge.stages.dedup import exact_dedup
@@ -84,6 +92,19 @@ def main() -> int:
     if args.resume:
         done = completed_shards(args.output, expect_n_shards=n_shards)
         clear_incomplete_shards(args.output, done)
+        # the hash fn is part of the shard layout: resuming with a
+        # different one would misroute rows (the expect_n_shards
+        # discipline) — verify against any completed manifest
+        import glob as _glob
+        for mp in _glob.glob(os.path.join(args.output, "shard=*",
+                                          "_manifest.json")):
+            with open(mp) as fh:
+                recorded = json.load(fh).get("hash_fn", "md5")
+            if recorded != args.hash:
+                raise SystemExit(
+                    f"checkpoint at {args.output} was sharded with "
+                    f"hash_fn={recorded!r}; rerun with --hash {recorded}")
+            break
     done_ref = ray.put(frozenset(done))
 
     def shard_and_skip(t: pa.Table) -> pa.Table:
@@ -91,10 +112,14 @@ def main() -> int:
         if not skip:            # fresh run: no per-row hashing needed
             return t
         texts = t.column("text").to_pylist()
-        shards = np.fromiter(
-            (int(hashlib.md5((x or "").encode("utf-8"))
-                 .hexdigest()[:8], 16) % n_shards for x in texts),
-            dtype=np.int64, count=len(texts))
+        if args.hash == "md5":
+            shards = np.fromiter(
+                (int(hashlib.md5((x or "").encode("utf-8"))
+                     .hexdigest()[:8], 16) % n_shards for x in texts),
+                dtype=np.int64, count=len(texts))
+        else:
+            shards = (fast_text_hash64(texts)
+                      % np.uint64(n_shards)).astype(np.int64)
         keep = ~np.isin(shards, np.fromiter(skip, dtype=np.int64))
         return t.filter(pa.array(keep, pa.bool_()))
 
@@ -112,11 +137,16 @@ def main() -> int:
 
     def reshard(t: pa.Table) -> pa.Table:
         # shard derives from the text_hash the dedup fold already
-        # computed — no second md5 pass over document bodies
-        shards = np.fromiter(
-            (int(h[:8], 16) % n_shards
-             for h in t.column("text_hash").to_pylist()),
-            dtype=np.int64, count=t.num_rows)
+        # computed — no second hash pass over document bodies
+        if args.hash == "md5":
+            shards = np.fromiter(
+                (int(h[:8], 16) % n_shards
+                 for h in t.column("text_hash").to_pylist()),
+                dtype=np.int64, count=t.num_rows)
+        else:
+            h64 = t.column("text_hash").to_numpy(zero_copy_only=False)
+            shards = (h64.astype(np.uint64)
+                      % np.uint64(n_shards)).astype(np.int64)
         t = t.append_column("shard", pa.array(shards, pa.int64()))
         return t.drop_columns(["text_hash"])
 
@@ -126,15 +156,17 @@ def main() -> int:
           .map_batches(gates, batch_format="pyarrow"))
     # duplicates share a text hash -> share a shard, so the global
     # dedup exchange only moves rows of unfinished shards on resume
-    kept = (exact_dedup(ds, keep_hash=True)
+    kept = (exact_dedup(ds, keep_hash=True,
+                        oracle_mode=args.hash == "md5")
             .map_batches(reshard, batch_format="pyarrow"))
     kept.write_parquet(args.output, partition_cols=["shard"])
 
     new_shards = sorted(set(range(n_shards)) - done)
     total_rows = 0
     for s in new_shards:
-        man = write_shard_manifest(args.output, s,
-                                   extra={"n_shards": n_shards})
+        man = write_shard_manifest(
+            args.output, s,
+            extra={"n_shards": n_shards, "hash_fn": args.hash})
         total_rows += man["rows"]
     metrics = {
         "metric": "curation_job",

@@ -51,7 +51,8 @@ def main() -> int:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    from kgforge.pipelines.kg_build import KGBuildConfig, build_kg
+    from kgforge.pipelines.kg_build import (KGBuildConfig, build_kg,
+                                            read_pages)
     with open(args.ontology) as fh:
         ontology_json = fh.read()
     alias_map = None
@@ -63,7 +64,7 @@ def main() -> int:
                         use_text_column=not args.from_html,
                         n_shards=args.n_shards, n_buckets=args.n_buckets)
     t0 = time.time()
-    pages = ray.data.read_parquet(args.input)
+    pages = read_pages(args.input, cfg)
     res = build_kg(pages, cfg, output_dir=args.output, resume=args.resume)
     out = {k: v for k, v in res.metrics.items() if not isinstance(v, dict)}
     out["wall_sec"] = round(time.time() - t0, 2)

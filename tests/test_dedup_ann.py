@@ -46,6 +46,20 @@ def test_exact_dedup(docs_ds):
     assert 31 not in set(out["doc_id"])
 
 
+def test_exact_dedup_fast_hash_parity(docs_ds):
+    """oracle_mode=False (vectorized siphash64, the production path)
+    must keep identical winners and duplicate counts; only the hash
+    representation changes (uint64 instead of md5 hex)."""
+    md5 = (exact_dedup(docs_ds, keep_text=False).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    fast = (exact_dedup(docs_ds, keep_text=False, oracle_mode=False)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(md5[["doc_id", "n_dups"]],
+                                  fast[["doc_id", "n_dups"]],
+                                  check_exact=True)
+    assert fast["text_hash"].dtype == np.uint64
+
+
 def test_minhash_lsh_pairs(docs_ds):
     pairs = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
     got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
@@ -82,6 +96,41 @@ def test_ngram_jaccard_pairs(docs_ds):
            zip(pairs["id_a"], pairs["id_b"], pairs["jaccard"])}
     assert got.get((0, 31)) == 1.0
     assert 0.5 <= got.get((0, 30), 0) < 1.0
+
+
+def test_ngram_jaccard_stop_shingle_guard_bounds_pairs():
+    """Stress pin for the default-on max_shingle_df guard (the
+    head-key-skew discipline of test_head_key_skew_bounded_by_combiner
+    applied to the shingle index): ONE shingle present in EVERY doc
+    must not emit O(n^2) candidate pairs when the cutoff trips, and the
+    sub-cutoff pairs (the planted near-dup) must be unaffected."""
+    stop = "common shared trigram"          # the universal stop-shingle
+    texts = [f"{stop} unique{i}a unique{i}b unique{i}c unique{i}d"
+             for i in range(40)]
+    texts.append(texts[0] + " extraw")      # id 40: near-dup of id 0
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(len(texts))), "text": texts}))
+    guarded = ngram_jaccard_pairs(ds, threshold=0.5,
+                                  max_shingle_df=8).to_pandas()
+    got = {(a, b) for a, b in zip(guarded["id_a"], guarded["id_b"])}
+    # the universal shingle (df=41 > 8) is skipped: unrelated docs that
+    # ONLY share it never become candidates — pair count stays bounded
+    # by the sub-cutoff postings, not n^2/2 = 820
+    assert (0, 40) in got                   # near-dup still found
+    assert len(got) <= 5
+    # explicit opt-out (None) restores the exact unbounded semantics:
+    # every doc pair shares the stop-shingle, so candidates explode —
+    # but J >= 0.5 still only holds for the planted pair
+    exact = ngram_jaccard_pairs(ds, threshold=0.5,
+                                max_shingle_df=None).to_pandas()
+    egot = {(a, b) for a, b in zip(exact["id_a"], exact["id_b"])}
+    assert (0, 40) in egot
+    # sub-threshold exact jaccards match on the surviving pair
+    j_g = guarded.set_index(["id_a", "id_b"]).loc[(0, 40), "jaccard"]
+    j_e = exact.set_index(["id_a", "id_b"]).loc[(0, 40), "jaccard"]
+    # the guard undercounts I by the skipped shingles a pair shares, so
+    # guarded J <= exact J; for this corpus both stay >= threshold
+    assert j_g <= j_e and j_g >= 0.5
 
 
 def test_jaccard_exact():

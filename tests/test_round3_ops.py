@@ -303,7 +303,7 @@ def test_pagerank_fixed_matches_dense_integer_recurrence():
     edges = pa.table({"src_id": pa.array(src, pa.uint64()),
                       "dst_id": pa.array(dst, pa.uint64())})
     ds = ray.data.from_arrow(edges)
-    out = (pagerank_fixed(ds, n_iter=15)
+    out = (pagerank_fixed(ds, n_iter=15).to_pandas()
            .sort_values("node_id").reset_index(drop=True))
     # dense replay, pure python ints (no numpy) — any mismatch with the
     # distributed int64 path would indicate overflow or ordering bugs
@@ -466,7 +466,7 @@ def test_connected_components_chain_and_islands():
     edges = pa.table({"src_id": pa.array(src, pa.uint64()),
                       "dst_id": pa.array(dst, pa.uint64())})
     out = (connected_components(ray.data.from_arrow(edges))
-           .set_index("node_id")["component_id"])
+           .to_pandas().set_index("node_id")["component_id"])
     assert all(out.loc[i] == 0 for i in range(10))
     assert all(out.loc[i] == 20 for i in (20, 21, 22))
     assert out.loc[30] == 30 and out.loc[31] == 30
@@ -637,11 +637,11 @@ def test_k_hop_bfs_depths():
     edges = ray.data.from_arrow(pa.table({
         "src_id": pa.array([1, 2, 3, 4, 2], pa.uint64()),
         "dst_id": pa.array([2, 3, 4, 5, 10], pa.uint64())}))
-    out = k_hop(edges, n_seeds=1, k=2)
+    out = k_hop(edges, n_seeds=1, k=2).to_pandas()
     got = dict(zip(out.node_id.astype(int), out.hops.astype(int)))
     assert got == {1: 0, 2: 1, 3: 2, 10: 2}
     # k=3 reaches node 4; node 5 still out of range
-    out3 = k_hop(edges, n_seeds=1, k=3)
+    out3 = k_hop(edges, n_seeds=1, k=3).to_pandas()
     got3 = dict(zip(out3.node_id.astype(int), out3.hops.astype(int)))
     assert got3 == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}
 
@@ -1092,6 +1092,17 @@ def test_streaming_exact_dedup_equals_batch():
     pd.testing.assert_frame_equal(batch[key], stream, check_exact=True)
     assert stream["n_dups"].sum() == 6 and len(stream) == 3
     assert set(stream["doc_id"]) == {1, 3, 9}  # min id per text
+    # production fast-hash mode (vectorized siphash64, no per-row md5):
+    # identical winners and counts; only the hash VALUES differ (hex of
+    # uint64 instead of md5)
+    fast = (streaming_exact_dedup(docs, n_workers=2, batch_rows=2,
+                                  oracle_mode=False)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        batch[["doc_id", "n_dups"]].sort_values("doc_id")
+        .reset_index(drop=True),
+        fast[["doc_id", "n_dups"]], check_exact=True)
+    assert fast["text_hash"].str.fullmatch("[0-9a-f]{16}").all()
 
 
 def test_hll_drops_nulls_like_sql():

@@ -357,6 +357,20 @@ def test_vendored_pdf_extractor_hardening():
     with pytest.raises(NotImplementedError, match="pypdf"):
         pdf_page_texts(enc)
 
+    # MULTI-DIGIT indirect /Length ("30 0 R"): the digit run is atomic,
+    # so the regex must NOT backtrack to match "3" and slice the stream
+    # to 3 bytes — it falls back to the endstream delimiter scan
+    body = b"BT (indirect length ok) Tj ET"
+    ind = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+           b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> "
+           b"endobj\n"
+           b"4 0 obj << /Length 30 0 R >> stream\n" + body +
+           b"\nendstream endobj\n"
+           b"30 0 obj %d endobj\n%%%%EOF\n" % len(body))
+    assert pdf_page_texts(ind) == ["indirect length ok"]
+
 
 def test_pdf_loader_falls_back_when_pypdf_cannot_parse(tmp_path,
                                                        monkeypatch):

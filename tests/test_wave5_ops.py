@@ -337,3 +337,50 @@ def test_grouped_hll_envelope():
     for g, sub in df.groupby("g"):
         true = sub["u"].nunique()
         assert abs(out.loc[g, "approx_distinct"] - true) / true < 0.08
+
+
+def test_pivot_counts_null_values_count_but_sum_zero():
+    """SQL semantics pin for NULL values in pivot_counts: count(*)
+    FILTER counts the row, SUM skips the NULL (== adds 0 cents).
+    Without the validity mask np.floor(NaN).astype(int64) is undefined
+    garbage (typically INT64_MIN) — the null class this repo already
+    fixed in windows/rollup/left_outer_join."""
+    from kgforge.stages.relational import pivot_counts
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "a", "b"], pa.string()),
+        "value": pa.array([1.25, None, 2.0, None, None], pa.float64())})
+    out = (pivot_counts(ray.data.from_arrow(t), "user_id", "event_type",
+                        "value", ["a", "b"])
+           .to_pandas().sort_values("user_id").set_index("user_id"))
+    assert out.loc[1, "n_a"] == 2 and out.loc[1, "cents_a"] == 125
+    assert out.loc[1, "n_b"] == 1 and out.loc[1, "cents_b"] == 200
+    # all-NULL group: rows counted, zero cents (COALESCE(SUM...,0))
+    assert out.loc[2, "n_a"] == 1 and out.loc[2, "cents_a"] == 0
+    assert out.loc[2, "n_b"] == 1 and out.loc[2, "cents_b"] == 0
+
+
+def test_grouped_limit_preserves_arrow_payload_types():
+    """grouped_limit must not round-trip payload columns through
+    pandas: a nullable int64 payload would degrade to float64 and
+    corrupt ids above 2^53."""
+    from kgforge.stages.relational import grouped_limit
+    big = (1 << 62) + 7                      # not float64-representable
+    t = pa.table({
+        "k": pa.array(["x", "x", "x", "y"], pa.string()),
+        "o": pa.array(["1", "2", "3", "1"], pa.string()),
+        "payload": pa.array([big, None, big + 1, big + 2], pa.int64())})
+    out = grouped_limit(ray.data.from_arrow(t), "k", "o", k=2)
+    schema = out.schema()
+    assert schema.types[schema.names.index("payload")] == pa.int64()
+    # assert Arrow-side: to_pandas() itself would degrade the nullable
+    # int64 to float64 (the exact trap the operator must not hit)
+    tbl = pa.concat_tables(
+        ray.get(out.to_arrow_refs())).combine_chunks()
+    kept = {(k, o): v for k, o, v in zip(
+        tbl.column("k").to_pylist(), tbl.column("o").to_pylist(),
+        tbl.column("payload").to_pylist())}
+    assert kept[("x", "1")] == big          # bit-exact, no float round
+    assert kept[("x", "2")] is None
+    assert kept[("y", "1")] == big + 2
+    assert ("x", "3") not in kept
