@@ -2385,6 +2385,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM samp
             UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM samp
         """,
+        # deterministic histogram-CDF quantile sketch: integer-cents
+        # bins (width = (max-min+4096)//4096, pure integer), order-free
+        # SUM/MAX partials, integer-ceil rank — the engine's
+        # sketches.histogram_quantiles replayed with the same integer
+        # arithmetic (q and value are the identical IEEE divisions)
+        "events_value_quantiles_sketch": """
+            WITH c AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS cv
+              FROM events WHERE value IS NOT NULL),
+            prm AS (
+              SELECT min(cv) AS mn, count(*) AS tot,
+                     GREATEST(1, (max(cv) - min(cv) + 4096) // 4096)
+                         AS w
+              FROM c),
+            b AS (
+              SELECT (cv - mn) // w AS bin, count(*) AS n,
+                     max(cv) AS mxc
+              FROM c, prm GROUP BY 1),
+            cum AS (
+              SELECT bin, mxc, sum(n) OVER (ORDER BY bin) AS cumn
+              FROM b),
+            qs(qn, qd) AS (VALUES (1, 4), (1, 2), (9, 10), (99, 100))
+            SELECT CAST(qn AS DOUBLE) / qd AS q,
+                   (SELECT mxc / 100.0 FROM cum, prm
+                    WHERE cumn >= GREATEST(
+                        1, (qn * tot + qd - 1) // qd)
+                    ORDER BY bin LIMIT 1) AS value
+            FROM qs ORDER BY q
+        """,
         # HyperLogLog distinct estimates, EXACTLY re-derived: md5
         # registers + integer-Z harmonic mean (see _hll_sql)
         "distinct_users_hll": _HLL_GLOBAL_SQL,

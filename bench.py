@@ -181,6 +181,16 @@ def run_bench() -> dict:
         if isinstance(r, Dataset):
             r.count()
         qtimes[name] = round(time.time() - t0, 3)
+        # kg_* secondaries re-pay the full KG build in their fresh
+        # session (correct hygiene, but ~60% of their wall time masks
+        # the actual graph-op cost — VERDICT r4); report the op time
+        # NET of the build so graph-code regressions are visible
+        if name.startswith("kg_") and SF_DIR in Q._KG_RESULT_CACHE:
+            build_sec = (Q._KG_RESULT_CACHE[SF_DIR]
+                         .metrics.get("total_sec"))
+            if build_sec is not None:
+                qtimes[name + "_net"] = round(
+                    max(0.0, qtimes[name] - build_sec), 3)
 
     out = {
         "metric": "kg_construct_end_to_end",

@@ -1039,13 +1039,17 @@ def pack_documents(sf_dir: str):
 
 
 def events_value_quantiles_sketch(sf_dir: str):
-    """Mergeable-sketch quantiles (rows-only gate; the rank-error
-    envelope vs the exact query is pinned in pytest)."""
-    from ..stages.sketches import approx_quantiles
+    """DETERMINISTIC mergeable quantile sketch: integer-cents histogram
+    CDF (sketches.histogram_quantiles).  Bin counts SUM and bin maxima
+    MAX — order-free partials, so unlike the compaction-based
+    QuantileSketch the result is bit-identical under ANY merge tree,
+    which is what lets this be SQL-oracled EXACTLY (integer bin width,
+    integer ceil rank — the KMV-oracle pattern).  Quantiles are exact
+    rationals so the rank target is integer on both sides."""
+    from ..stages.sketches import histogram_quantiles
     events = _read(sf_dir, "events", columns=["value"])
-    out = approx_quantiles(events, "value", [0.25, 0.5, 0.9, 0.99])
-    return out.set_column(out.schema.get_field_index("value"), "value",
-                          pc.round(out.column("value"), 4))
+    return histogram_quantiles(events, "value",
+                               [(1, 4), (1, 2), (9, 10), (99, 100)])
 
 
 def multimodal_decode(sf_dir: str):

@@ -168,23 +168,39 @@ def read_url_source(urls: list[str] | str) -> Dataset:
     """One document per url (reference ``url.py:22-51``): GET with the
     Mozilla UA header → bs4-equivalent ``get_text`` → collapse 2+
     newlines to one.  Fetching is distributed (one task batch per url
-    group); the ``get`` callable is captured at the driver.
+    group); the fetch callable is resolved AT THE DRIVER — requests
+    when importable (reference parity), stdlib ``urllib.request``
+    otherwise — so the loader is real wherever any network exists
+    (exercised end-to-end against a local ``http.server`` in pytest;
+    external hosts are unreachable in this sandbox and raise loudly at
+    fetch time).
 
     Deviation from the reference: a failed request RAISES (the
     reference prints and returns ``None``, which then crashes bs4 —
-    ``url.py:27-29`` — a bug, not a behavior worth preserving).
-    requests is unavailable in this offline sandbox, so the import-try
-    raises only when actually invoked — the dataflow below runs
-    unchanged once it is installed."""
+    ``url.py:27-29`` — a bug, not a behavior worth preserving)."""
+    import re as _re
+    _UA = {"User-Agent": "Mozilla/5.0"}
     try:
         import requests
-    except ImportError as e:
-        raise NotImplementedError(
-            "URL fetching requires the requests package, unavailable in "
-            "this offline environment; the per-url dataflow runs "
-            "unchanged once it is installed") from e
-    import re as _re
-    get = requests.get
+        _get = requests.get   # captured BY VALUE so a driver-side stub
+                              # (tests) ships to workers with the task
+
+        def fetch(u: str) -> str:
+            resp = _get(u, headers=_UA)
+            resp.raise_for_status()
+            return resp.text
+    except ImportError:
+        import urllib.request
+
+        def fetch(u: str) -> str:
+            req = urllib.request.Request(u, headers=_UA)
+            with urllib.request.urlopen(req, timeout=30.0) as resp:
+                status = getattr(resp, "status", 200)
+                if status >= 400:
+                    raise RuntimeError(f"GET {u} -> HTTP {status}")
+                charset = (resp.headers.get_content_charset()
+                           or "utf-8")
+                return resp.read().decode(charset, errors="replace")
 
     if isinstance(urls, str):
         urls = [urls]
@@ -193,9 +209,7 @@ def read_url_source(urls: list[str] | str) -> Dataset:
     def to_docs(batch: pa.Table) -> pa.Table:
         out = []
         for u in batch.column("url").to_pylist():
-            resp = get(u, headers={"User-Agent": "Mozilla/5.0"})
-            resp.raise_for_status()
-            text = _re.sub(r"\n{2,}", "\n", html_get_text(resp.text))
+            text = _re.sub(r"\n{2,}", "\n", html_get_text(fetch(u)))
             out.append(_docs_table(u, [text]))
         return pa.concat_tables(out) if out else _docs_table("", [])
 

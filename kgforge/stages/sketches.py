@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -215,6 +216,103 @@ def approx_quantiles(ds: Dataset, col: str, qs: list[float],
     return pa.table({"q": pa.array(qs, pa.float64()),
                      "value": pa.array([merged.query(q) for q in qs],
                                        pa.float64())})
+
+
+HIST_QUANTILE_BINS = 4096
+
+
+def histogram_quantiles(ds: Dataset, col: str,
+                        qs: list[tuple[int, int]],
+                        n_bins: int = HIST_QUANTILE_BINS,
+                        n_buckets: int = 64) -> pa.Table:
+    """DETERMINISTIC mergeable quantile sketch: a fixed-bin histogram
+    CDF over the repo's integer-cents representation.  Unlike
+    :class:`QuantileSketch` (whose compaction is merge-order-dependent
+    by design), every state here is order-free — bin counts SUM and
+    bin maxima MAX, both associative/commutative — so the result is
+    bit-identical regardless of partitioning / merge tree, and the
+    whole computation is re-derivable in SQL with integer arithmetic
+    (the KMV-oracle pattern):
+
+    - pass 1: exact global ``(min_c, max_c, total)`` of
+      ``c = round(value*100)`` (one tiny row per block);
+    - bin width ``W = (max_c - min_c + n_bins) // n_bins`` (integer —
+      at most ``n_bins`` bins regardless of value range);
+    - pass 2: per-batch ``(bin, count, max_c)`` partials → ONE
+      coarse-bucket fold → a ≤ ``n_bins``-row table on the driver;
+    - quantile ``num/den``: the max value in the first bin whose
+      cumulative count reaches ``rank = (num*total + den - 1) // den``
+      (integer ceil) — a REAL data value, rank error bounded by the
+      chosen bin's population.
+
+    ``qs`` are exact rationals ``(num, den)`` so the rank target is
+    integer on both the engine and the oracle side (``0.25`` as a
+    float would make ``q*total`` precision-sensitive).  Two corpus
+    scans (extent + histogram), the BM25 discipline; shuffle volume is
+    O(blocks x n_bins) 24-byte rows."""
+    def cents(batch: pa.Table) -> np.ndarray:
+        a = (batch.column(col).to_numpy(zero_copy_only=False)
+             .astype(np.float64))
+        a = a[~np.isnan(a)]        # SQL aggregates skip NULLs
+        return np.floor(a * 100.0 + 0.5).astype(np.int64)
+
+    def extent(batch: pa.Table) -> pa.Table:
+        c = cents(batch)
+        if c.size == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"mn": pa.array([int(c.min())], pa.int64()),
+                         "mx": pa.array([int(c.max())], pa.int64()),
+                         "n": pa.array([int(c.size)], pa.int64())})
+
+    ext = (ds.map_batches(extent, batch_format="pyarrow")
+             .to_pandas())              # one row per block — tiny
+    if ext.empty or ext["n"].sum() == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    mn, mx = int(ext["mn"].min()), int(ext["mx"].max())
+    total = int(ext["n"].sum())
+    w = max(1, (mx - mn + n_bins) // n_bins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = cents(batch)
+        if c.size == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "mxc": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        bins = (c - mn) // w
+        df = (pd.DataFrame({"bin": bins, "c": c})
+              .groupby("bin")["c"].agg(["size", "max"]).reset_index())
+        return pa.table({
+            "bin": pa.array(df["bin"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(df["size"].to_numpy(np.int64), pa.int64()),
+            "mxc": pa.array(df["max"].to_numpy(np.int64), pa.int64()),
+            "bucket": pa.array((df["bin"].to_numpy(np.int64)
+                                % n_buckets), pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("bin", as_index=False)
+                .agg(n=("n", "sum"), mxc=("mxc", "max")))
+        out["n"] = out["n"].astype(np.int64)
+        out["mxc"] = out["mxc"].astype(np.int64)
+        return out[["bin", "n", "mxc"]]
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pandas")
+              .to_pandas().sort_values("bin"))   # ≤ n_bins rows
+    cum = hist["n"].cumsum().to_numpy(np.int64)
+    mxc = hist["mxc"].to_numpy(np.int64)
+    out_q, out_v = [], []
+    for num, den in qs:
+        rank = max(1, (num * total + den - 1) // den)   # integer ceil
+        i = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(num / den)
+        out_v.append(mxc[min(i, mxc.size - 1)] / 100.0)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})
 
 
 # ---------------------------------------------------------------------------

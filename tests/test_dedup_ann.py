@@ -368,6 +368,31 @@ def test_sketch_vs_exact_quantiles_on_testdata():
         assert rank_err < 0.05, (q, exact[q], approx[q], rank_err)
 
 
+def test_histogram_quantiles_partitioning_invariant():
+    """The deterministic histogram-CDF sketch must be bit-identical
+    under ANY partitioning (order-free SUM/MAX partials) — the property
+    that makes it SQL-oracle-able exactly, unlike the compaction-based
+    QuantileSketch — and stay within the bin-population rank envelope
+    of the exact answer."""
+    from kgforge.stages.sketches import histogram_quantiles
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.exponential(10.0, size=8_000), 2)
+    qs = [(1, 4), (1, 2), (9, 10), (99, 100)]
+    outs = []
+    for blocks in (1, 7, 64):
+        ds = ray.data.from_arrow(pa.table(
+            {"value": pa.array(vals, pa.float64())})) \
+            .repartition(blocks)
+        outs.append(histogram_quantiles(ds, "value", qs).to_pandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+    pd.testing.assert_frame_equal(outs[0], outs[2], check_exact=True)
+    srt = np.sort(vals)
+    for q, v in zip(outs[0]["q"], outs[0]["value"]):
+        rank_err = abs(np.searchsorted(srt, v, side="right")
+                       / len(srt) - q)
+        assert rank_err < 0.02, (q, v, rank_err)
+
+
 def test_sample_frames_fkvd_exact():
     """SampleFrames decodes FKVD payloads and emits one row per
     sampled frame with integer-exact features matching a direct

@@ -263,6 +263,71 @@ def test_url_loader_body_with_stub_requests(monkeypatch):
     assert "\n\n" not in content            # 2+ newlines collapsed
 
 
+@pytest.fixture()
+def local_http_server():
+    """A real localhost HTTP server (stdlib http.server on a private
+    thread) — network-free end-to-end fetch target for the URL loader."""
+    import http.server
+    import threading
+
+    PAGE = (b"<html><head><title>t</title></head><body>"
+            b"<p>Served page</p>\n\n\n<p>second para</p></body></html>")
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            assert self.headers.get("User-Agent") == "Mozilla/5.0"
+            if self.path == "/missing":
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(PAGE)))
+            self.end_headers()
+            self.wfile.write(PAGE)
+
+        def log_message(self, *a):     # keep pytest output clean
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+        thread.join(timeout=5)
+
+
+def test_url_loader_real_fetch_local_server(local_http_server):
+    """End-to-end URL loader against a real localhost http.server:
+    fetch (whichever of requests/urllib the driver resolved) ->
+    bs4-equivalent get_text -> newline collapse, executed in Ray
+    worker tasks."""
+    from kgforge.sources.loaders import read_url_source
+    out = read_url_source(f"{local_http_server}/page.html").to_pandas()
+    assert len(out) == 1
+    content = out["content"].iloc[0]
+    assert "Served page" in content and "second para" in content
+    assert "\n\n" not in content
+
+
+def test_url_loader_urllib_fallback_local_server(local_http_server,
+                                                 monkeypatch):
+    """The stdlib-urllib branch (requests unimportable — the loader
+    must stay real on a bare Python): the fetch callable resolves at
+    the DRIVER, so hiding requests here selects the urllib path even
+    though the fetch runs in a worker.  Unreachable/erroring urls
+    raise loudly."""
+    import sys
+
+    from kgforge.sources.loaders import read_url_source
+    monkeypatch.setitem(sys.modules, "requests", None)  # import fails
+    out = read_url_source(f"{local_http_server}/page.html").to_pandas()
+    assert "Served page" in out["content"].iloc[0]
+    with pytest.raises(Exception):
+        read_url_source(f"{local_http_server}/missing").to_pandas()
+
+
 def _mini_pdf(pages_ops: list[bytes], compress: set[int] = frozenset(),
               with_catalog: bool = True) -> bytes:
     """Hand-assembled minimal PDF: catalog -> pages tree -> one content
