@@ -77,33 +77,88 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the external driver gate runs the FIRST ~50
-    # entries only (CORRECTNESS_r01-r03 each contain an ordered prefix).
-    # Round 4 therefore leads with (a) two flagship rows for continuity,
-    # (b) kg_pagerank (newly oracled this round), then (c) every query
-    # that has never appeared in any driver CORRECTNESS file — waves 2-6
-    # — so the external gate converts their pytest-only verification
-    # into hard signal.  Previously-gated queries follow after slot 50;
+    # entries only (CORRECTNESS_r01-r04 each contain an ordered prefix).
+    # Round 5 rotation: slots 1-50 = flagship continuity + every query
+    # never seen in any driver CORRECTNESS file (26, converting their
+    # pytest/mirror-only verification into hard external signal and
+    # making cumulative driver coverage 133/133) + the newly-oracled
+    # quantile sketch + re-gates for every operator this round changed.
+    # Previously-gated queries follow after slot 50;
     # tests/test_entry_gate.py still verifies ALL of them locally.
     return {
-        # flagship continuity (gated green in r01-r03)
+        # flagship continuity (gated green in r01-r04)
         "kg_nodes": Q.kg_nodes,
         "kg_edges": Q.kg_edges,
-        # newly oracled this round (rows-only in r03)
+        # continuity + this round's auto-mode Dataset return
         "kg_pagerank": Q.kg_pagerank,
-        # new this round: reference loader quirks, externally gated
+        # never driver-gated before round 5 (lead set)
+        "entity_link_ann": Q.entity_link_ann,
+        "entity_link_ann_bucketed": Q.entity_link_ann_bucketed,
+        "dedup_span_docs": Q.dedup_span_docs,
+        "kg_walks": Q.kg_walks,
+        "kg_ppr": Q.kg_ppr,
+        "kg_curated_nodes": Q.kg_curated_nodes,
+        "kg_curated_edges": Q.kg_curated_edges,
+        "pdf_extract_docs": Q.pdf_extract_docs,
+        # forced scale paths vs the fast paths' oracles
+        "kg_walks_bucketed": Q.kg_walks_bucketed,
+        "dedup_minhash_scalepath": Q.dedup_minhash_scalepath,
+        "dedup_embedding_scalepath": Q.dedup_embedding_scalepath,
+        # rest of the never-gated set
+        "multimodal_frame_sample": Q.multimodal_frame_sample,
+        "url_canonical_pages": Q.url_canonical_pages,
+        "dsir_weights_docs": Q.dsir_weights_docs,
+        "host_dedup_stats": Q.host_dedup_stats,
+        "kg_pagerank_weighted": Q.kg_pagerank_weighted,
+        "kg_mention_timeseries": Q.kg_mention_timeseries,
+        "kg_degree_histogram": Q.kg_degree_histogram,
+        # ingest now parallel map-side (r5); same oracle
+        "dedup_exact_streaming": Q.dedup_exact_streaming,
+        "events_user_pivot": Q.events_user_pivot,
+        "events_value_quantiles_kmv": Q.events_value_quantiles_kmv,
+        "supplier_fuzzy_pairs": Q.supplier_fuzzy_pairs,
+        "lang_stratified_sample": Q.lang_stratified_sample,
+        "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
+        "events_value_percent_rank": Q.events_value_percent_rank,
+        "events_value_ntile": Q.events_value_ntile,
+        # newly EXACTLY oracled in r5 (deterministic histogram CDF)
+        "events_value_quantiles_sketch": Q.events_value_quantiles_sketch,
+        # re-gate: auto mode now returns a Dataset (r5)
+        "kg_components": Q.kg_components,
+        "kg_khop": Q.kg_khop,
+        # re-gate: stop-shingle guard defaults on (r5)
+        "dedup_ngram_docs": Q.dedup_ngram_docs,
+        # re-gate: oracle_mode hash refactor (r5)
+        "dedup_exact_docs": Q.dedup_exact_docs,
+        "dedup_exact_hash_docs": Q.dedup_exact_hash_docs,
+        # re-gate: grouped_limit Arrow-take path (r5)
+        "curate_training_docs": Q.curate_training_docs,
+        "domain_cap_pages": Q.domain_cap_pages,
+        # re-gate: column-pruned flagship read (r5)
+        "kg_mentions": Q.kg_mentions,
+        "html_text_pages": Q.html_text_pages,
+        # continuity rows across operator families
         "csv_loader_chunks": Q.csv_loader_chunks,
         "jsonl_loader_chunks": Q.jsonl_loader_chunks,
-        # new this round: web-curation domain operators + video frames
         "domain_stats_pages": Q.domain_stats_pages,
-        "domain_cap_pages": Q.domain_cap_pages,
-        # --- never driver-gated before round 4 (waves 2-6) ---
+        "sample_documents": Q.sample_documents,
+        "customer_events_left_join": Q.customer_events_left_join,
+        # r4 nominal-2x drift suspects, re-measured in r5
+        "tpch_q5_revenue": Q.tpch_q5_revenue,
+        "cms_user_counts": Q.cms_user_counts,
+        "events_rollup": Q.events_rollup,
+        "lincls_score_docs": Q.lincls_score_docs,
+        "multimodal_audio_energy": Q.multimodal_audio_energy,
+        "events_orders_asof": Q.events_orders_asof,
+        # --- below the ~50-row gate window (every one of these has a
+        # green CORRECTNESS row from r01-r04 and stays verified by the
+        # local full-registry mirror + tests/test_entry_gate.py) ---
         "events_type_quantiles": Q.events_type_quantiles,
         "orders_no_events": Q.orders_no_events,
         "chunk_docs": Q.chunk_docs,
         "bigram_frequencies_docs": Q.bigram_frequencies_docs,
         "pmi_bigrams_docs": Q.pmi_bigrams_docs,
         "tpch_q3_revenue": Q.tpch_q3_revenue,
-        "sample_documents": Q.sample_documents,
         "repetition_stats_docs": Q.repetition_stats_docs,
         "decontaminate_docs": Q.decontaminate_docs,
         "doc_frequencies_docs": Q.doc_frequencies_docs,
@@ -112,14 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution_range": Q.events_attribution_range,
         "distinctive_term_docs": Q.distinctive_term_docs,
         "events_user_sequence": Q.events_user_sequence,
-        "customer_events_left_join": Q.customer_events_left_join,
         "events_value_rank": Q.events_value_rank,
         "events_scd2_intervals": Q.events_scd2_intervals,
-        "multimodal_audio_energy": Q.multimodal_audio_energy,
-        "curate_training_docs": Q.curate_training_docs,
         "bloom_probe_customers": Q.bloom_probe_customers,
         "events_zscore_by_type": Q.events_zscore_by_type,
-        "events_rollup": Q.events_rollup,
         "events_value_histogram": Q.events_value_histogram,
         "events_mad_by_type": Q.events_mad_by_type,
         "events_user_running_total": Q.events_user_running_total,
@@ -130,72 +181,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_frequencies": Q.lang_token_frequencies,
         "sentences_docs": Q.sentences_docs,
         "weighted_sample_docs": Q.weighted_sample_docs,
-        "cms_user_counts": Q.cms_user_counts,
         "events_cube": Q.events_cube,
         "events_mode_by_type": Q.events_mode_by_type,
         "events_type_distinct_users": Q.events_type_distinct_users,
-        "tpch_q5_revenue": Q.tpch_q5_revenue,
         "embedding_label_centroids": Q.embedding_label_centroids,
         "mixture_sample_docs": Q.mixture_sample_docs,
-        "lincls_score_docs": Q.lincls_score_docs,
         "bottomk_sample_docs": Q.bottomk_sample_docs,
         "events_json_stats": Q.events_json_stats,
-        # --- below the ~50-row gate window (local pytest covers all):
-        # new-this-round frame sampler (pytest-gated now, window r5)
-        "multimodal_frame_sample": Q.multimodal_frame_sample,
-        # new-this-round ANN entity-linking candidates (window r5)
-        "entity_link_ann": Q.entity_link_ann,
-        # its catalog-as-Dataset scale path (same oracle — the
-        # streaming-sessionize output-identity pattern)
-        "entity_link_ann_bucketed": Q.entity_link_ann_bucketed,
-        # new-this-round URL canonicalization (window r5)
-        "url_canonical_pages": Q.url_canonical_pages,
-        # new-this-round PDF loader via the vendored extractor (r5)
-        "pdf_extract_docs": Q.pdf_extract_docs,
-        # new-this-round DSIR importance weights (window r5)
-        "dsir_weights_docs": Q.dsir_weights_docs,
-        # new-this-round per-host duplication report (window r5)
-        "host_dedup_stats": Q.host_dedup_stats,
-        # new-this-round exact duplicate-span removal (window r5)
-        "dedup_span_docs": Q.dedup_span_docs,
-        # new-this-round deterministic walk corpus (window r5)
-        "kg_walks": Q.kg_walks,
-        # new-this-round personalized PageRank (window r5)
-        "kg_ppr": Q.kg_ppr,
-        # new-this-round weighted PageRank (window r5)
-        "kg_pagerank_weighted": Q.kg_pagerank_weighted,
-        # new-this-round temporal + distribution KG reports (window r5)
-        "kg_mention_timeseries": Q.kg_mention_timeseries,
-        "kg_degree_histogram": Q.kg_degree_histogram,
-        # new-this-round streaming exact dedup (window r5)
-        "dedup_exact_streaming": Q.dedup_exact_streaming,
-        # walks' distributed scale path, externally gated (window r5)
-        "kg_walks_bucketed": Q.kg_walks_bucketed,
-        # minhash / embedding-LSH candidate-first scale paths forced
-        # externally against the fast paths' oracles (window r5)
-        "dedup_minhash_scalepath": Q.dedup_minhash_scalepath,
-        "dedup_embedding_scalepath": Q.dedup_embedding_scalepath,
-        # new-this-round per-user event-type crosstab (window r5)
-        "events_user_pivot": Q.events_user_pivot,
-        # new-this-round deterministic KMV approx quantiles (window r5)
-        "events_value_quantiles_kmv": Q.events_value_quantiles_kmv,
-        # new-this-round fuzzy record-linkage pairs (window r5)
-        "supplier_fuzzy_pairs": Q.supplier_fuzzy_pairs,
-        # new-this-round per-language stratified sample (window r5)
-        "lang_stratified_sample": Q.lang_stratified_sample,
-        # new-this-round composed curation -> KG build (window r5)
-        "kg_curated_nodes": Q.kg_curated_nodes,
-        "kg_curated_edges": Q.kg_curated_edges,
-        # rows-only HLL + two window-family siblings whose machinery is
-        # gated via events_value_rank / events_user_running_total ---
-        "events_type_distinct_users_hll": Q.events_type_distinct_users_hll,
-        "events_value_percent_rank": Q.events_value_percent_rank,
-        "events_value_ntile": Q.events_value_ntile,
-        # --- gated green in earlier rounds (local pytest still covers) ---
         "kg_degree": Q.kg_degree,
         "kg_cooccurrence": Q.kg_cooccurrence,
-        "kg_components": Q.kg_components,
-        "kg_khop": Q.kg_khop,
         "kg_triangles": Q.kg_triangles,
         "kg_kcore": Q.kg_kcore,
         "kg_negative_samples": Q.kg_negative_samples,
@@ -203,21 +197,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_prediction": Q.kg_link_prediction,
         "events_winsorized_stats": Q.events_winsorized_stats,
         "events_funnel": Q.events_funnel,
-        "kg_mentions": Q.kg_mentions,
         "kg_incremental_nodes": Q.kg_incremental_nodes,
         "kg_incremental_edges": Q.kg_incremental_edges,
         "kg_ontology_detect": Q.kg_ontology_detect,
-        "html_text_pages": Q.html_text_pages,
         "extract_entities_regex": Q.extract_entities_regex,
         "canonicalize_lww_events": Q.canonicalize_lww_events,
         "edge_semijoin_events": Q.edge_semijoin_events,
-        "dedup_exact_docs": Q.dedup_exact_docs,
-        "dedup_exact_hash_docs": Q.dedup_exact_hash_docs,
         "line_dedup_docs": Q.line_dedup_docs,
         "docs_shuffle_shards": Q.docs_shuffle_shards,
         "dedup_minhash_docs": Q.dedup_minhash_docs,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
-        "dedup_ngram_docs": Q.dedup_ngram_docs,
         "dedup_embedding_pairs": Q.dedup_embedding_pairs,
         "dedup_embedding_lsh": Q.dedup_embedding_lsh,
         "dedup_cluster_docs": Q.dedup_cluster_docs,
@@ -242,11 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_exact": Q.distinct_users_exact,
         "distinct_users_hll": Q.distinct_users_hll,
         "curate_documents": Q.curate_documents,
-        "events_orders_asof": Q.events_orders_asof,
         "token_frequencies_docs": Q.token_frequencies_docs,
         "split_documents": Q.split_documents,
         "events_value_quantiles": Q.events_value_quantiles,
-        "events_value_quantiles_sketch": Q.events_value_quantiles_sketch,
         "pack_documents": Q.pack_documents,
         "multimodal_decode": Q.multimodal_decode,
     }
