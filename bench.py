@@ -169,6 +169,7 @@ def run_bench() -> dict:
         Q._KG_INCR_CACHE.clear()
         Q._GATE_EXPORTED.clear()
         Q._GATE_PAGES_EXPORTED.clear()
+        Q._GATE_EXPORT_SEC.clear()
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
@@ -181,16 +182,20 @@ def run_bench() -> dict:
         if isinstance(r, Dataset):
             r.count()
         qtimes[name] = round(time.time() - t0, 3)
-        # kg_* secondaries re-pay the full KG build in their fresh
-        # session (correct hygiene, but ~60% of their wall time masks
-        # the actual graph-op cost — VERDICT r4); report the op time
-        # NET of the build so graph-code regressions are visible
-        if name.startswith("kg_") and SF_DIR in Q._KG_RESULT_CACHE:
-            build_sec = (Q._KG_RESULT_CACHE[SF_DIR]
-                         .metrics.get("total_sec"))
-            if build_sec is not None:
+        # kg_* secondaries re-pay the mention-extraction / KG-build /
+        # gate-artifact-export prefix in their fresh session (correct
+        # hygiene, but ~60% of their wall time masks the actual
+        # graph-op cost — VERDICT r4); report the op time NET of every
+        # prefix this run actually paid so graph-code regressions are
+        # visible
+        if name.startswith("kg_"):
+            prefix = Q._GATE_EXPORT_SEC.get(SF_DIR, 0.0)
+            if SF_DIR in Q._KG_RESULT_CACHE:
+                prefix += (Q._KG_RESULT_CACHE[SF_DIR]
+                           .metrics.get("total_sec") or 0.0)
+            if prefix:
                 qtimes[name + "_net"] = round(
-                    max(0.0, qtimes[name] - build_sec), 3)
+                    max(0.0, qtimes[name] - prefix), 3)
 
     out = {
         "metric": "kg_construct_end_to_end",

@@ -69,6 +69,10 @@ _KG_RESULT_CACHE: dict = {}
 _KG_CURATED_CACHE: dict = {}
 _GATE_EXPORTED: set = set()
 _GATE_PAGES_EXPORTED: set = set()
+# wall seconds the LAST _ensure_gate_artifact export took, keyed by sf:
+# bench subtracts this prefix (mention re-extraction + artifact write)
+# from kg_* query times so the reported _net isolates the graph op
+_GATE_EXPORT_SEC: dict = {}
 
 
 def _ensure_gate_pages(sf_dir: str) -> None:
@@ -96,8 +100,10 @@ def _ensure_gate_artifact(sf_dir: str) -> None:
     Ray query before its oracle, so the artifact is in place."""
     if sf_dir in _GATE_EXPORTED:
         return
+    import time as _time
     from .kg_build import KGBuildConfig, extract_mentions, read_pages
     from .oracle_export import export_gate_mentions, export_gate_pages
+    _t0 = _time.time()
     corpus_dir, pages_path = pages_for_sf(sf_dir)
     with open(f"{corpus_dir}/ontology.json") as fh:
         ontology_json = fh.read()
@@ -109,6 +115,8 @@ def _ensure_gate_artifact(sf_dir: str) -> None:
     export_gate_mentions(mentions, ontology_json, alias_map)
     export_gate_pages(ray.data.read_parquet(
         pages_path, columns=["url", "warc_ts", "text"]))
+    _GATE_EXPORT_SEC.clear()
+    _GATE_EXPORT_SEC[sf_dir] = _time.time() - _t0
     _GATE_EXPORTED.clear()
     _GATE_EXPORTED.add(sf_dir)
     # the pages artifact now belongs to THIS sf — keep the pages memo
