@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ntile": Q.events_value_ntile,
         # newly EXACTLY oracled in r5 (deterministic histogram CDF)
         "events_value_quantiles_sketch": Q.events_value_quantiles_sketch,
+        # NEW r5: deterministic integer k-means corpus clustering
+        "embedding_kmeans_clusters": Q.embedding_kmeans_clusters,
         # re-gate: auto mode now returns a Dataset (r5)
         "kg_components": Q.kg_components,
         "kg_khop": Q.kg_khop,
@@ -315,6 +317,65 @@ def _kcore_sql(k: int, rounds: int) -> str:
                 JOIN {last} q ON nb.v = q.n
                 GROUP BY nb.u)
         SELECT node_id, core_degree FROM fin ORDER BY node_id""")
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 3,
+                scale: int = 1_000_000) -> str:
+    """Unrolled deterministic integer k-means mirroring
+    ``ann.kmeans_assign_fixed`` (queries.embedding_kmeans_clusters):
+    floor-scale quantization, integer squared-L2 argmin with
+    (dist, cidx) tie-break, centroid update = floor(double(sum)/count)
+    — NOT DuckDB ``//`` (it truncates toward zero; numpy floors).  AS
+    MATERIALIZED is load-bearing: every c_{t} references c_{t-1} twice
+    (update + empty-cluster carry) and default inlining is
+    exponential."""
+    parts = [f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                      AS BIGINT) AS v
+          FROM embeddings),
+        init AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                     AS cidx
+          FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id
+                LIMIT {k})),
+        c0 AS MATERIALIZED (
+          SELECT i.cidx, q.d, q.v AS cv
+          FROM init i JOIN q ON q.vec_id = i.vec_id),"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+        a{t} AS MATERIALIZED (
+          SELECT vec_id, cidx FROM (
+            SELECT q.vec_id, c.cidx,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY sum((q.v - c.cv) * (q.v - c.cv)),
+                              c.cidx) AS rn
+            FROM q JOIN c{t - 1} c ON q.d = c.d
+            GROUP BY q.vec_id, c.cidx) WHERE rn = 1),
+        c{t} AS MATERIALIZED (
+          SELECT a.cidx, q.d,
+                 CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*))
+                      AS BIGINT) AS cv
+          FROM a{t} a JOIN q ON q.vec_id = a.vec_id
+          GROUP BY a.cidx, q.d
+          UNION ALL
+          SELECT c.cidx, c.d, c.cv FROM c{t - 1} c
+          WHERE c.cidx NOT IN (SELECT cidx FROM a{t})),""")
+    parts.append(f"""
+        fin AS (
+          SELECT vec_id, cidx AS cluster FROM (
+            SELECT q.vec_id, c.cidx,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY sum((q.v - c.cv) * (q.v - c.cv)),
+                              c.cidx) AS rn
+            FROM q JOIN c{n_iter} c ON q.d = c.d
+            GROUP BY q.vec_id, c.cidx) WHERE rn = 1)
+        SELECT vec_id, cluster FROM fin ORDER BY vec_id""")
     return "".join(parts)
 
 
@@ -1545,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         # planted near-duplicates (testdata ships none above cosine 0.51):
         # identical float64 elementwise mix as queries._augmented_embeddings
         "dedup_embedding_pairs": _EMB_PAIRS_SQL,
+        "embedding_kmeans_clusters": _kmeans_sql(),
         # the LSH scale path verifies candidates with EXACT cosine on the
         # same float64 unit vectors and (deterministically, fixed seed)
         # recalls every planted pair on this corpus — so the exact

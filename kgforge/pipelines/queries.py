@@ -497,6 +497,21 @@ def dedup_embedding_pairs(sf_dir: str):
         batch_format="pyarrow")
 
 
+def embedding_kmeans_clusters(sf_dir: str):
+    """Deterministic integer-arithmetic k-means corpus clustering
+    (k=8, 3 Lloyd iterations, floor-1e6 quantization) over the
+    embeddings table — the data-mixing / SemDeDup partitioning
+    primitive.  EXACTLY SQL-oracled: integer squared-L2 distances,
+    argmin tie-broken by centroid index, and centroid updates computed
+    as ``floor(double(sum)/count)`` (the identical IEEE ops in DuckDB —
+    its integer ``//`` TRUNCATES while numpy floors, so neither side
+    uses it).  See :func:`kgforge.stages.ann.kmeans_assign_fixed`."""
+    from ..stages.ann import kmeans_assign_fixed
+    return kmeans_assign_fixed(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=8, n_iter=3)
+
+
 def dedup_cluster_docs(sf_dir: str):
     """Near-dup cluster assignment over the exact ngram pair graph —
     every doc tagged with its component's smallest id (SQL-oracled via

@@ -226,3 +226,119 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
               .map_groups(search, batch_format="pandas")
               .groupby("query_id")
               .map_groups(merge, batch_format="pandas"))
+
+
+def kmeans_assign_fixed(ds: Dataset, k: int = 8, n_iter: int = 3,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        scale: int = 1_000_000) -> Dataset:
+    """Deterministic distributed k-means corpus clustering (the data-
+    mixing / SemDeDup-prep primitive) — EXACTLY SQL-oracle-able because
+    every step is integer or exactly-representable-double arithmetic:
+
+    - quantize: each component ``q = floor(float64(x) * scale)`` int64
+      (floor form — never ``round`` on possibly-negative floats);
+    - init: the embeddings of the ``k`` SMALLEST ids, centroid index =
+      ascending-id rank (no RNG; byte-identical re-runs);
+    - assign: argmin of the integer squared L2 distance, ties broken by
+      the smaller centroid index (``np.argmin`` first-hit == the SQL
+      ``row_number() ORDER BY dist, cidx`` rule);
+    - update: elementwise ``floor(sum / count)`` computed in float64 —
+      DuckDB ``//`` TRUNCATES toward zero while numpy floors, so both
+      sides use the IEEE double division + floor on exactly-
+      representable integers (|component sum| < 2^53 by the runtime
+      guard below); an empty cluster keeps its previous centroid.
+
+    Dataflow (Ray-Data-first): centroids are a tiny (k, d) int64 matrix
+    broadcast per pass; each ``map_batches`` task emits ≤ k partial rows
+    (cluster, count, component-sum list) — the classic combiner, so the
+    per-iteration exchange is O(k·d·blocks), never the corpus.  The
+    driver holds only the k×d reduce.  n_iter+1 dataset passes total:
+    at 100 TB materialize the quantized (id, qvec) projection once
+    upstream and feed it here.
+
+    No reference counterpart (net-new training-data op); companion of
+    ``ivf_topk``'s float k-means (ann.py:101) which trades exactness
+    for recall tuning."""
+    if not (1 <= k <= 4096):
+        raise ValueError(f"k={k} out of range")
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        mat = vectors_to_matrix(batch, vec_col, dtype=np.float64)
+        q = np.floor(mat * scale).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "qvec": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1), pa.int64()), q.shape[1]),
+        })
+
+    qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+
+    # ---- init: embeddings of the k smallest ids (per-block bottom-k
+    # combiner; only blocks*k tiny rows reach the driver) ----
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(order, pa.int64()))
+
+    seed_rows = (qds.map_batches(local_bottomk, batch_format="pyarrow")
+                 .take_all())
+    seed_rows.sort(key=lambda r: r[id_col])
+    cent = np.asarray([list(r["qvec"]) for r in seed_rows[:k]],
+                      dtype=np.int64)
+    kk, d = cent.shape
+    if kk < k:
+        raise ValueError(f"k={k} but only {kk} vectors")
+
+    def _assign_ids(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # (n, k) integer squared L2 via ||x||^2 - 2x.c + ||c||^2; all
+        # int64, exact (guarded), argmin first-hit = smallest index
+        x2 = np.sum(mat * mat, axis=1, dtype=np.int64)[:, None]
+        c2 = np.sum(c * c, axis=1, dtype=np.int64)[None, :]
+        cross = mat @ c.T            # int64 matmul, exact
+        dist = x2 - 2 * cross + c2
+        return np.argmin(dist, axis=1).astype(np.int64)
+
+    for _ in range(n_iter):
+        cen = cent  # rebind for closure capture by value semantics
+
+        def partials(batch: pa.Table, c=cen) -> pa.Table:
+            mat = vectors_to_matrix(batch, "qvec", dtype=np.int64)
+            a = _assign_ids(mat, c)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, a, mat)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "cidx": pa.array(nz, pa.int64()),
+                "cnt": pa.array(cnt[nz], pa.int64()),
+                "sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums[nz].reshape(-1), pa.int64()), d),
+            })
+
+        rows = (qds.map_batches(partials, batch_format="pyarrow")
+                .take_all())
+        sums = np.zeros((k, d), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cidx"]] += np.asarray(list(r["sums"]), dtype=np.int64)
+            cnt[r["cidx"]] += r["cnt"]
+        if np.abs(sums).max(initial=0) >= 2 ** 53:
+            raise OverflowError("component sum exceeds exact-double "
+                                "range; lower `scale` or shard the "
+                                "update")
+        new = cent.copy()
+        nz = cnt > 0
+        new[nz] = np.floor(sums[nz].astype(np.float64)
+                           / cnt[nz, None]).astype(np.int64)
+        cent = new
+
+    cen_final = cent
+
+    def final_assign(batch: pa.Table, c=cen_final) -> pa.Table:
+        mat = vectors_to_matrix(batch, "qvec", dtype=np.int64)
+        return pa.table({id_col: batch.column(id_col),
+                         "cluster": pa.array(_assign_ids(mat, c),
+                                             pa.int64())})
+
+    return qds.map_batches(final_assign, batch_format="pyarrow")
