@@ -125,6 +125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_sketch": Q.events_value_quantiles_sketch,
         # NEW r5: deterministic integer k-means corpus clustering
         "embedding_kmeans_clusters": Q.embedding_kmeans_clusters,
+        # NEW r5: deterministic label-propagation communities (+ the
+        # forced keyed-Dataset scale path against the same oracle)
+        "kg_communities": Q.kg_communities,
+        "kg_communities_distributed": Q.kg_communities_distributed,
         # re-gate: auto mode now returns a Dataset (r5)
         "kg_components": Q.kg_components,
         "kg_khop": Q.kg_khop,
@@ -317,6 +321,42 @@ def _kcore_sql(k: int, rounds: int) -> str:
                 JOIN {last} q ON nb.v = q.n
                 GROUP BY nb.u)
         SELECT node_id, core_degree FROM fin ORDER BY node_id""")
+    return "".join(parts)
+
+
+def _lpa_sql(rounds: int = 5) -> str:
+    """Unrolled deterministic synchronous label propagation mirroring
+    ``graph.label_propagation_fixed`` over the co-mention graph
+    (queries.kg_communities): each round every node adopts its
+    neighbours' most frequent label, ties to the SMALLEST label.  AS
+    MATERIALIZED is load-bearing (each l_t is referenced by l_{t+1};
+    default inlining re-evaluates the chain exponentially)."""
+    parts = ["""
+        WITH pm AS (SELECT DISTINCT url_hash, node_id
+                    FROM read_parquet(
+               '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
+                    WHERE attr = ''),
+        c AS (SELECT DISTINCT x.node_id AS a, y.node_id AS b
+              FROM pm x JOIN pm y ON x.url_hash = y.url_hash
+               AND x.node_id < y.node_id),
+        nb AS MATERIALIZED (SELECT a AS u, b AS v FROM c
+                            UNION ALL SELECT b, a FROM c),
+        l0 AS MATERIALIZED (
+          SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM nb)),"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+        l{t} AS MATERIALIZED (
+          SELECT node, lbl FROM (
+            SELECT nb.u AS node, l.lbl AS lbl,
+                   row_number() OVER (
+                     PARTITION BY nb.u
+                     ORDER BY count(*) DESC, l.lbl ASC) AS rn
+            FROM nb JOIN l{t - 1} l ON nb.v = l.node
+            GROUP BY nb.u, l.lbl) WHERE rn = 1),""")
+    parts.append(f"""
+        fin AS (SELECT node, lbl FROM l{rounds})
+        SELECT node AS node_id, lbl AS community FROM fin
+        ORDER BY node_id""")
     return "".join(parts)
 
 
@@ -1607,6 +1647,9 @@ def oracle_sql() -> dict[str, str]:
         # identical float64 elementwise mix as queries._augmented_embeddings
         "dedup_embedding_pairs": _EMB_PAIRS_SQL,
         "embedding_kmeans_clusters": _kmeans_sql(),
+        "kg_communities": _lpa_sql(),
+        # forced scale path is output-identical by construction
+        "kg_communities_distributed": _lpa_sql(),
         # the LSH scale path verifies candidates with EXACT cosine on the
         # same float64 unit vectors and (deterministically, fixed seed)
         # recalls every planted pair on this corpus — so the exact

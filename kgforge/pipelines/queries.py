@@ -2214,6 +2214,26 @@ def kg_triangles(sf_dir: str):
     return triangle_counts(_comention_edges(sf_dir))
 
 
+def kg_communities(sf_dir: str):
+    """Deterministic label-propagation communities over the entity
+    co-mention graph (5 synchronous rounds, most-frequent-neighbour
+    label, ties to the smallest label — no RNG, no visit order) —
+    EXACTLY SQL-oracled via an unrolled MATERIALIZED CTE chain."""
+    from ..stages.graph import label_propagation_fixed
+    _ensure_gate_artifact(sf_dir)
+    return label_propagation_fixed(_comention_edges(sf_dir), n_iter=5)
+
+
+def kg_communities_distributed(sf_dir: str):
+    """The keyed-Dataset scale path of :func:`kg_communities`, forced
+    (mode="distributed") against the SAME oracle — path parity as
+    external gate signal, like kg_walks_bucketed."""
+    from ..stages.graph import label_propagation_fixed
+    _ensure_gate_artifact(sf_dir)
+    return label_propagation_fixed(_comention_edges(sf_dir), n_iter=5,
+                                   mode="distributed")
+
+
 def kg_clustering(sf_dir: str):
     """Per-node local clustering coefficient of the co-mention graph
     (nodes with degree >= 2; 2T/(d(d-1)) — one IEEE division of exact

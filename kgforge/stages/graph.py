@@ -2065,3 +2065,289 @@ def pagerank_weighted_fixed(edges: Dataset, weight_col: str = "w",
     return pd.DataFrame({"node_id": nodes,
                          "wpr_fixed": r.astype(np.int64),
                          "wpr": r.astype(np.float64) / float(S)})
+
+
+def label_propagation_fixed(edges: Dataset, src_col: str = "src_id",
+                            dst_col: str = "dst_id", n_iter: int = 5,
+                            n_buckets: int = 64, mode: str = "auto",
+                            driver_node_limit: int | None = None,
+                            dedup_edges: bool = True):
+    """Deterministic synchronous label-propagation community detection
+    over an undirected edge list — the classic LPA made SQL-oracle-able
+    by removing every random choice:
+
+    - labels start as the node's own id;
+    - each round, EVERY node simultaneously adopts the label that is
+      most frequent among its neighbours, ties broken by the SMALLEST
+      label (``ORDER BY count DESC, label ASC`` — no RNG, no visit
+      order);
+    - a fixed ``n_iter`` rounds (synchronous LPA may oscillate on
+      bipartite structures rather than converge; a fixed unroll is
+      deterministic either way and mirrors the oracle CTE chain
+      exactly).  Early-stop on an unchanged round is safe: re-applying
+      the update to a fixed point is the identity.
+
+    Dataflow: the per-round neighbour-label count is an in-block
+    combiner (distinct (node, label) partials per block) folded in ONE
+    coarse-bucket exchange where the per-node argmax is computed
+    vectorized — only node-sized (node, new_label) rows ever reach the
+    driver, which holds the label vector (``mode="driver"``, gated at
+    :data:`DRIVER_NODE_LIMIT`).  ``mode="distributed"`` keeps the label
+    table as a keyed Dataset instead (two tag-union co-partition
+    exchanges per round, the :func:`pagerank_fixed_distributed` shape)
+    — bit-identical output, pinned in pytest.
+
+    Return contract (mirrors :func:`pagerank_fixed`): ``mode="auto"``
+    ALWAYS returns a Dataset; explicit ``mode="driver"`` returns the
+    node-sized pandas DataFrame (node_id, community)."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if dedup_edges:
+        # vote counts are per DISTINCT neighbour: a multigraph input
+        # (e.g. the co-mention pair stream, which emits one (a, b) per
+        # page bucket) must be canonicalized first or duplicate edges
+        # inflate the frequency vote
+        edges = _canonical_edges(edges, src_col, dst_col,
+                                 n_buckets).materialize()
+        src_col, dst_col = "a", "b"
+    limit = (DRIVER_NODE_LIMIT if driver_node_limit is None
+             else driver_node_limit)
+    deg_ds = degree_table(edges, src_col, dst_col).materialize()
+    n = deg_ds.count()
+    wrap_out = mode == "auto"
+    if mode == "auto":
+        mode = "driver" if n <= limit else "distributed"
+    if mode == "distributed":
+        return label_propagation_distributed(edges, src_col, dst_col,
+                                             n_iter, n_buckets,
+                                             dedup_edges=False)
+    if mode != "driver":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if n == 0:
+        # an empty degree table loses its schema on to_pandas — emit
+        # the typed empty directly
+        out = pd.DataFrame({
+            "node_id": pd.Series([], dtype=np.uint64),
+            "community": pd.Series([], dtype=np.uint64)})
+        return ray.data.from_pandas(out) if wrap_out else out
+    nodes = np.sort(deg_ds.to_pandas()["node_id"].to_numpy(np.uint64))
+    nodes_ref = ray.put(nodes)
+
+    def index_edges(batch: pa.Table) -> pa.Table:
+        nds = ray.get(nodes_ref)
+        s = np.searchsorted(nds, batch.column(src_col)
+                            .to_numpy(zero_copy_only=False))
+        d = np.searchsorted(nds, batch.column(dst_col)
+                            .to_numpy(zero_copy_only=False))
+        keep = s != d
+        return pa.table({"si": pa.array(s[keep], pa.int64()),
+                         "di": pa.array(d[keep], pa.int64())})
+
+    indexed = (edges.select_columns([src_col, dst_col])
+               .map_batches(index_edges, batch_format="pyarrow")
+               .materialize())
+
+    def _empty_votes() -> pa.Table:
+        return pa.table({"i": pa.array([], pa.int64()),
+                         "lab": pa.array([], pa.uint64()),
+                         "c": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64())})
+
+    def argmax_fold(g: pd.DataFrame) -> pa.Table:
+        # per-node winner: count DESC, label ASC (uint64-safe — no
+        # nulls ever enter these columns)
+        tot = (g.groupby(["i", "lab"], sort=False, as_index=False)["c"]
+               .sum())
+        tot = tot.sort_values(["i", "c", "lab"],
+                              ascending=[True, False, True])
+        win = tot.groupby("i", sort=False).head(1)
+        return pa.table({
+            "i": pa.array(win["i"].to_numpy(np.int64), pa.int64()),
+            "lab": pa.array(win["lab"].to_numpy(np.uint64),
+                            pa.uint64())})
+
+    labels = nodes.copy()                      # label = own id
+    for _ in range(n_iter):
+        lab_ref = ray.put(labels)
+
+        def votes(batch: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            si = batch.column("si").to_numpy()
+            di = batch.column("di").to_numpy()
+            if len(si) == 0:
+                return _empty_votes()
+            idx = np.concatenate([si, di])
+            cand = np.concatenate([lab[di], lab[si]])
+            df = (pd.DataFrame({"i": idx, "lab": cand})
+                  .groupby(["i", "lab"], sort=False, as_index=False)
+                  .size().rename(columns={"size": "c"}))
+            return pa.table({
+                "i": pa.array(df["i"].to_numpy(np.int64), pa.int64()),
+                "lab": pa.array(df["lab"].to_numpy(np.uint64),
+                                pa.uint64()),
+                "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+                "bucket": pa.array(
+                    (df["i"].to_numpy(np.int64) % n_buckets),
+                    pa.int64())})
+
+        win = (indexed.map_batches(votes, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(argmax_fold, batch_format="pandas")
+               .to_pandas())
+        new = labels.copy()
+        new[win["i"].to_numpy(np.int64)] = win["lab"].to_numpy(np.uint64)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+
+    out = pd.DataFrame({"node_id": nodes, "community": labels})
+    return ray.data.from_pandas(out) if wrap_out else out
+
+
+def label_propagation_distributed(edges: Dataset,
+                                  src_col: str = "src_id",
+                                  dst_col: str = "dst_id",
+                                  n_iter: int = 5,
+                                  n_buckets: int = 64,
+                                  dedup_edges: bool = True) -> Dataset:
+    """Scale path for :func:`label_propagation_fixed`: the label table
+    is a keyed DATASET (node, lab) — no node-sized driver vector or
+    per-round broadcast.  Per round (the
+    :func:`pagerank_fixed_distributed` two-exchange shape):
+
+    1. vote scatter: undirected adjacency rows co-partitioned with the
+       label state on the NEIGHBOUR bucket emit per-bucket
+       pre-aggregated (node, label, count) partials;
+    2. argmax fold: partials co-partitioned with the state on the NODE
+       bucket pick count-DESC/label-ASC winners.
+
+    Bit-identical to the driver path (pinned in pytest)."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if dedup_edges:
+        edges = _canonical_edges(edges, src_col, dst_col,
+                                 n_buckets).materialize()
+        src_col, dst_col = "a", "b"
+
+    def nb_rows(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False) \
+             .astype(np.uint64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False) \
+             .astype(np.uint64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.concatenate([s, d])
+        v = np.concatenate([d, s])
+        return pa.table({
+            "u": pa.array(u, pa.uint64()),
+            "v": pa.array(v, pa.uint64()),
+            "bucket": pa.array((v % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    nb = (edges.select_columns([src_col, dst_col])
+          .map_batches(nb_rows, batch_format="pyarrow").materialize())
+
+    deg = degree_table(edges, src_col, dst_col)
+
+    def init_state(t: pa.Table) -> pa.Table:
+        node = t.column("node_id").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+        return pa.table({
+            "node": pa.array(node, pa.uint64()),
+            "lab": pa.array(node, pa.uint64()),
+            "bucket": pa.array((node % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    state = deg.map_batches(init_state,
+                            batch_format="pyarrow").materialize()
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        zero = pa.array(np.zeros(t.num_rows, np.uint64), pa.uint64())
+        return pa.table({
+            "u": t.column("u"), "v": t.column("v"), "lab": zero,
+            "is_s": pa.array(np.zeros(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    def state_side(t: pa.Table) -> pa.Table:
+        zero = pa.array(np.zeros(t.num_rows, np.uint64), pa.uint64())
+        return pa.table({
+            "u": zero, "v": t.column("node"), "lab": t.column("lab"),
+            "is_s": pa.array(np.ones(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    def scatter(g: pd.DataFrame) -> pa.Table:
+        st = g.loc[g["is_s"], ["v", "lab"]]
+        e = g.loc[~g["is_s"], ["u", "v"]]
+        m = e.merge(st, on="v")
+        if len(m) == 0:
+            return pa.table({"node": pa.array([], pa.uint64()),
+                             "lab": pa.array([], pa.uint64()),
+                             "c": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        agg = (pd.DataFrame({"node": m["u"].to_numpy(np.uint64),
+                             "lab": m["lab"].to_numpy(np.uint64)})
+               .groupby(["node", "lab"], sort=False, as_index=False)
+               .size().rename(columns={"size": "c"}))
+        node = agg["node"].to_numpy(np.uint64)
+        return pa.table({
+            "node": pa.array(node, pa.uint64()),
+            "lab": pa.array(agg["lab"].to_numpy(np.uint64),
+                            pa.uint64()),
+            "c": pa.array(agg["c"].to_numpy(np.int64), pa.int64()),
+            "bucket": pa.array((node % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    def msg_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"), "lab": t.column("lab"),
+            "c": t.column("c"),
+            "is_s": pa.array(np.zeros(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    def state_side2(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"), "lab": t.column("lab"),
+            "c": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            "is_s": pa.array(np.ones(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        st = g.loc[g["is_s"], ["node", "lab"]]
+        msgs = g.loc[~g["is_s"], ["node", "lab", "c"]]
+        if len(msgs):
+            tot = (msgs.groupby(["node", "lab"], sort=False,
+                                as_index=False)["c"].sum()
+                   .sort_values(["node", "c", "lab"],
+                                ascending=[True, False, True]))
+            win = tot.groupby("node", sort=False).head(1)[["node", "lab"]]
+        else:
+            win = st.iloc[0:0][["node", "lab"]]
+        keep = st[~st["node"].isin(win["node"])]
+        out = pd.concat([win, keep], ignore_index=True)
+        node = out["node"].to_numpy(np.uint64)
+        return pa.table({
+            "node": pa.array(node, pa.uint64()),
+            "lab": pa.array(out["lab"].to_numpy(np.uint64),
+                            pa.uint64()),
+            "bucket": pa.array((node % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    for _ in range(n_iter):
+        msgs = (nb.map_batches(edge_side, batch_format="pyarrow")
+                .union(state.map_batches(state_side,
+                                         batch_format="pyarrow"))
+                .groupby("bucket")
+                .map_groups(scatter, batch_format="pandas"))
+        state = (msgs.map_batches(msg_side, batch_format="pyarrow")
+                 .union(state.map_batches(state_side2,
+                                          batch_format="pyarrow"))
+                 .groupby("bucket")
+                 .map_groups(fold, batch_format="pandas")
+                 .materialize())
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": t.column("node"),
+                         "community": t.column("lab")})
+
+    return state.map_batches(finish, batch_format="pyarrow")
