@@ -81,7 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Round 5 rotation: slots 1-50 = flagship continuity + every query
     # never seen in any driver CORRECTNESS file (26, converting their
     # pytest/mirror-only verification into hard external signal and
-    # making cumulative driver coverage 133/133) + the newly-oracled
+    # making cumulative driver coverage complete) + the newly-oracled
     # quantile sketch + re-gates for every operator this round changed.
     # Previously-gated queries follow after slot 50;
     # tests/test_entry_gate.py still verifies ALL of them locally.
@@ -123,8 +123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ntile": Q.events_value_ntile,
         # newly EXACTLY oracled in r5 (deterministic histogram CDF)
         "events_value_quantiles_sketch": Q.events_value_quantiles_sketch,
-        # NEW r5: deterministic integer k-means corpus clustering
+        # NEW r5: deterministic integer k-means corpus clustering +
+        # per-cluster medoid representatives
         "embedding_kmeans_clusters": Q.embedding_kmeans_clusters,
+        "embedding_cluster_medoids": Q.embedding_cluster_medoids,
         # NEW r5: deterministic label-propagation communities (+ the
         # forced keyed-Dataset scale path against the same oracle)
         "kg_communities": Q.kg_communities,
@@ -361,7 +363,7 @@ def _lpa_sql(rounds: int = 5) -> str:
 
 
 def _kmeans_sql(k: int = 8, n_iter: int = 3,
-                scale: int = 1_000_000) -> str:
+                scale: int = 1_000_000, medoids: bool = False) -> str:
     """Unrolled deterministic integer k-means mirroring
     ``ann.kmeans_assign_fixed`` (queries.embedding_kmeans_clusters):
     floor-scale quantization, integer squared-L2 argmin with
@@ -407,14 +409,25 @@ def _kmeans_sql(k: int = 8, n_iter: int = 3,
           WHERE c.cidx NOT IN (SELECT cidx FROM a{t})),""")
     parts.append(f"""
         fin AS (
-          SELECT vec_id, cidx AS cluster FROM (
+          SELECT vec_id, cidx AS cluster,
+                 CAST(dist AS BIGINT) AS dist FROM (
             SELECT q.vec_id, c.cidx,
+                   sum((q.v - c.cv) * (q.v - c.cv)) AS dist,
                    row_number() OVER (
                      PARTITION BY q.vec_id
                      ORDER BY sum((q.v - c.cv) * (q.v - c.cv)),
                               c.cidx) AS rn
             FROM q JOIN c{n_iter} c ON q.d = c.d
-            GROUP BY q.vec_id, c.cidx) WHERE rn = 1)
+            GROUP BY q.vec_id, c.cidx) WHERE rn = 1)""")
+    if medoids:
+        parts.append("""
+        SELECT cluster, vec_id, dist FROM (
+          SELECT cluster, vec_id, dist,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY dist, vec_id) AS rn
+          FROM fin) WHERE rn = 1 ORDER BY cluster""")
+    else:
+        parts.append("""
         SELECT vec_id, cluster FROM fin ORDER BY vec_id""")
     return "".join(parts)
 
@@ -1647,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         # identical float64 elementwise mix as queries._augmented_embeddings
         "dedup_embedding_pairs": _EMB_PAIRS_SQL,
         "embedding_kmeans_clusters": _kmeans_sql(),
+        "embedding_cluster_medoids": _kmeans_sql(medoids=True),
         "kg_communities": _lpa_sql(),
         # forced scale path is output-identical by construction
         "kg_communities_distributed": _lpa_sql(),

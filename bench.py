@@ -60,7 +60,10 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "entity_link_ann", "url_canonical_pages",
              # corpus-hygiene additions (duplicate-span strip over
              # documents, per-host dup report over the pages corpus)
-             "dedup_span_docs", "host_dedup_stats"]
+             "dedup_span_docs", "host_dedup_stats",
+             # round-5 additions (deterministic k-means clustering,
+             # label-propagation communities over the co-mention graph)
+             "embedding_kmeans_clusters", "kg_communities"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,

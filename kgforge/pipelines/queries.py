@@ -512,6 +512,18 @@ def embedding_kmeans_clusters(sf_dir: str):
         k=8, n_iter=3)
 
 
+def embedding_cluster_medoids(sf_dir: str):
+    """Per-cluster medoid (member closest to its final k-means
+    centroid, integer squared-L2, ties to the smallest id) — the
+    cluster-representative / "typical example" primitive, exactly
+    SQL-oracled by extending the k-means CTE chain with the distance
+    argmin.  See :func:`kgforge.stages.ann.kmeans_medoids`."""
+    from ..stages.ann import kmeans_medoids
+    return kmeans_medoids(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=8, n_iter=3)
+
+
 def dedup_cluster_docs(sf_dir: str):
     """Near-dup cluster assignment over the exact ngram pair graph —
     every doc tagged with its component's smallest id (SQL-oracled via

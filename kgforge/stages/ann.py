@@ -231,7 +231,8 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
 def kmeans_assign_fixed(ds: Dataset, k: int = 8, n_iter: int = 3,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
-                        scale: int = 1_000_000) -> Dataset:
+                        scale: int = 1_000_000,
+                        include_dist: bool = False) -> Dataset:
     """Deterministic distributed k-means corpus clustering (the data-
     mixing / SemDeDup-prep primitive) — EXACTLY SQL-oracle-able because
     every step is integer or exactly-representable-double arithmetic:
@@ -337,8 +338,52 @@ def kmeans_assign_fixed(ds: Dataset, k: int = 8, n_iter: int = 3,
 
     def final_assign(batch: pa.Table, c=cen_final) -> pa.Table:
         mat = vectors_to_matrix(batch, "qvec", dtype=np.int64)
-        return pa.table({id_col: batch.column(id_col),
-                         "cluster": pa.array(_assign_ids(mat, c),
-                                             pa.int64())})
+        a = _assign_ids(mat, c)
+        cols = {id_col: batch.column(id_col),
+                "cluster": pa.array(a, pa.int64())}
+        if include_dist:
+            x2 = np.sum(mat * mat, axis=1, dtype=np.int64)
+            c2 = np.sum(c * c, axis=1, dtype=np.int64)
+            cross = np.einsum("nd,nd->n", mat, c[a], dtype=np.int64)
+            cols["dist"] = pa.array(x2 - 2 * cross + c2[a], pa.int64())
+        return pa.table(cols)
 
     return qds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def kmeans_medoids(ds: Dataset, k: int = 8, n_iter: int = 3,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   scale: int = 1_000_000) -> Dataset:
+    """Per-cluster representative selection after
+    :func:`kmeans_assign_fixed`: the member CLOSEST to its final
+    centroid (integer squared L2; ties broken by the smallest id) — the
+    SemDeDup/"typical example" primitive.  The per-cluster argmin is an
+    in-block combiner (≤ k rows leave each block), merged on the driver
+    (k rows total) — no extra shuffle beyond the assignment passes."""
+    assign = kmeans_assign_fixed(ds, k=k, n_iter=n_iter,
+                                 vec_col=vec_col, id_col=id_col,
+                                 scale=scale, include_dist=True)
+
+    def local_min(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cluster": t.column("cluster").to_numpy(zero_copy_only=False),
+            id_col: t.column(id_col).to_numpy(zero_copy_only=False),
+            "dist": t.column("dist").to_numpy(zero_copy_only=False)})
+        win = (df.sort_values(["cluster", "dist", id_col])
+               .groupby("cluster", sort=False).head(1))
+        return pa.table({
+            "cluster": pa.array(win["cluster"].to_numpy(np.int64),
+                                pa.int64()),
+            id_col: pa.array(win[id_col].to_numpy(np.int64), pa.int64()),
+            "dist": pa.array(win["dist"].to_numpy(np.int64), pa.int64())})
+
+    parts = assign.map_batches(local_min, batch_format="pyarrow") \
+                  .to_pandas()
+    win = (parts.sort_values(["cluster", "dist", id_col])
+           .groupby("cluster", sort=False).head(1)
+           .sort_values("cluster").reset_index(drop=True))
+    return ray.data.from_arrow(pa.table({
+        "cluster": pa.array(win["cluster"].to_numpy(np.int64),
+                            pa.int64()),
+        id_col: pa.array(win[id_col].to_numpy(np.int64), pa.int64()),
+        "dist": pa.array(win["dist"].to_numpy(np.int64), pa.int64())}))

@@ -93,3 +93,37 @@ def test_k_larger_than_corpus_raises():
     mat = np.zeros((3, 4), dtype=np.float32)
     with pytest.raises(ValueError, match="only 3 vectors"):
         _run(np.arange(3, dtype=np.int64), mat, k=5, n_iter=1)
+
+
+def test_medoids_match_dense_reference():
+    from kgforge.stages.ann import kmeans_medoids
+    rng = np.random.default_rng(19)
+    mat = rng.normal(size=(120, 12)).astype(np.float32)
+    ids = rng.permutation(120).astype(np.int64) * 7 + 3
+    out = (kmeans_medoids(_ds(ids, mat), k=6, n_iter=2)
+           .to_pandas().sort_values("cluster").reset_index(drop=True))
+    # dense reference: recompute final centroids, take per-cluster
+    # (dist, id) argmin
+    q = np.floor(mat.astype(np.float64) * SCALE).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    cent = q[order[:6]].copy()
+    for _ in range(2):
+        dist = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(dist, axis=1)
+        for c in range(6):
+            m = a == c
+            if m.any():
+                cent[c] = np.floor(
+                    q[m].sum(axis=0).astype(np.float64) / m.sum()
+                ).astype(np.int64)
+    dist = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(dist, axis=1)
+    dsel = dist[np.arange(len(ids)), a]
+    ref = {}
+    for c in sorted(set(a)):
+        m = np.flatnonzero(a == c)
+        best = m[np.lexsort((ids[m], dsel[m]))[0]]
+        ref[c] = (ids[best], dsel[best])
+    got = {int(r.cluster): (int(r.vec_id), int(r.dist))
+           for r in out.itertuples()}
+    assert got == ref
