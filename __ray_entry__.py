@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-cluster medoid representatives
         "embedding_kmeans_clusters": Q.embedding_kmeans_clusters,
         "embedding_cluster_medoids": Q.embedding_cluster_medoids,
+        # NEW r5: token-budget mixture curation (data-mixing allocator)
+        "mixture_token_budget_docs": Q.mixture_token_budget_docs,
         # NEW r5: deterministic label-propagation communities (+ the
         # forced keyed-Dataset scale path against the same oracle)
         "kg_communities": Q.kg_communities,
@@ -1661,6 +1663,29 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs": _EMB_PAIRS_SQL,
         "embedding_kmeans_clusters": _kmeans_sql(),
         "embedding_cluster_medoids": _kmeans_sql(medoids=True),
+        # per-language running-token-sum window, md5(id) order; the
+        # budgets mirror queries.MIXTURE_BUDGETS verbatim
+        "mixture_token_budget_docs": r"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS n_tokens,
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':tb'),
+                            1, 16) AS hk
+              FROM documents
+              WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')),
+            c AS (
+              SELECT doc_id, lang, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY hk
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d)
+            SELECT doc_id, lang, n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM c
+            WHERE cum <= CASE lang WHEN 'en' THEN 10000 ELSE 4000 END
+            ORDER BY lang, cum_tokens
+        """,
         "kg_communities": _lpa_sql(),
         # forced scale path is output-identical by construction
         "kg_communities_distributed": _lpa_sql(),

@@ -512,6 +512,22 @@ def embedding_kmeans_clusters(sf_dir: str):
         k=8, n_iter=3)
 
 
+MIXTURE_BUDGETS = {"en": 10_000, "de": 4_000, "es": 4_000,
+                   "fr": 4_000, "zh": 4_000}
+
+
+def mixture_token_budget_docs(sf_dir: str):
+    """Token-budget mixture curation: per-language integer token
+    budgets consumed in deterministic md5(id) order (keep while the
+    running total INCLUDING the doc fits) — the data-mixing allocator
+    that cuts a training mix to target proportions.  SQL-oracled via a
+    per-language running-SUM window."""
+    from ..stages.relational import token_budget_select
+    return token_budget_select(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]),
+        budgets=MIXTURE_BUDGETS)
+
+
 def embedding_cluster_medoids(sf_dir: str):
     """Per-cluster medoid (member closest to its final k-means
     centroid, integer squared-L2, ties to the smallest id) — the

@@ -1580,3 +1580,78 @@ def grouped_bottom_k_sample(ds: Dataset, group_col: str, id_col: str,
     return (ds.map_batches(local_k, batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(fold, batch_format="pandas"))
+
+
+def token_budget_select(ds: Dataset, budgets: dict,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        lang_col: str = "lang", salt: str = "tb",
+                        n_buckets: int = 16) -> Dataset:
+    """Token-budget mixture curation (the data-mixing allocator): for
+    each language with an integer token budget, keep documents in
+    deterministic md5(id:salt) order while the RUNNING token total
+    stays within the budget (a doc is kept iff the cumulative count
+    INCLUDING it is <= budget) — how a training mix is cut to target
+    proportions.  Languages without a budget drop.
+
+    Only (id, lang, n_tokens, hash-key) rides the exchange — the text
+    stays in the tokenize pass (the ``exact_dedup keep_text=False``
+    discipline); re-join kept ids against the corpus afterwards.
+    Token count is the RE2 ``\\S+`` kernel (DuckDB-identical).  The
+    per-language fold is a sequential cumsum over that language's
+    surviving rows; at 10^12-doc scale replace it with the two-pass
+    block scan of :func:`prefix_sum` partitioned by language (per-
+    bucket partial sums -> driver offsets -> second filter pass).
+
+    Output: (id, lang, n_tokens, cum_tokens) for the KEPT rows.  No
+    reference counterpart (net-new training-data op)."""
+    import hashlib
+
+    from ..functions.textstats import TOKEN_RE
+    from .joins import key_bucket
+
+    langs = sorted(budgets)
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t.column(lang_col).is_valid(),
+                             pc.is_in(t.column(lang_col),
+                                      pa.array(langs, pa.string()))))
+        ids = t.column(id_col).to_pylist()
+        hk = [hashlib.md5(f"{i}:{salt}".encode("utf-8")).hexdigest()[:16]
+              for i in ids]
+        n_tok = pc.count_substring_regex(
+            t.column(text_col), TOKEN_RE).cast(pa.int64())
+        out = pa.table({id_col: t.column(id_col),
+                        lang_col: t.column(lang_col),
+                        "n_tokens": n_tok,
+                        "_hk": pa.array(hk, pa.string())})
+        return out.append_column(
+            "bucket", key_bucket(out.column(lang_col), n_buckets))
+
+    empty_out = pa.table({
+        id_col: pa.array([], pa.int64()),
+        lang_col: pa.array([], pa.string()),
+        "n_tokens": pa.array([], pa.int64()),
+        "cum_tokens": pa.array([], pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or lang_col not in g.columns:
+            return empty_out
+        out = []
+        for lang, sub in g.groupby(lang_col, sort=True):
+            sub = sub.sort_values("_hk")
+            cum = sub["n_tokens"].to_numpy(np.int64).cumsum()
+            keep = cum <= int(budgets[lang])
+            kept = sub[keep]
+            out.append(pa.table({
+                id_col: pa.array(kept[id_col].to_numpy(np.int64),
+                                 pa.int64()),
+                lang_col: pa.array(kept[lang_col], pa.string()),
+                "n_tokens": pa.array(
+                    kept["n_tokens"].to_numpy(np.int64), pa.int64()),
+                "cum_tokens": pa.array(cum[keep], pa.int64())}))
+        return pa.concat_tables(out) if out else empty_out
+
+    return (ds.map_batches(tokenize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pandas"))
