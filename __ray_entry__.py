@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # forced keyed-Dataset scale path against the same oracle)
         "kg_communities": Q.kg_communities,
         "kg_communities_distributed": Q.kg_communities_distributed,
+        "kg_community_stats": Q.kg_community_stats,
         # re-gate: auto mode now returns a Dataset (r5)
         "kg_components": Q.kg_components,
         "kg_khop": Q.kg_khop,
@@ -328,7 +329,7 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
-def _lpa_sql(rounds: int = 5) -> str:
+def _lpa_sql(rounds: int = 5, stats: bool = False) -> str:
     """Unrolled deterministic synchronous label propagation mirroring
     ``graph.label_propagation_fixed`` over the co-mention graph
     (queries.kg_communities): each round every node adopts its
@@ -358,7 +359,38 @@ def _lpa_sql(rounds: int = 5) -> str:
             FROM nb JOIN l{t - 1} l ON nb.v = l.node
             GROUP BY nb.u, l.lbl) WHERE rn = 1),""")
     parts.append(f"""
-        fin AS (SELECT node, lbl FROM l{rounds})
+        fin AS (SELECT node, lbl FROM l{rounds})""")
+    if stats:
+        # exact per-community quality stats incl. the integer
+        # modularity numerator q_num = 4*m*e_in - d_tot^2 (see
+        # graph.community_stats); modularity_term is ONE IEEE division
+        # of exact ints — bit-equal across engines
+        parts.append("""
+        , deg AS (SELECT u, count(*) AS dg FROM nb GROUP BY u),
+        mm AS (SELECT count(*) AS m FROM c),
+        intra AS (
+          SELECT f1.lbl AS community, count(*) AS e_in
+          FROM c JOIN fin f1 ON c.a = f1.node
+                 JOIN fin f2 ON c.b = f2.node
+          WHERE f1.lbl = f2.lbl GROUP BY 1),
+        dsum AS (
+          SELECT f.lbl AS community,
+                 CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(d.dg) AS BIGINT) AS d_tot
+          FROM fin f JOIN deg d ON f.node = d.u GROUP BY 1)
+        SELECT ds.community, ds.n_nodes,
+               COALESCE(i.e_in, 0) AS e_in, ds.d_tot,
+               4 * mm.m * COALESCE(i.e_in, 0) - ds.d_tot * ds.d_tot
+                   AS q_num,
+               CAST(4 * mm.m * COALESCE(i.e_in, 0)
+                    - ds.d_tot * ds.d_tot AS DOUBLE)
+                   / CAST(4 * mm.m * mm.m AS DOUBLE)
+                   AS modularity_term
+        FROM dsum ds CROSS JOIN mm
+        LEFT JOIN intra i ON i.community = ds.community
+        ORDER BY ds.community""")
+    else:
+        parts.append("""
         SELECT node AS node_id, lbl AS community FROM fin
         ORDER BY node_id""")
     return "".join(parts)
@@ -1689,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _lpa_sql(),
         # forced scale path is output-identical by construction
         "kg_communities_distributed": _lpa_sql(),
+        "kg_community_stats": _lpa_sql(stats=True),
         # the LSH scale path verifies candidates with EXACT cosine on the
         # same float64 unit vectors and (deterministically, fixed seed)
         # recalls every planted pair on this corpus — so the exact

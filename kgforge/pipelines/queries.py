@@ -2262,6 +2262,19 @@ def kg_communities_distributed(sf_dir: str):
                                    mode="distributed")
 
 
+def kg_community_stats(sf_dir: str):
+    """Exact per-community quality stats over the LPA communities of
+    the co-mention graph — size, intra-edge count, total degree and
+    the INTEGER modularity numerator q_num = 4*m*e_in - d_tot^2 (the
+    float modularity_term is one IEEE division of exact ints, bit-
+    equal vs DuckDB)."""
+    from ..stages.graph import community_stats, label_propagation_fixed
+    _ensure_gate_artifact(sf_dir)
+    edges = _comention_edges(sf_dir).materialize()
+    comms = label_propagation_fixed(edges, n_iter=5, mode="driver")
+    return community_stats(edges, comms)
+
+
 def kg_clustering(sf_dir: str):
     """Per-node local clustering coefficient of the co-mention graph
     (nodes with degree >= 2; 2T/(d(d-1)) — one IEEE division of exact

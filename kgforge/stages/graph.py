@@ -2351,3 +2351,90 @@ def label_propagation_distributed(edges: Dataset,
                          "community": t.column("lab")})
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+def community_stats(edges: Dataset, communities,
+                    src_col: str = "src_id", dst_col: str = "dst_id",
+                    node_col: str = "node_id",
+                    comm_col: str = "community",
+                    dedup_edges: bool = True) -> Dataset:
+    """Exact per-community quality stats over an undirected graph —
+    including the MODULARITY numerator as a pure integer, so the whole
+    table is SQL-oracle-able:
+
+    for community c with ``e_in`` intra-community edges and ``d_tot``
+    total member degree (2m = sum of all degrees), the standard
+    modularity term is ``e_in/m - (d_tot/2m)^2``; scaled by ``4m^2``
+    it is the INTEGER ``q_num = 4*m*e_in - d_tot^2`` (the float
+    ``modularity_term = q_num / (4m^2)`` is one IEEE division of exact
+    ints, bit-equal across engines).  Global modularity =
+    sum(q_num)/(4m^2).
+
+    ``communities`` is a node-sized pandas DataFrame or Dataset
+    (node_col, comm_col) — e.g. :func:`label_propagation_fixed`
+    output.  The label map is broadcast once (``ray.put`` of two
+    sorted arrays, the documented node-sized driver bound); each edge
+    block emits per-community (e_in, d) count partials — community-
+    sized rows, never the edge list."""
+    if hasattr(communities, "to_pandas"):
+        communities = communities.to_pandas()
+    lab_nodes = communities[node_col].to_numpy(np.uint64)
+    order = np.argsort(lab_nodes, kind="stable")
+    lab_nodes = lab_nodes[order]
+    lab_vals = communities[comm_col].to_numpy(np.uint64)[order]
+    if dedup_edges:
+        edges = _canonical_edges(edges, src_col, dst_col).materialize()
+        src_col, dst_col = "a", "b"
+    ref = ray.put((lab_nodes, lab_vals))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return pa.table({"community": pa.array([], pa.uint64()),
+                             "e_in": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        nds, lab = ray.get(ref)
+        s = t.column(src_col).to_numpy(zero_copy_only=False)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep].astype(np.uint64), d[keep].astype(np.uint64)
+        cs = lab[np.searchsorted(nds, s)]
+        cd = lab[np.searchsorted(nds, d)]
+        intra = pd.Series(cs[cs == cd]).value_counts()
+        degs = pd.Series(np.concatenate([cs, cd])).value_counts()
+        comm = degs.index.to_numpy(np.uint64)
+        e_in = intra.reindex(comm, fill_value=0).to_numpy(np.int64)
+        return pa.table({"community": pa.array(comm, pa.uint64()),
+                         "e_in": pa.array(e_in, pa.int64()),
+                         "d": pa.array(degs.to_numpy(np.int64),
+                                       pa.int64())})
+
+    parts = (edges.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = (parts.groupby("community", sort=True)
+           .agg(e_in=("e_in", "sum"), d_tot=("d", "sum"))
+           .reset_index())
+    # isolated-member communities (degree 0 everywhere) still count
+    sizes = (pd.Series(lab_vals).value_counts().rename("n_nodes")
+             .reset_index().rename(columns={"index": "community"}))
+    out = sizes.merge(agg, on="community", how="left").fillna(0)
+    out = out.sort_values("community").reset_index(drop=True)
+    two_m = int(parts["d"].sum())      # sum of degrees = 2 * |edges|
+    m = two_m // 2
+    d_tot = out["d_tot"].to_numpy(np.int64)
+    if two_m and (np.abs(d_tot).max(initial=0) >= 3_000_000_000):
+        raise OverflowError("d_tot^2 would overflow int64; use the "
+                            "rational form per-shard")
+    q_num = 4 * m * out["e_in"].to_numpy(np.int64) - d_tot * d_tot
+    den = 4 * m * m
+    return ray.data.from_arrow(pa.table({
+        "community": pa.array(out["community"].to_numpy(np.uint64),
+                              pa.uint64()),
+        "n_nodes": pa.array(out["n_nodes"].to_numpy(np.int64),
+                            pa.int64()),
+        "e_in": pa.array(out["e_in"].to_numpy(np.int64), pa.int64()),
+        "d_tot": pa.array(d_tot, pa.int64()),
+        "q_num": pa.array(q_num.astype(np.int64), pa.int64()),
+        "modularity_term": pa.array(
+            (q_num.astype(np.float64) / float(den)) if den
+            else np.zeros(len(q_num)), pa.float64()),
+    }))

@@ -119,3 +119,39 @@ def test_bad_args():
         label_propagation_fixed(_edges_ds([(1, 2)]), n_iter=0)
     with pytest.raises(ValueError, match="unknown mode"):
         label_propagation_fixed(_edges_ds([(1, 2)]), mode="nope")
+
+
+def test_community_stats_modularity_exact():
+    from kgforge.stages.graph import community_stats
+    # two triangles joined by one bridge: communities = the triangles
+    pairs = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12),
+             (3, 10)]
+    comms = label_propagation_fixed(_edges_ds(pairs), n_iter=5,
+                                    mode="driver")
+    out = (community_stats(_edges_ds(pairs), comms)
+           .to_pandas().sort_values("community").reset_index(drop=True))
+    # m = 7 edges; each triangle: e_in = 3, d_tot = 7 (bridge node has
+    # degree 3+1) -> q_num = 4*7*3 - 49 = 35
+    assert list(out["n_nodes"]) == [3, 3]
+    assert list(out["e_in"]) == [3, 3]
+    assert list(out["d_tot"]) == [7, 7]
+    assert list(out["q_num"]) == [35, 35]
+    assert all(abs(v - 35 / 196) < 1e-15
+               for v in out["modularity_term"])
+
+
+def test_community_stats_multigraph_dedup():
+    from kgforge.stages.graph import community_stats
+    # after ONE sync round on a single edge the labels swap: two
+    # singleton communities over one distinct edge (m must be 1, not
+    # 3 — the dedup under test)
+    comms = label_propagation_fixed(
+        _edges_ds([(1, 2), (1, 2), (2, 1)]), n_iter=1, mode="driver")
+    out = (community_stats(_edges_ds([(1, 2), (1, 2), (2, 1)]), comms)
+           .to_pandas().sort_values("community").reset_index(drop=True))
+    assert list(out["n_nodes"]) == [1, 1]
+    assert list(out["e_in"]) == [0, 0]
+    assert list(out["d_tot"]) == [1, 1]
+    # m = 1 (deduped): q_num = 4*1*0 - 1 = -1; a multiset m of 3 would
+    # have given -1 too for e_in=0 but d_tot would be 3 -> -9
+    assert list(out["q_num"]) == [-1, -1]
