@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cluster_medoids": Q.embedding_cluster_medoids,
         # NEW r5: token-budget mixture curation (data-mixing allocator)
         "mixture_token_budget_docs": Q.mixture_token_budget_docs,
+        # NEW r5: training-sequence packing (pretraining export)
+        "pack_training_docs": Q.pack_training_docs,
         # NEW r5: deterministic label-propagation communities (+ the
         # forced keyed-Dataset scale path against the same oracle)
         "kg_communities": Q.kg_communities,
@@ -1717,6 +1719,29 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WHERE cum <= CASE lang WHEN 'en' THEN 10000 ELSE 4000 END
             ORDER BY lang, cum_tokens
+        """,
+        # training-sequence packing: per-language md5-order layout,
+        # window SUM with a 1-PRECEDING frame = tokens before the doc
+        "pack_training_docs": r"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS n_tokens,
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':pk'),
+                            1, 16) AS hk
+              FROM documents
+              WHERE lang IS NOT NULL),
+            c AS (
+              SELECT doc_id, lang, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY hk, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_before
+              FROM d)
+            SELECT doc_id, lang, n_tokens,
+                   CAST(cum_before // 512 AS BIGINT) AS pack_id,
+                   CAST(cum_before % 512 AS BIGINT) AS pack_offset
+            FROM c ORDER BY doc_id
         """,
         "kg_communities": _lpa_sql(),
         # forced scale path is output-identical by construction

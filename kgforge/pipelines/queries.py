@@ -528,6 +528,19 @@ def mixture_token_budget_docs(sf_dir: str):
         budgets=MIXTURE_BUDGETS)
 
 
+def pack_training_docs(sf_dir: str):
+    """Training-sequence packing: per language, documents laid
+    end-to-end in deterministic md5(id) order, each assigned the
+    512-token context window its first token lands in
+    (pack_id = tokens-before // 512, pack_offset = the remainder) —
+    the pretraining-export primitive.  SQL-oracled via a per-language
+    running-SUM window with a 1-PRECEDING frame."""
+    from ..stages.relational import pack_sequences
+    return pack_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]),
+        seq_len=512)
+
+
 def embedding_cluster_medoids(sf_dir: str):
     """Per-cluster medoid (member closest to its final k-means
     centroid, integer squared-L2, ties to the smallest id) — the

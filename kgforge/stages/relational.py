@@ -1655,3 +1655,78 @@ def token_budget_select(ds: Dataset, budgets: dict,
     return (ds.map_batches(tokenize, batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(fold, batch_format="pandas"))
+
+
+def pack_sequences(ds: Dataset, seq_len: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   lang_col: str = "lang", salt: str = "pk",
+                   n_buckets: int = 16) -> Dataset:
+    """Training-sequence packing (the pretraining-export primitive):
+    per language, lay documents end-to-end in deterministic
+    md5(id:salt) order and assign each doc to the fixed-width context
+    window its FIRST token lands in — ``pack_id = cum_before //
+    seq_len``, ``pack_offset = cum_before % seq_len``.  A doc may
+    straddle its window boundary (standard concat-then-chunk packing:
+    the chunker splits it downstream); what matters for the exporter
+    is the deterministic (pack, offset) placement, which this emits.
+
+    Same exchange discipline as :func:`token_budget_select`: only
+    (id, lang, n_tokens, hash-key) rides the per-language shuffle, the
+    text never leaves the tokenize pass, and the per-language
+    sequential cumsum is the fold — at 10^12-doc scale replace it with
+    the two-pass block prefix scan (per-bucket partial sums -> driver
+    offsets -> second pass).  Token count is the RE2 ``\\S+`` kernel
+    (DuckDB-identical).
+
+    Output: (id, lang, n_tokens, pack_id, pack_offset).  No reference
+    counterpart (net-new training-data op)."""
+    import hashlib
+
+    from ..functions.textstats import TOKEN_RE
+    from .joins import key_bucket
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column(lang_col).is_valid())
+        ids = t.column(id_col).to_pylist()
+        hk = [hashlib.md5(f"{i}:{salt}".encode("utf-8")).hexdigest()[:16]
+              for i in ids]
+        n_tok = pc.count_substring_regex(
+            t.column(text_col), TOKEN_RE).cast(pa.int64())
+        out = pa.table({id_col: t.column(id_col),
+                        lang_col: t.column(lang_col),
+                        "n_tokens": n_tok,
+                        "_hk": pa.array(hk, pa.string())})
+        return out.append_column(
+            "bucket", key_bucket(out.column(lang_col), n_buckets))
+
+    empty_out = pa.table({
+        id_col: pa.array([], pa.int64()),
+        lang_col: pa.array([], pa.string()),
+        "n_tokens": pa.array([], pa.int64()),
+        "pack_id": pa.array([], pa.int64()),
+        "pack_offset": pa.array([], pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or lang_col not in g.columns:
+            return empty_out
+        out = []
+        for lang, sub in g.groupby(lang_col, sort=True):
+            sub = sub.sort_values(["_hk", id_col])
+            n = sub["n_tokens"].to_numpy(np.int64)
+            cum_before = n.cumsum() - n
+            out.append(pa.table({
+                id_col: pa.array(sub[id_col].to_numpy(np.int64),
+                                 pa.int64()),
+                lang_col: pa.array(sub[lang_col], pa.string()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "pack_id": pa.array(cum_before // seq_len, pa.int64()),
+                "pack_offset": pa.array(cum_before % seq_len,
+                                        pa.int64())}))
+        return pa.concat_tables(out) if out else empty_out
+
+    return (ds.map_batches(tokenize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pandas"))
