@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_token_budget_docs": Q.mixture_token_budget_docs,
         # NEW r5: training-sequence packing (pretraining export)
         "pack_training_docs": Q.pack_training_docs,
+        # NEW r5: signed random projection (dim reduction before ANN)
+        "embedding_random_projection": Q.embedding_random_projection,
         # NEW r5: deterministic label-propagation communities (+ the
         # forced keyed-Dataset scale path against the same oracle)
         "kg_communities": Q.kg_communities,
@@ -1719,6 +1721,33 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WHERE cum <= CASE lang WHEN 'en' THEN 10000 ELSE 4000 END
             ORDER BY lang, cum_tokens
+        """,
+        # signed random projection: the ±1 matrix is re-derived from
+        # the md5-parity rule, components are exact integer sums
+        "embedding_random_projection": f"""
+            WITH q AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000) AS BIGINT) AS v
+              FROM embeddings),
+            dims AS (SELECT DISTINCT d FROM q),
+            s AS (
+              SELECT dims.d, r.j,
+                     CASE WHEN strpos('02468ace',
+                            substr(md5(CAST(dims.d AS VARCHAR) || ':' ||
+                                       CAST(r.j AS VARCHAR) || ':rp'),
+                                   1, 1)) > 0
+                          THEN 1 ELSE -1 END AS sgn
+              FROM dims CROSS JOIN
+                   (SELECT unnest(range(0, 8)) AS j) r),
+            p AS (
+              SELECT q.vec_id, s.j,
+                     CAST(SUM(q.v * s.sgn) AS BIGINT) AS y
+              FROM q JOIN s ON q.d = s.d GROUP BY q.vec_id, s.j)
+            SELECT vec_id,
+                   {", ".join(f"max(CASE WHEN j = {j} THEN y END)"
+                              f" AS p{j}" for j in range(8))}
+            FROM p GROUP BY vec_id ORDER BY vec_id
         """,
         # training-sequence packing: per-language md5-order layout,
         # window SUM with a 1-PRECEDING frame = tokens before the doc

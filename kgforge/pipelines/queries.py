@@ -528,6 +528,17 @@ def mixture_token_budget_docs(sf_dir: str):
         budgets=MIXTURE_BUDGETS)
 
 
+def embedding_random_projection(sf_dir: str):
+    """Deterministic ±1 random projection of the embeddings table down
+    to 8 integer components — the dimensionality-reduction step before
+    ANN/LSH at scale.  Integer-exact (floor-1e6 quantize, md5-parity
+    sign matrix), so the oracle re-derives every component in SQL."""
+    from ..stages.ann import random_projection_fixed
+    return random_projection_fixed(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        out_dim=8)
+
+
 def pack_training_docs(sf_dir: str):
     """Training-sequence packing: per language, documents laid
     end-to-end in deterministic md5(id) order, each assigned the

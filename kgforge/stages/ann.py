@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -349,6 +351,62 @@ def kmeans_assign_fixed(ds: Dataset, k: int = 8, n_iter: int = 3,
         return pa.table(cols)
 
     return qds.map_batches(final_assign, batch_format="pyarrow")
+
+
+_HEX_EVEN = frozenset("02468ace")
+
+
+@_functools.lru_cache(maxsize=8)
+def _rp_sign_matrix(d: int, out_dim: int, salt: str) -> np.ndarray:
+    """Deterministic ±1 sign matrix: ``s[i, j] = +1`` iff the first hex
+    digit of ``md5(f"{i+1}:{j}:{salt}")`` is even (input dims 1-based to
+    match SQL ``generate_subscripts``).  Derived, never shipped — every
+    task rebuilds the same d×k matrix from the formula."""
+    import hashlib
+    s = np.empty((d, out_dim), dtype=np.int64)
+    for i in range(d):
+        for j in range(out_dim):
+            h = hashlib.md5(f"{i + 1}:{j}:{salt}".encode()).hexdigest()
+            s[i, j] = 1 if h[0] in _HEX_EVEN else -1
+    return s
+
+
+def random_projection_fixed(ds: Dataset, out_dim: int = 8,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            scale: int = 1_000_000,
+                            salt: str = "rp") -> Dataset:
+    """Deterministic signed random projection (Achlioptas ±1 variant)
+    — the dimensionality-reduction step before ANN / LSH at scale:
+    ``y = floor(x * scale) @ S`` with ``S ∈ {±1}^{d×k}`` derived from
+    md5, so the output is integer-EXACT and SQL-oracle-able (the
+    oracle rebuilds S from the same md5 parity rule and re-derives the
+    sums).  Zero shuffle: one ``map_batches`` pass, the d×k sign
+    matrix is rebuilt from the formula inside each task (no broadcast
+    object at all), and each int64 component is a sum of d terms
+    |v| <= scale·|x| so overflow needs d·scale·max|x| >= 2^63 —
+    unreachable for unit-scale embeddings.
+
+    Output: ``(id, p0..p{k-1})`` int64.  No reference counterpart
+    (net-new training-data op)."""
+    if not (1 <= out_dim <= 256):
+        raise ValueError(f"out_dim={out_dim} out of range")
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols: dict[str, pa.Array] = {id_col: batch.column(id_col)}
+        if batch.num_rows == 0:
+            for j in range(out_dim):
+                cols[f"p{j}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        mat = vectors_to_matrix(batch, vec_col, dtype=np.float64)
+        q = np.floor(mat * scale).astype(np.int64)
+        sgn = _rp_sign_matrix(q.shape[1], out_dim, salt)
+        y = q @ sgn
+        for j in range(out_dim):
+            cols[f"p{j}"] = pa.array(y[:, j], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def kmeans_medoids(ds: Dataset, k: int = 8, n_iter: int = 3,
