@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_training_docs": Q.pack_training_docs,
         # NEW r5: signed random projection (dim reduction before ANN)
         "embedding_random_projection": Q.embedding_random_projection,
+        # NEW r5: SemDeDup (within-cluster cosine-dominance pruning)
+        "dedup_semantic_docs": Q.dedup_semantic_docs,
         # NEW r5: deterministic label-propagation communities (+ the
         # forced keyed-Dataset scale path against the same oracle)
         "kg_communities": Q.kg_communities,
@@ -401,7 +403,9 @@ def _lpa_sql(rounds: int = 5, stats: bool = False) -> str:
 
 
 def _kmeans_sql(k: int = 8, n_iter: int = 3,
-                scale: int = 1_000_000, medoids: bool = False) -> str:
+                scale: int = 1_000_000, medoids: bool = False,
+                prelude: str = "", src: str = "embeddings",
+                tail: str | None = None) -> str:
     """Unrolled deterministic integer k-means mirroring
     ``ann.kmeans_assign_fixed`` (queries.embedding_kmeans_clusters):
     floor-scale quantization, integer squared-L2 argmin with
@@ -411,11 +415,11 @@ def _kmeans_sql(k: int = 8, n_iter: int = 3,
     (update + empty-cluster carry) and default inlining is
     exponential."""
     parts = [f"""
-        WITH q AS MATERIALIZED (
+        WITH {prelude}q AS MATERIALIZED (
           SELECT vec_id, generate_subscripts(embedding, 1) AS d,
                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale})
                       AS BIGINT) AS v
-          FROM embeddings),
+          FROM {src}),
         init AS MATERIALIZED (
           SELECT vec_id,
                  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
@@ -457,7 +461,9 @@ def _kmeans_sql(k: int = 8, n_iter: int = 3,
                               c.cidx) AS rn
             FROM q JOIN c{n_iter} c ON q.d = c.d
             GROUP BY q.vec_id, c.cidx) WHERE rn = 1)""")
-    if medoids:
+    if tail is not None:
+        parts.append(tail)
+    elif medoids:
         parts.append("""
         SELECT cluster, vec_id, dist FROM (
           SELECT cluster, vec_id, dist,
@@ -468,6 +474,42 @@ def _kmeans_sql(k: int = 8, n_iter: int = 3,
         parts.append("""
         SELECT vec_id, cluster FROM fin ORDER BY vec_id""")
     return "".join(parts)
+
+
+def _semdedup_sql(k: int = 8, n_iter: int = 3,
+                  threshold: float = 0.95) -> str:
+    """SemDeDup oracle: the k-means CTE chain over the SAME augmented
+    (base + planted near-dup) embeddings as ``_EMB_PAIRS_SQL``, then
+    within-cluster pair dominance — a row is dropped iff a smaller-id
+    cluster-mate sits at ``list_cosine_similarity >= threshold`` (the
+    engine's float64 unit-vector dot matches DuckDB's kernel exactly;
+    proven by the dedup_embedding_pairs gate)."""
+    prelude = """base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        planted AS (
+          SELECT 10000000 + a.vec_id AS vec_id,
+                 list_transform(range(1, len(a.v) + 1), k ->
+                     0.95 * a.v[k] + 0.05 * b.v[k]) AS v
+          FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id < 12),
+        allv AS MATERIALIZED (
+          SELECT * FROM base UNION ALL SELECT * FROM planted),
+        """
+    tail = f""",
+        drp AS (
+          SELECT DISTINCT b.vec_id
+          FROM fin a JOIN fin b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN allv va ON va.vec_id = a.vec_id
+          JOIN allv vb ON vb.vec_id = b.vec_id
+          WHERE list_cosine_similarity(va.v, vb.v) >= {threshold})
+        SELECT f.vec_id, f.cluster, (d.vec_id IS NULL) AS kept
+        FROM fin f LEFT JOIN drp d ON d.vec_id = f.vec_id
+        ORDER BY f.vec_id"""
+    return _kmeans_sql(k=k, n_iter=n_iter, prelude=prelude,
+                       src="(SELECT vec_id, v AS embedding FROM allv)",
+                       tail=tail)
 
 
 def _pivot_sql() -> str:
@@ -1722,6 +1764,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum <= CASE lang WHEN 'en' THEN 10000 ELSE 4000 END
             ORDER BY lang, cum_tokens
         """,
+        # SemDeDup: k-means chain over the augmented embeddings +
+        # within-cluster cosine-dominance EXISTS
+        "dedup_semantic_docs": _semdedup_sql(),
         # signed random projection: the ±1 matrix is re-derived from
         # the md5-parity rule, components are exact integer sums
         "embedding_random_projection": f"""

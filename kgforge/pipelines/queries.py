@@ -528,6 +528,18 @@ def mixture_token_budget_docs(sf_dir: str):
         budgets=MIXTURE_BUDGETS)
 
 
+def dedup_semantic_docs(sf_dir: str):
+    """SemDeDup over the augmented embeddings (planted near-dups make
+    the pruning bite): deterministic integer k-means clusters, then
+    within-cluster cosine-dominance drop (kept = no smaller-id
+    cluster-mate with cosine >= 0.95).  SQL-oracled end to end — the
+    k-means CTE chain extended with an EXISTS over
+    ``list_cosine_similarity`` pairs."""
+    from ..stages.dedup import semantic_dedup
+    return semantic_dedup(_augmented_embeddings(sf_dir),
+                          k=8, n_iter=3, threshold=0.95)
+
+
 def embedding_random_projection(sf_dir: str):
     """Deterministic ±1 random projection of the embeddings table down
     to 8 integer components — the dimensionality-reduction step before

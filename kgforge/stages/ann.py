@@ -263,6 +263,40 @@ def kmeans_assign_fixed(ds: Dataset, k: int = 8, n_iter: int = 3,
     No reference counterpart (net-new training-data op); companion of
     ``ivf_topk``'s float k-means (ann.py:101) which trades exactness
     for recall tuning."""
+    qds, cent = _kmeans_fit(ds, k=k, n_iter=n_iter, vec_col=vec_col,
+                            id_col=id_col, scale=scale)
+
+    def final_assign(batch: pa.Table, c=cent) -> pa.Table:
+        mat = vectors_to_matrix(batch, "qvec", dtype=np.int64)
+        a = _assign_ids(mat, c)
+        cols = {id_col: batch.column(id_col),
+                "cluster": pa.array(a, pa.int64())}
+        if include_dist:
+            x2 = np.sum(mat * mat, axis=1, dtype=np.int64)
+            c2 = np.sum(c * c, axis=1, dtype=np.int64)
+            cross = np.einsum("nd,nd->n", mat, c[a], dtype=np.int64)
+            cols["dist"] = pa.array(x2 - 2 * cross + c2[a], pa.int64())
+        return pa.table(cols)
+
+    return qds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def _assign_ids(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+    # (n, k) integer squared L2 via ||x||^2 - 2x.c + ||c||^2; all
+    # int64, exact (guarded), argmin first-hit = smallest index
+    x2 = np.sum(mat * mat, axis=1, dtype=np.int64)[:, None]
+    c2 = np.sum(c * c, axis=1, dtype=np.int64)[None, :]
+    cross = mat @ c.T            # int64 matmul, exact
+    dist = x2 - 2 * cross + c2
+    return np.argmin(dist, axis=1).astype(np.int64)
+
+
+def _kmeans_fit(ds: Dataset, k: int, n_iter: int, vec_col: str,
+                id_col: str, scale: int) -> tuple[Dataset, np.ndarray]:
+    """Shared fit for :func:`kmeans_assign_fixed` /
+    :func:`semantic_dedup`: returns the materialized quantized
+    projection ``(id, qvec)`` and the final (k, d) int64 centroid
+    matrix (the tiny broadcastable state)."""
     if not (1 <= k <= 4096):
         raise ValueError(f"k={k} out of range")
 
@@ -292,15 +326,6 @@ def kmeans_assign_fixed(ds: Dataset, k: int = 8, n_iter: int = 3,
     kk, d = cent.shape
     if kk < k:
         raise ValueError(f"k={k} but only {kk} vectors")
-
-    def _assign_ids(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
-        # (n, k) integer squared L2 via ||x||^2 - 2x.c + ||c||^2; all
-        # int64, exact (guarded), argmin first-hit = smallest index
-        x2 = np.sum(mat * mat, axis=1, dtype=np.int64)[:, None]
-        c2 = np.sum(c * c, axis=1, dtype=np.int64)[None, :]
-        cross = mat @ c.T            # int64 matmul, exact
-        dist = x2 - 2 * cross + c2
-        return np.argmin(dist, axis=1).astype(np.int64)
 
     for _ in range(n_iter):
         cen = cent  # rebind for closure capture by value semantics
@@ -336,21 +361,7 @@ def kmeans_assign_fixed(ds: Dataset, k: int = 8, n_iter: int = 3,
                            / cnt[nz, None]).astype(np.int64)
         cent = new
 
-    cen_final = cent
-
-    def final_assign(batch: pa.Table, c=cen_final) -> pa.Table:
-        mat = vectors_to_matrix(batch, "qvec", dtype=np.int64)
-        a = _assign_ids(mat, c)
-        cols = {id_col: batch.column(id_col),
-                "cluster": pa.array(a, pa.int64())}
-        if include_dist:
-            x2 = np.sum(mat * mat, axis=1, dtype=np.int64)
-            c2 = np.sum(c * c, axis=1, dtype=np.int64)
-            cross = np.einsum("nd,nd->n", mat, c[a], dtype=np.int64)
-            cols["dist"] = pa.array(x2 - 2 * cross + c2[a], pa.int64())
-        return pa.table(cols)
-
-    return qds.map_batches(final_assign, batch_format="pyarrow")
+    return qds, cent
 
 
 _HEX_EVEN = frozenset("02468ace")

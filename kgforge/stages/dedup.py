@@ -851,6 +851,88 @@ def embedding_pairs_exact(ds: Dataset, id_col: str = "vec_id",
     return ds.map_batches(block_pairs, batch_format="pyarrow")
 
 
+def semantic_dedup(ds: Dataset, k: int = 8, n_iter: int = 3,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding", scale: int = 1_000_000,
+                   n_buckets: int = 8) -> Dataset:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then WITHIN each cluster drop every vector that has an
+    earlier (smaller-id) cluster-mate with cosine >= ``threshold`` —
+    the semantic near-duplicate pruning pass that bounds the pair
+    explosion by cluster size instead of the corpus.
+
+    Exactly SQL-oracle-able end to end: the cluster assignment is the
+    deterministic integer k-means of
+    :func:`kgforge.stages.ann.kmeans_assign_fixed` (same fit, same
+    argmin tie-break) and the keep/drop rule is pure pair dominance
+    (``kept[j] = not exists i<j in cluster with cos >= t``) over the
+    same float64 unit-vector cosines the ``embedding_pairs_exact``
+    oracle already matches bit-for-bit against DuckDB's
+    ``list_cosine_similarity``.
+
+    Scale shape: the (k, d) centroid matrix is the only broadcast
+    state; one assignment pass emits (id, cluster, unit-vec) rows and
+    ONE cluster-bucketed shuffle co-locates each cluster, where the
+    all-pairs matmul is bounded by cluster size — pick k ~ corpus/5k
+    so clusters stay matmul-sized (the SemDeDup paper's regime).
+
+    Output: (id, cluster, kept) for EVERY input row.  No reference
+    counterpart (net-new training-data op)."""
+    from .ann import _assign_ids, _kmeans_fit
+
+    _qds, cent = _kmeans_fit(ds, k=k, n_iter=n_iter, vec_col=vec_col,
+                             id_col=id_col, scale=scale)
+
+    empty_assign = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "cluster": pa.array([], pa.int64()),
+        "vec": pa.array([], pa.binary()),
+        "bucket": pa.array([], pa.int64())})
+
+    def assign_unit(batch: pa.Table, c=cent) -> pa.Table:
+        ids, u = _unit_rows(batch, id_col, vec_col)
+        if not len(ids):
+            return empty_assign
+        mat = vectors_to_matrix(batch, vec_col, dtype=np.float64)
+        q = np.floor(mat * scale).astype(np.int64)
+        a = _assign_ids(q, c)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array(a, pa.int64()),
+            "vec": pa.array([r.tobytes() for r in u], pa.binary()),
+            "bucket": pa.array(a % n_buckets, pa.int64())})
+
+    empty_out = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "cluster": pa.array([], pa.int64()),
+        "kept": pa.array([], pa.bool_())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "cluster" not in g.columns:
+            return empty_out
+        outs = []
+        for cl, sub in g.groupby("cluster", sort=True):
+            sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy(np.int64)
+            mat = np.frombuffer(b"".join(sub["vec"].tolist()),
+                                np.float64).reshape(len(sub), -1)
+            sims = mat @ mat.T
+            # kept[j] = no i<j with cos >= t (pair dominance, not
+            # transitive-chain removal — mirrors the SQL EXISTS)
+            dom = np.triu(sims >= threshold, 1)
+            kept = ~dom.any(axis=0)
+            outs.append(pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(np.full(len(ids), cl, np.int64),
+                                    pa.int64()),
+                "kept": pa.array(kept)}))
+        return pa.concat_tables(outs) if outs else empty_out
+
+    return (ds.map_batches(assign_unit, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # near-duplicate cluster assignment
 # ---------------------------------------------------------------------------
