@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": Q.kg_communities,
         "kg_communities_distributed": Q.kg_communities_distributed,
         "kg_community_stats": Q.kg_community_stats,
+        # NEW r5: fixed-point HITS (+ forced keyed-Dataset scale path
+        # against the same oracle)
+        "kg_hits": Q.kg_hits,
+        "kg_hits_distributed": Q.kg_hits_distributed,
         # re-gate: auto mode now returns a Dataset (r5)
         "kg_components": Q.kg_components,
         "kg_khop": Q.kg_khop,
@@ -510,6 +514,65 @@ def _semdedup_sql(k: int = 8, n_iter: int = 3,
     return _kmeans_sql(k=k, n_iter=n_iter, prelude=prelude,
                        src="(SELECT vec_id, v AS embedding FROM allv)",
                        tail=tail)
+
+
+def _hits_sql(n_iter: int = 5, scale_bits: int = 20) -> str:
+    """Mechanically-unrolled fixed-point HITS mirroring
+    ``kgforge.stages.graph.hits_fixed`` exactly: per half-step an
+    incoming integer sum then an L1 normalization
+    ``(raw * S) // max(total, 1)`` — every value non-negative, so
+    DuckDB ``//`` (truncation) == numpy ``//`` (floor), and DuckDB's
+    HUGEINT SUM keeps the arithmetic exact before the final BIGINT
+    cast.  AS MATERIALIZED is load-bearing (the k-core lesson)."""
+    S = 1 << scale_bits
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT src_id, dst_id FROM ({_KG_EDGES_SQL})),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT node_id FROM (
+                SELECT src_id AS node_id FROM e
+                UNION ALL SELECT dst_id FROM e)),
+        h0 AS MATERIALIZED (
+            SELECT node_id, CAST({S} AS BIGINT) AS h FROM nodes),"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+        araw{t} AS MATERIALIZED (
+            SELECT e.dst_id AS node_id, SUM(p.h) AS s
+            FROM e JOIN h{t - 1} p ON e.src_id = p.node_id
+            GROUP BY 1),
+        atot{t} AS MATERIALIZED (
+            SELECT CASE WHEN COALESCE(SUM(s), 0) < 1 THEN 1
+                        ELSE SUM(s) END AS tot FROM araw{t}),
+        a{t} AS MATERIALIZED (
+            SELECT n.node_id,
+                   (COALESCE(ar.s, 0) * {S}) // x.tot AS a
+            FROM nodes n CROSS JOIN atot{t} x
+            LEFT JOIN araw{t} ar USING (node_id)),
+        hraw{t} AS MATERIALIZED (
+            SELECT e.src_id AS node_id, SUM(p.a) AS s
+            FROM e JOIN a{t} p ON e.dst_id = p.node_id
+            GROUP BY 1),
+        htot{t} AS MATERIALIZED (
+            SELECT CASE WHEN COALESCE(SUM(s), 0) < 1 THEN 1
+                        ELSE SUM(s) END AS tot FROM hraw{t}),
+        h{t} AS MATERIALIZED (
+            SELECT n.node_id,
+                   (COALESCE(hr.s, 0) * {S}) // x.tot AS h
+            FROM nodes n CROSS JOIN htot{t} x
+            LEFT JOIN hraw{t} hr USING (node_id)),""")
+    parts.append(f"""
+        fin AS (
+            SELECT n.node_id,
+                   CAST(h.h AS BIGINT) AS hub_fixed,
+                   CAST(a.a AS BIGINT) AS auth_fixed
+            FROM nodes n
+            JOIN h{n_iter} h USING (node_id)
+            JOIN a{n_iter} a USING (node_id))
+        SELECT node_id, hub_fixed, auth_fixed,
+               CAST(hub_fixed AS DOUBLE) / {float(S)} AS hub,
+               CAST(auth_fixed AS DOUBLE) / {float(S)} AS authority
+        FROM fin ORDER BY node_id""")
+    return "".join(parts)
 
 
 def _pivot_sql() -> str:
@@ -1190,6 +1253,10 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point PageRank: identical integer recurrence unrolled
         # as a MATERIALIZED CTE chain (bit-exact — no float sums)
         "kg_pagerank": _pagerank_sql(20),
+        # fixed-point HITS: unrolled half-step chain; the forced
+        # distributed path is bit-identical (also pinned in pytest)
+        "kg_hits": _hits_sql(5),
+        "kg_hits_distributed": _hits_sql(5),
         # reference loader remainder-drop quirk (csv.py:19-31 /
         # jsonl.py:14-27): the engine runs the real file loader over a
         # fixture derived from documents; the oracle re-derives the

@@ -1569,6 +1569,26 @@ def kg_pagerank(sf_dir: str):
     return pagerank_fixed(_kg_result(sf_dir).edges, n_iter=20)
 
 
+def kg_hits(sf_dir: str):
+    """Fixed-point HITS hubs/authorities over the built KG — integer
+    L1-normalized half-steps make the distributed result bit-exact and
+    DuckDB-oracle-able (unrolled CTE chain, HUGEINT-safe sums); the
+    float hub/authority columns are exact dyadics (fixed / 2^20)."""
+    from ..stages.graph import hits_fixed
+    _ensure_gate_artifact(sf_dir)
+    return hits_fixed(_kg_result(sf_dir).edges, n_iter=5)
+
+
+def kg_hits_distributed(sf_dir: str):
+    """Forced keyed-Dataset scale path of :func:`kg_hits` — no
+    node-sized driver vector; gated against the SAME oracle (the two
+    paths are bit-identical, also pinned in pytest)."""
+    from ..stages.graph import hits_fixed
+    _ensure_gate_artifact(sf_dir)
+    return hits_fixed(_kg_result(sf_dir).edges, n_iter=5,
+                      mode="distributed")
+
+
 def kg_components(sf_dir: str):
     """Undirected connected components of the built KG (component_id =
     min reachable node id) — distributed min-label propagation."""

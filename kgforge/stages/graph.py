@@ -470,6 +470,9 @@ def pagerank_fixed_distributed(edges: Dataset, src_col: str = "src_id",
 
     state = deg.map_batches(init_state,
                             batch_format="pyarrow").materialize()
+    # loop-carried block budget: the node table's own natural block
+    # count (scale-proportional, tiny at test scale)
+    state_blocks = max(1, state.num_blocks())
 
     def edge_side(t: pa.Table) -> pa.Table:
         zero = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
@@ -552,11 +555,15 @@ def pagerank_fixed_distributed(edges: Dataset, src_col: str = "src_id",
                 "bucket": pa.array((node % np.uint64(n_buckets))
                                    .astype(np.int64), pa.int64())})
 
+        # repartition bounds the loop-carried block count: union sums
+        # block counts, so without it blocks (and sort-shuffle cost)
+        # DOUBLE per iteration — measured exponential wall-time growth
         state = (msgs.map_batches(msg_side, batch_format="pyarrow")
                  .union(state.map_batches(state_side2,
                                           batch_format="pyarrow"))
                  .groupby("bucket")
                  .map_groups(fold, batch_format="pandas")
+                 .repartition(state_blocks)
                  .materialize())
 
     def finish(t: pa.Table) -> pa.Table:
@@ -632,6 +639,7 @@ def connected_components_distributed(edges: Dataset,
     labels = (dir_edges.groupby("bucket")
               .map_groups(init_labels, batch_format="pandas")
               .materialize())
+    label_blocks = max(1, labels.num_blocks())
 
     def edge_rows(t: pa.Table) -> pa.Table:
         # 0-filled placeholders, NOT nulls: pandas promotes
@@ -707,7 +715,10 @@ def connected_components_distributed(edges: Dataset,
                   .map_groups(min_fold, batch_format="pandas")
                   .materialize())
         improved = folded.sum("improved")
-        labels = folded.drop_columns(["improved"]).materialize()
+        # repartition bounds loop-carried blocks (else they double per
+        # sweep through the unions and sweeps slow exponentially)
+        labels = (folded.drop_columns(["improved"])
+                  .repartition(label_blocks).materialize())
         if not improved:
             break
 
@@ -828,6 +839,7 @@ def k_core_distributed(edges: Dataset, k: int,
     canon = edges if {"a", "b"} <= set(edges.schema().names) else \
         _canonical_edges(edges, src_col, dst_col, n_buckets)
     canon = canon.select_columns(["a", "b"]).materialize()
+    canon_blocks = max(1, canon.num_blocks())
     m = canon.count()
     rounds = 0
     while rounds < max_rounds:
@@ -841,7 +853,9 @@ def k_core_distributed(edges: Dataset, k: int,
             semi_join_keys(canon, keep, "a", "node_id",
                            strategy="join", num_partitions=n_buckets),
             keep, "b", "node_id",
-            strategy="join", num_partitions=n_buckets).materialize()
+            strategy="join",
+            num_partitions=n_buckets).repartition(canon_blocks) \
+            .materialize()
         m2 = kept.count()
         if m2 == m:
             canon = kept
@@ -2261,6 +2275,7 @@ def label_propagation_distributed(edges: Dataset,
 
     state = deg.map_batches(init_state,
                             batch_format="pyarrow").materialize()
+    state_blocks = max(1, state.num_blocks())
 
     def edge_side(t: pa.Table) -> pa.Table:
         zero = pa.array(np.zeros(t.num_rows, np.uint64), pa.uint64())
@@ -2339,11 +2354,14 @@ def label_propagation_distributed(edges: Dataset,
                                          batch_format="pyarrow"))
                 .groupby("bucket")
                 .map_groups(scatter, batch_format="pandas"))
+        # repartition bounds loop-carried blocks (union sums block
+        # counts; unbounded they double per iteration)
         state = (msgs.map_batches(msg_side, batch_format="pyarrow")
                  .union(state.map_batches(state_side2,
                                           batch_format="pyarrow"))
                  .groupby("bucket")
                  .map_groups(fold, batch_format="pandas")
+                 .repartition(state_blocks)
                  .materialize())
 
     def finish(t: pa.Table) -> pa.Table:
@@ -2438,3 +2456,326 @@ def community_stats(edges: Dataset, communities,
             (q_num.astype(np.float64) / float(den)) if den
             else np.zeros(len(q_num)), pa.float64()),
     }))
+
+
+def hits_fixed(edges: Dataset, src_col: str = "src_id",
+               dst_col: str = "dst_id", n_iter: int = 5,
+               scale_bits: int = 20, mode: str = "auto",
+               driver_node_limit: int | None = None):
+    """Deterministic fixed-point HITS (Kleinberg hubs/authorities) over
+    a directed edge list — bit-exact and therefore DuckDB-oracle-able,
+    like :func:`pagerank_fixed`.  With ``S = 2**scale_bits`` and
+    ``h0[u] = S``:
+
+    - ``a_raw[v] = sum h[u] over edges (u, v)``      (exact int)
+    - ``a[v]    = (a_raw[v] * S) // max(sum a_raw, 1)``  (L1 normalize)
+    - ``h_raw[u] = sum a[v] over edges (u, v)``
+    - ``h[u]    = (h_raw[u] * S) // max(sum h_raw, 1)``
+
+    Every op is a non-negative int64 (DuckDB ``//`` == numpy ``//``
+    there); ``a_raw * S <= E * S**2`` guards the only overflow, checked
+    at runtime.  The float ``hub``/``authority`` columns are
+    ``fixed / S`` — exactly representable dyadics.  Parallel edge rows
+    count once each (multigraph semantics, same as the PageRank
+    contribution rule).
+
+    Dataflow mirrors :func:`pagerank_fixed` (edges indexed once, two
+    node-sized int64 broadcasts per iteration, ``np.add.at`` partials
+    so distributed sums are order-free).  Return contract: ``auto``
+    ALWAYS returns a Dataset and trips to
+    :func:`hits_fixed_distributed` (bit-identical) past the
+    ``driver_node_limit`` gate; explicit ``mode="driver"`` is the
+    DataFrame-out contract.
+
+    No reference counterpart (net-new graph op; complements the
+    PageRank family)."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if scale_bits > 30:
+        raise ValueError("scale_bits > 30 risks a_raw*S overflow")
+    limit = (DRIVER_NODE_LIMIT if driver_node_limit is None
+             else driver_node_limit)
+    deg_ds = degree_table(edges, src_col, dst_col).materialize()
+    n_deg = deg_ds.count()
+    wrap_out = mode == "auto"
+    if mode == "auto":
+        mode = "driver" if n_deg <= limit else "distributed"
+    if mode == "distributed":
+        return hits_fixed_distributed(edges, src_col, dst_col, n_iter,
+                                      scale_bits)
+    if mode != "driver":
+        raise ValueError(f"unknown mode {mode!r}")
+    if n_deg == 0:
+        # empty BEFORE to_pandas: a 0-row map_batches output is
+        # schema-less, so the column lookup would KeyError
+        out = pd.DataFrame({
+            "node_id": pd.Series([], dtype=np.uint64),
+            "hub_fixed": pd.Series([], dtype=np.int64),
+            "auth_fixed": pd.Series([], dtype=np.int64),
+            "hub": pd.Series([], dtype=np.float64),
+            "authority": pd.Series([], dtype=np.float64)})
+        return ray.data.from_pandas(out) if wrap_out else out
+    deg = deg_ds.to_pandas()
+    nodes = np.sort(deg["node_id"].to_numpy(np.uint64))
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+
+    def index_edges(batch: pa.Table) -> pa.Table:
+        nds = ray.get(nodes_ref)
+        s = np.searchsorted(nds, batch.column(src_col)
+                            .to_numpy(zero_copy_only=False))
+        d = np.searchsorted(nds, batch.column(dst_col)
+                            .to_numpy(zero_copy_only=False))
+        return pa.table({"si": pa.array(s, pa.int64()),
+                         "di": pa.array(d, pa.int64())})
+
+    indexed = (edges.select_columns([src_col, dst_col])
+               .map_batches(index_edges, batch_format="pyarrow")
+               .materialize())
+
+    S = 1 << scale_bits
+    raw_cap = (1 << 63) // S
+
+    def _scatter_sum(vec: np.ndarray, from_s: bool) -> np.ndarray:
+        vec_ref = ray.put(vec)
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            v = ray.get(vec_ref)
+            si = batch.column("si").to_numpy()
+            di = batch.column("di").to_numpy()
+            sums = np.zeros(len(v), np.int64)
+            if from_s:
+                np.add.at(sums, di, v[si])      # authority gather
+            else:
+                np.add.at(sums, si, v[di])      # hub gather
+            nz = np.flatnonzero(sums)
+            return pa.table({"i": pa.array(nz, pa.int64()),
+                             "s": pa.array(sums[nz], pa.int64())})
+
+        parts = indexed.map_batches(scatter,
+                                    batch_format="pyarrow").to_pandas()
+        raw = np.zeros(n, np.int64)
+        np.add.at(raw, parts["i"].to_numpy(np.int64),
+                  parts["s"].to_numpy(np.int64))
+        return raw
+
+    h = np.full(n, S, np.int64)
+    a = np.zeros(n, np.int64)
+    for _ in range(n_iter):
+        a_raw = _scatter_sum(h, from_s=True)
+        if a_raw.max(initial=0) >= raw_cap:
+            raise OverflowError("a_raw*S exceeds int64; lower scale_bits")
+        tot_a = max(int(a_raw.sum()), 1)
+        a = (a_raw * S) // tot_a
+        h_raw = _scatter_sum(a, from_s=False)
+        if h_raw.max(initial=0) >= raw_cap:
+            raise OverflowError("h_raw*S exceeds int64; lower scale_bits")
+        tot_h = max(int(h_raw.sum()), 1)
+        h = (h_raw * S) // tot_h
+
+    out = pd.DataFrame({
+        "node_id": nodes,
+        "hub_fixed": h.astype(np.int64),
+        "auth_fixed": a.astype(np.int64),
+        "hub": h.astype(np.float64) / float(S),
+        "authority": a.astype(np.float64) / float(S)})
+    return ray.data.from_pandas(out) if wrap_out else out
+
+
+def hits_fixed_distributed(edges: Dataset, src_col: str = "src_id",
+                           dst_col: str = "dst_id", n_iter: int = 5,
+                           scale_bits: int = 20,
+                           n_buckets: int = 64) -> Dataset:
+    """Scale path for :func:`hits_fixed` (bit-identical, pinned in
+    pytest): hub/authority state is a keyed DATASET — no node-sized
+    driver vector.  Per iteration, each half-step is one co-partitioned
+    scatter (edges bucketed on the state-lookup endpoint emit
+    per-bucket pre-aggregated (node, sum) partials) + one fold that
+    applies the integer normalization; the L1 total is a distributed
+    ``sum`` (one scalar to the driver).  4 shuffles + 2 scalar sums per
+    iteration, message volume bounded by distinct endpoint counts."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    S = 1 << scale_bits
+
+    def dir_rows(t: pa.Table, key_is_src: bool) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False) \
+             .astype(np.uint64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False) \
+             .astype(np.uint64)
+        k, o = (s, d) if key_is_src else (d, s)
+        return pa.table({
+            "k": pa.array(k, pa.uint64()),
+            "o": pa.array(o, pa.uint64()),
+            "bucket": pa.array((k % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    ecols = edges.select_columns([src_col, dst_col])
+    by_src = ecols.map_batches(
+        lambda t: dir_rows(t, True), batch_format="pyarrow").materialize()
+    by_dst = ecols.map_batches(
+        lambda t: dir_rows(t, False), batch_format="pyarrow").materialize()
+
+    deg = degree_table(edges, src_col, dst_col).materialize()
+    if deg.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node_id": pa.array([], pa.uint64()),
+            "hub_fixed": pa.array([], pa.int64()),
+            "auth_fixed": pa.array([], pa.int64()),
+            "hub": pa.array([], pa.float64()),
+            "authority": pa.array([], pa.float64())}))
+
+    def init_state(t: pa.Table) -> pa.Table:
+        node = t.column("node_id").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+        return pa.table({
+            "node_id": pa.array(node, pa.uint64()),
+            "h": pa.array(np.full(len(node), S, np.int64), pa.int64()),
+            "a": pa.array(np.zeros(len(node), np.int64), pa.int64()),
+            "outdeg": t.column("out_degree").cast(pa.int64()),
+            "indeg": t.column("in_degree").cast(pa.int64()),
+            "bucket": pa.array((node % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    state = deg.map_batches(init_state,
+                            batch_format="pyarrow").materialize()
+    state_blocks = max(1, state.num_blocks())
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        zero = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table({
+            "node": t.column("k"), "other": t.column("o"),
+            "val": zero,
+            "is_s": pa.array(np.zeros(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    def state_side(t: pa.Table, col: str) -> pa.Table:
+        return pa.table({
+            "node": t.column("node_id"),
+            "other": pa.array(np.zeros(t.num_rows, np.uint64),
+                              pa.uint64()),
+            "val": t.column(col),
+            "is_s": pa.array(np.ones(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    def scatter(g: pd.DataFrame) -> pa.Table:
+        st = g.loc[g["is_s"], ["node", "val"]]
+        e = g.loc[~g["is_s"], ["node", "other"]]
+        m = e.merge(st, on="node")
+        if len(m) == 0:
+            return pa.table({"node_id": pa.array([], pa.uint64()),
+                             "inc": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        agg = (pd.DataFrame({"o": m["other"].to_numpy(np.uint64),
+                             "v": m["val"].to_numpy(np.int64)})
+               .groupby("o", sort=False)["v"].sum())
+        node = agg.index.to_numpy(np.uint64)
+        return pa.table({
+            "node_id": pa.array(node, pa.uint64()),
+            "inc": pa.array(agg.to_numpy(np.int64), pa.int64()),
+            "bucket": pa.array((node % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64())})
+
+    def msg_side(t: pa.Table) -> pa.Table:
+        zero64 = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table({
+            "node_id": t.column("node_id"), "inc": t.column("inc"),
+            "h": zero64, "a": zero64,
+            "outdeg": zero64, "indeg": zero64,
+            "is_s": pa.array(np.zeros(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    def state_side2(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": t.column("node_id"),
+            "inc": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            "h": t.column("h"), "a": t.column("a"),
+            "outdeg": t.column("outdeg"), "indeg": t.column("indeg"),
+            "is_s": pa.array(np.ones(t.num_rows, bool)),
+            "bucket": t.column("bucket")})
+
+    def _half_step(edges_keyed: Dataset, state: Dataset, lookup: str,
+                   update: str) -> Dataset:
+        # L1 total WITHOUT materializing the message stage: the raw
+        # mass is sum(value * degree) over the node-sized state —
+        # sum_v sum_{u->v} h[u] == sum_u h[u]*outdeg[u] exactly — so
+        # scatter and fold chain LAZILY in one execution per half-step
+        # (the LPA lesson: per-iteration barriers dominate at this
+        # stage count).
+        deg_col = "outdeg" if lookup == "h" else "indeg"
+
+        def mass(t: pa.Table, _l=lookup, _d=deg_col) -> pa.Table:
+            v = t.column(_l).to_numpy(zero_copy_only=False)
+            d = t.column(_d).to_numpy(zero_copy_only=False)
+            return pa.table({"m": pa.array(
+                [int((v * d).sum())], pa.int64())})
+
+        tot = max(int(state.map_batches(
+            mass, batch_format="pyarrow").sum("m") or 0), 1)
+
+        def fold(g: pd.DataFrame, _tot=tot, _update=update) -> pa.Table:
+            st = g.loc[g["is_s"],
+                       ["node_id", "h", "a", "outdeg", "indeg"]]
+            inc = (g.groupby("node_id", sort=False)["inc"].sum()
+                   .reindex(st["node_id"].to_numpy(np.uint64),
+                            fill_value=0))
+            raw = inc.to_numpy(np.int64)
+            if raw.max(initial=0) >= (1 << 63) // S:
+                raise OverflowError("raw*S exceeds int64")
+            newv = (raw * S) // _tot
+            node = st["node_id"].to_numpy(np.uint64)
+            h = st["h"].to_numpy(np.int64)
+            a = st["a"].to_numpy(np.int64)
+            if _update == "a":
+                a = newv
+            else:
+                h = newv
+            return pa.table({
+                "node_id": pa.array(node, pa.uint64()),
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+                "a": pa.array(a.astype(np.int64), pa.int64()),
+                "outdeg": pa.array(st["outdeg"].to_numpy(np.int64),
+                                   pa.int64()),
+                "indeg": pa.array(st["indeg"].to_numpy(np.int64),
+                                  pa.int64()),
+                "bucket": pa.array((node % np.uint64(n_buckets))
+                                   .astype(np.int64), pa.int64())})
+
+        msgs = (edges_keyed.map_batches(edge_side,
+                                        batch_format="pyarrow")
+                .union(state.map_batches(
+                    lambda t, c=lookup: state_side(t, c),
+                    batch_format="pyarrow"))
+                .groupby("bucket")
+                .map_groups(scatter, batch_format="pandas"))
+        # repartition bounds the loop-carried block count (union sums
+        # block counts; unbounded, they double per half-step and the
+        # sort-shuffle cost grows exponentially)
+        return (msgs.map_batches(msg_side, batch_format="pyarrow")
+                .union(state.map_batches(state_side2,
+                                         batch_format="pyarrow"))
+                .groupby("bucket")
+                .map_groups(fold, batch_format="pandas")
+                .repartition(state_blocks)
+                .materialize())
+
+    for _ in range(n_iter):
+        # authority: gather h over in-edges (edges keyed on SRC so the
+        # state lookup is local; messages land on the dst bucket)
+        state = _half_step(by_src, state, lookup="h", update="a")
+        # hub: gather a over out-edges (edges keyed on DST)
+        state = _half_step(by_dst, state, lookup="a", update="h")
+
+    def finish(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node_id": t.column("node_id"),
+            "hub_fixed": t.column("h"),
+            "auth_fixed": t.column("a"),
+            "hub": pa.array(h.astype(np.float64) / float(S),
+                            pa.float64()),
+            "authority": pa.array(a.astype(np.float64) / float(S),
+                                  pa.float64())})
+
+    return state.map_batches(finish, batch_format="pyarrow")
