@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_random_projection": Q.embedding_random_projection,
         # NEW r5: SemDeDup (within-cluster cosine-dominance pruning)
         "dedup_semantic_docs": Q.dedup_semantic_docs,
+        # NEW r5: canonical-URL crawl dedup
+        "dedup_url_pages": Q.dedup_url_pages,
         # NEW r5: deterministic label-propagation communities (+ the
         # forced keyed-Dataset scale path against the same oracle)
         "kg_communities": Q.kg_communities,
@@ -1081,6 +1083,72 @@ ORDER BY h.url
 _URL_CANONICAL_SQL = _url_canonical_sql()
 
 
+def _url_dedup_sql() -> str:
+    """URL-level dedup oracle: originals UNION their md5-kind variants
+    are each canonicalized with the SAME RE2 rules as
+    ``_url_canonical_sql`` (shared verbatim), then folded per
+    canonical — min raw string + collapse count."""
+    from kgforge.functions.web import TRACKING_PARAM_RE, URL_PARTS_RE
+    return r"""
+WITH pages AS (
+  SELECT url FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')),
+v AS (
+  SELECT url,
+         CAST(('0x' || substr(md5(url), 1, 2))::UBIGINT % 6 AS BIGINT)
+             AS kind
+  FROM pages),
+crawl AS (
+  SELECT url AS raw FROM pages
+  UNION ALL
+  SELECT CASE kind
+           WHEN 0 THEN url || '?utm_source=news&b=2&a=1#top'
+           WHEN 1 THEN replace(url, 'https://', 'https://www.')
+           WHEN 2 THEN replace(url, 'https://fixture.test',
+                               'https://FIXTURE.TEST:443')
+           WHEN 3 THEN url || '/'
+           WHEN 4 THEN url || '?z=1&a=2&utm_campaign=c&gclid=g'
+           ELSE url || '#section-2'
+         END
+  FROM v),
+parts AS (
+  SELECT raw,
+         regexp_matches(raw, '@RE@') AS ok,
+         lower(regexp_extract(raw, '@RE@', 1)) AS scheme,
+         lower(regexp_extract(raw, '@RE@', 2)) AS auth,
+         regexp_extract(raw, '@RE@', 3) AS path,
+         regexp_extract(raw, '@RE@', 4) AS query
+  FROM crawl),
+hostn AS (
+  SELECT *,
+         CASE WHEN scheme = 'http' THEN
+                  regexp_replace(regexp_replace(auth, '^www\.', ''),
+                                 ':80$', '')
+              WHEN scheme = 'https' THEN
+                  regexp_replace(regexp_replace(auth, '^www\.', ''),
+                                 ':443$', '')
+              ELSE regexp_replace(auth, '^www\.', '') END AS host,
+         regexp_replace(path, '/+$', '') AS pathn
+  FROM parts),
+qnorm AS (
+  SELECT raw, string_agg(p, '&' ORDER BY p) AS q
+  FROM (SELECT raw, unnest(string_split(query, '&')) AS p
+        FROM hostn) t
+  WHERE p <> '' AND NOT regexp_matches(p, '@TRK@')
+  GROUP BY raw),
+canon AS (
+  SELECT h.raw,
+         CASE WHEN NOT h.ok THEN h.raw
+              ELSE h.scheme || '://' || h.host || h.pathn ||
+                   CASE WHEN COALESCE(q.q, '') <> ''
+                        THEN '?' || q.q ELSE '' END
+         END AS canonical
+  FROM hostn h LEFT JOIN qnorm q USING (raw))
+SELECT canonical, min(raw) AS kept_url,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM canon GROUP BY canonical ORDER BY canonical
+""".replace("@RE@", URL_PARTS_RE).replace("@TRK@", TRACKING_PARAM_RE)
+
+
 def _hll_sql(grouped: bool) -> str:
     """HyperLogLog re-derived EXACTLY in SQL (``sketches.py:48-96``):
     md5 hash → register index (top P bits) / rank (strpos of the first
@@ -1834,6 +1902,9 @@ def oracle_sql() -> dict[str, str]:
         # SemDeDup: k-means chain over the augmented embeddings +
         # within-cluster cosine-dominance EXISTS
         "dedup_semantic_docs": _semdedup_sql(),
+        # canonical-URL dedup: variants re-derived, RE2 rules shared
+        # verbatim, per-canonical min+count fold
+        "dedup_url_pages": _url_dedup_sql(),
         # signed random projection: the ±1 matrix is re-derived from
         # the md5-parity rule, components are exact integer sums
         "embedding_random_projection": f"""

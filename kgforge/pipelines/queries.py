@@ -1830,6 +1830,74 @@ def url_canonical_pages(sf_dir: str):
                              batch_format="pyarrow").sort("url")
 
 
+def dedup_url_pages(sf_dir: str):
+    """Crawl URL-level dedup (the cheapest dedup pass, run before any
+    content hashing): the page urls UNION their deterministic noisy
+    variants (same md5-kind rule as ``url_canonical_pages``) collapse
+    onto canonical urls — keep the lexicographically-smallest raw url
+    per canonical plus the collapse count.  Only (canonical, min-raw,
+    count) combiner rows ride the one exchange; SQL re-derives the
+    variants, every canonicalization rule, and the group fold."""
+    import hashlib as _h
+
+    from ..functions.web import canonicalize_url
+    from ..stages.joins import str_bucket
+    _ensure_gate_pages(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        variants = []
+        for u in urls:
+            k = int(_h.md5(u.encode()).hexdigest()[:2], 16) % 6
+            if k == 0:
+                v = u + "?utm_source=news&b=2&a=1#top"
+            elif k == 1:
+                v = u.replace("https://", "https://www.")
+            elif k == 2:
+                v = u.replace("https://fixture.test",
+                              "https://FIXTURE.TEST:443")
+            elif k == 3:
+                v = u + "/"
+            elif k == 4:
+                v = u + "?z=1&a=2&utm_campaign=c&gclid=g"
+            else:
+                v = u + "#section-2"
+            variants.append(v)
+        raws = urls + variants
+        canon, _ok = canonicalize_url(pa.array(raws, pa.string()))
+        df = pd.DataFrame({"canonical": canon.to_pylist(), "raw": raws})
+        g = (df.groupby("canonical", as_index=False)
+             .agg(kept_url=("raw", "min"), n_urls=("raw", "size")))
+        return pa.table({
+            "canonical": pa.array(g["canonical"], pa.string()),
+            "kept_url": pa.array(g["kept_url"], pa.string()),
+            "n_urls": pa.array(g["n_urls"].astype(np.int64),
+                               pa.int64()),
+            "bucket": pa.array(str_bucket(g["canonical"], 16),
+                               pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "canonical" not in g.columns:
+            return pa.table({
+                "canonical": pa.array([], pa.string()),
+                "kept_url": pa.array([], pa.string()),
+                "n_urls": pa.array([], pa.int64())})
+        gg = (g.groupby("canonical", as_index=False)
+              .agg(kept_url=("kept_url", "min"),
+                   n_urls=("n_urls", "sum")))
+        return pa.table({
+            "canonical": pa.array(gg["canonical"], pa.string()),
+            "kept_url": pa.array(gg["kept_url"], pa.string()),
+            "n_urls": pa.array(gg["n_urls"].astype(np.int64),
+                               pa.int64())})
+
+    return (pages.map_batches(explode, batch_format="pyarrow")
+            .groupby("bucket").map_groups(fold, batch_format="pandas")
+            .sort("canonical"))
+
+
 def host_dedup_stats(sf_dir: str):
     """Per-host duplication report (which hosts are boilerplate/mirror
     farms — the crawl-curation signal that drives per-domain caps):
