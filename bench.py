@@ -63,7 +63,12 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "dedup_span_docs", "host_dedup_stats",
              # round-5 additions (deterministic k-means clustering,
              # label-propagation communities over the co-mention graph)
-             "embedding_kmeans_clusters", "kg_communities"]
+             "embedding_kmeans_clusters", "kg_communities",
+             # round-5 session-C additions (SemDeDup, sequence packing,
+             # signed random projection, canonical-URL dedup, HITS)
+             "dedup_semantic_docs", "pack_training_docs",
+             "embedding_random_projection", "dedup_url_pages",
+             "kg_hits"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,
