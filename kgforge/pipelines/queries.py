@@ -558,8 +558,8 @@ def pack_training_docs(sf_dir: str):
     (pack_id = tokens-before // 512, pack_offset = the remainder) —
     the pretraining-export primitive.  SQL-oracled via a per-language
     running-SUM window with a 1-PRECEDING frame."""
-    from ..stages.relational import pack_sequences
-    return pack_sequences(
+    from ..stages.relational import pack_sequences_by_lang
+    return pack_sequences_by_lang(
         _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]),
         seq_len=512)
 

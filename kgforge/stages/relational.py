@@ -1657,10 +1657,10 @@ def token_budget_select(ds: Dataset, budgets: dict,
               .map_groups(fold, batch_format="pandas"))
 
 
-def pack_sequences(ds: Dataset, seq_len: int,
-                   id_col: str = "doc_id", text_col: str = "text",
-                   lang_col: str = "lang", salt: str = "pk",
-                   n_buckets: int = 16) -> Dataset:
+def pack_sequences_by_lang(ds: Dataset, seq_len: int,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           lang_col: str = "lang", salt: str = "pk",
+                           n_buckets: int = 16) -> Dataset:
     """Training-sequence packing (the pretraining-export primitive):
     per language, lay documents end-to-end in deterministic
     md5(id:salt) order and assign each doc to the fixed-width context
