@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-gate: auto mode now returns a Dataset (r5)
         "kg_components": Q.kg_components,
         "kg_khop": Q.kg_khop,
+        # NEW r5 session D: web link graph (never gated)
+        "web_link_edges": Q.web_link_edges,
+        "web_pagerank_pages": Q.web_pagerank_pages,
         # re-gate: stop-shingle guard defaults on (r5)
         "dedup_ngram_docs": Q.dedup_ngram_docs,
         # re-gate: oracle_mode hash refactor (r5)
@@ -798,8 +801,46 @@ def _walks_sql(w: int, L: int) -> str:
         ORDER BY start_id, rep, step"""
 
 
+_WEB_LINK_EDGES_SQL = r"""
+WITH pages AS (
+  SELECT url FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')),
+nn AS (SELECT count(*) AS n FROM pages),
+kk AS (SELECT url,
+              CAST(('0x' || substr(md5(url), 1, 2))::UBIGINT % 4
+                   AS BIGINT) AS k
+       FROM pages),
+tgt AS (
+  SELECT kk.url, t.j,
+         CAST(('0x' || substr(md5(kk.url || ':' ||
+                                  CAST(t.j AS VARCHAR)), 1, 15))::UBIGINT
+              % CAST(nn.n AS UBIGINT) AS BIGINT) AS d
+  FROM kk CROSS JOIN nn CROSS JOIN generate_series(0, 3) t(j)
+  WHERE t.j < kk.k),
+anchors AS (
+  SELECT url,
+         string_agg('<a href="https://fixture.test/' ||
+             CASE CAST(d % 3 AS INTEGER) WHEN 0 THEN 'movies'
+                  WHEN 1 THEN 'people' ELSE 'news' END ||
+             '/page-' || printf('%06d', d) || '">link-' ||
+             CAST(j AS VARCHAR) || '</a>', chr(10) ORDER BY j) AS snippet
+  FROM tgt GROUP BY url),
+hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(snippet, 'href="([^"]+)"', 1))
+             AS dst_url
+  FROM anchors)
+SELECT DISTINCT
+       CAST(regexp_extract(src_url, 'page-(\d{6})', 1) AS BIGINT)
+           AS src_id,
+       CAST(regexp_extract(dst_url, 'page-(\d{6})', 1) AS BIGINT)
+           AS dst_id
+FROM hrefs
+"""
+
+
 def _pagerank_sql(n_iter: int, scale_bits: int = 40,
-                  num: int = 17, den: int = 20) -> str:
+                  num: int = 17, den: int = 20,
+                  edges_sql: str | None = None) -> str:
     """Mechanically-unrolled fixed-point PageRank mirroring
     ``kgforge.stages.graph.pagerank_fixed`` exactly: every operation is
     integer (DuckDB ``//`` = floor division on non-negative BIGINTs ==
@@ -811,9 +852,11 @@ def _pagerank_sql(n_iter: int, scale_bits: int = 40,
     k-core lesson)."""
     S = 1 << scale_bits
     base_num = (den - num) * S
+    if edges_sql is None:
+        edges_sql = _KG_EDGES_SQL
     parts = [f"""
         WITH e AS MATERIALIZED (
-            SELECT src_id, dst_id FROM ({_KG_EDGES_SQL})),
+            SELECT src_id, dst_id FROM ({edges_sql})),
         nodes AS MATERIALIZED (
             SELECT DISTINCT node_id FROM (
                 SELECT src_id AS node_id FROM e
@@ -1808,6 +1851,15 @@ def oracle_sql() -> dict[str, str]:
         # n_centroids probes every bucket), so the brute-force oracle
         # applies; approximate-recall is measured separately.
         "ann_ivf_topk": _ANN_TOPK_SQL,
+        # anchor fixture re-derived with string_agg, hrefs extracted
+        # with regexp_extract_all over the SAME RE2 pattern as
+        # kgforge.functions.web.HREF_RE, urls re-mapped to page ids
+        "web_link_edges":
+            _WEB_LINK_EDGES_SQL + " ORDER BY src_id, dst_id",
+        # link-edge SQL chained into the same unrolled integer
+        # recurrence as kg_pagerank (bit-exact composition oracle)
+        "web_pagerank_pages":
+            _pagerank_sql(10, edges_sql=_WEB_LINK_EDGES_SQL),
         "dedup_ngram_docs": r"""
             WITH d AS (
               SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

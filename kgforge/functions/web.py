@@ -108,3 +108,39 @@ def canonicalize_url(col) -> tuple[pa.Array, pa.Array]:
         scheme, "://", host, path, qpart, "")
     return pc.if_else(matched, canon, pc.if_else(
         col.is_valid(), col, empty)), matched
+
+
+# Outlink extraction (the web-graph construction kernel).  One RE2
+# pattern shared VERBATIM with the DuckDB oracle's
+# regexp_extract_all(html, HREF_RE, 1).
+HREF_RE = r'href="([^"]+)"'
+_ARROW_HREF_RE = r'href="(?P<href>[^"]+)"'
+
+
+def extract_hrefs(col) -> tuple[pa.Array, pa.Array]:
+    """Vectorized anchor-href extraction from an html column →
+    ``(href, row_index)`` flat arrays (a row contributes one entry per
+    anchor; rows without anchors contribute none).
+
+    ``pc.extract_regex`` finds only the FIRST match per string, so the
+    column is first segmented at every ``"<a "`` tag open (vectorized
+    ``replace_substring`` + newline split — each segment then starts
+    with at most one anchor) and the single RE2 pattern runs once over
+    the flattened segments; ``list_parent_indices`` maps matches back
+    to their source rows.  No per-row Python anywhere.
+
+    The reference never builds a link graph (its URL loader fetches one
+    page and discards structure, ``document_loaders/url.py:22-51``);
+    at Common-Crawl scale the outlink graph is a first-class curation
+    signal (host reputation, PageRank priors) — net-new operator."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(pc.cast(col, pa.string()), "")
+    seg = pc.split_pattern(
+        pc.replace_substring(col, "<a ", "\n<a "), "\n")
+    flat = pc.list_flatten(seg)
+    parent = pc.list_parent_indices(seg)
+    ext = pc.extract_regex(flat, _ARROW_HREF_RE)
+    ok = ext.is_valid()
+    return (pc.filter(pc.struct_field(ext, "href"), ok),
+            pc.filter(parent, ok))

@@ -1898,6 +1898,87 @@ def dedup_url_pages(sf_dir: str):
             .sort("canonical"))
 
 
+_LINK_CATS = ("movies", "people", "news")
+
+
+def _synth_link_html(urls: list[str], n_pages: int) -> list[str]:
+    """Deterministic outlink fixture (same discipline as the url-variant
+    and multimodal fixtures: synthesized IDENTICALLY in the engine and
+    the SQL oracle, no external data): page url → 0-3 ``<a href>``
+    anchors, target page index = md5(url:j) % n_pages, one anchor per
+    line.  The corpus generator's html carries no links, so the link
+    graph gets its own input layer."""
+    import hashlib as _h
+    out = []
+    for u in urls:
+        k = int(_h.md5(u.encode()).hexdigest()[:2], 16) % 4
+        lines = []
+        for j in range(k):
+            d = int(_h.md5(f"{u}:{j}".encode()).hexdigest()[:15],
+                    16) % n_pages
+            lines.append(
+                f'<a href="https://fixture.test/{_LINK_CATS[d % 3]}'
+                f'/page-{d:06d}">link-{j}</a>')
+        out.append("\n".join(lines))
+    return out
+
+
+_PAGE_NUM_RE = r"page-(?P<num>\d{6})"
+
+
+def _web_link_edges_ds(sf_dir: str):
+    """Page-level outlink edge list: synthesize the anchor fixture,
+    extract hrefs with the vectorized RE2 kernel, map both endpoints
+    to page ids.  All anchors of a src page live in ONE row, so the
+    per-batch pair-distinct IS the global distinct — the edge build is
+    a single embarrassingly-parallel pass with ZERO exchange."""
+    from ..functions.web import extract_hrefs
+    _ensure_gate_pages(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url"])
+    n_pages = pages.count()
+
+    def links(t: pa.Table) -> pa.Table:
+        urls = t.column("url").combine_chunks() \
+            if isinstance(t.column("url"), pa.ChunkedArray) \
+            else t.column("url")
+        html = pa.array(_synth_link_html(urls.to_pylist(), n_pages),
+                        pa.string())
+        href, idx = extract_hrefs(html)
+        src_url = pc.take(urls, idx)
+
+        def page_id(col) -> pa.Array:
+            return pc.cast(pc.struct_field(
+                pc.extract_regex(col, _PAGE_NUM_RE), "num"), pa.int64())
+
+        pairs = pa.table({"src_id": page_id(src_url),
+                          "dst_id": page_id(href)})
+        return pairs.group_by(["src_id", "dst_id"]).aggregate([])
+
+    return pages.map_batches(links, batch_format="pyarrow")
+
+
+def web_link_edges(sf_dir: str):
+    """Host/page-level web link graph construction (outlink extraction
+    → distinct (src, dst) page edges) — the Common-Crawl web-graph
+    primitive the reference has no counterpart for.  The SQL oracle
+    re-derives the anchor fixture with string_agg, extracts with
+    ``regexp_extract_all`` over the SAME RE2 pattern, and re-maps urls
+    to page ids."""
+    return _web_link_edges_ds(sf_dir).sort(["src_id", "dst_id"])
+
+
+def web_pagerank_pages(sf_dir: str):
+    """Fixed-point PageRank over the extracted web link graph (the
+    Google use case: host/page reputation from crawl structure) —
+    composition external signal: link extraction feeds
+    :func:`kgforge.stages.graph.pagerank_fixed`, and the oracle chains
+    the link-edge SQL into the same unrolled integer CTE recurrence as
+    ``kg_pagerank``."""
+    from ..stages.graph import pagerank_fixed
+    return pagerank_fixed(_web_link_edges_ds(sf_dir), n_iter=10)
+
+
 def host_dedup_stats(sf_dir: str):
     """Per-host duplication report (which hosts are boilerplate/mirror
     farms — the crawl-curation signal that drives per-domain caps):
