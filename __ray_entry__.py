@@ -152,6 +152,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW r5 session D: web link graph (never gated)
         "web_link_edges": Q.web_link_edges,
         "web_pagerank_pages": Q.web_pagerank_pages,
+        # NEW r5 session D: postings-list construction (never gated)
+        "inverted_index_docs": Q.inverted_index_docs,
+        # NEW r5 session D: KS distribution-drift monitor (never gated)
+        "events_drift_ks": Q.events_drift_ks,
+        # NEW r5 session D: int8 ANN compression (never gated)
+        "embedding_quantize_int8": Q.embedding_quantize_int8,
         # re-gate: stop-shingle guard defaults on (r5)
         "dedup_ngram_docs": Q.dedup_ngram_docs,
         # re-gate: oracle_mode hash refactor (r5)
@@ -1860,6 +1866,77 @@ def oracle_sql() -> dict[str, str]:
         # recurrence as kg_pagerank (bit-exact composition oracle)
         "web_pagerank_pages":
             _pagerank_sql(10, edges_sql=_WEB_LINK_EDGES_SQL),
+        "inverted_index_docs": r"""
+            WITH p AS (
+              SELECT DISTINCT token, doc_id FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS token
+                FROM documents))
+            SELECT token,
+                   count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM p GROUP BY token ORDER BY token
+        """,
+        # int8 quantization: xq = floor(double(x)*1e6) once (the only
+        # float op, identical IEEE multiply both sides), then pure
+        # integer min/max + floor-div code assignment
+        "embedding_quantize_int8": r"""
+            WITH u AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000) AS BIGINT) AS xq
+              FROM embeddings),
+            mm AS (SELECT dim, min(xq) AS mn,
+                          GREATEST(max(xq) - min(xq), 1) AS rng
+                   FROM u GROUP BY dim)
+            SELECT u.vec_id, u.dim,
+                   CAST(((u.xq - mm.mn) * 255) // mm.rng AS BIGINT)
+                       AS code
+            FROM u JOIN mm USING (dim)
+            ORDER BY vec_id, dim
+        """,
+        # KS drift: integer-cents value grid, cross-multiplied CDF gap
+        # (exact in integers); ks_stat = one IEEE division on the same
+        # operands the engine divides
+        "events_drift_ks": r"""
+            WITH e AS (
+              SELECT event_type,
+                     CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
+                     epoch_us(ts) AS us
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+                AND ts IS NOT NULL),
+            mm AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+            c AS (
+              SELECT event_type, v,
+                     count(*) FILTER (WHERE us <= mm.mid) AS c_old,
+                     count(*) FILTER (WHERE us > mm.mid) AS c_new
+              FROM e CROSS JOIN mm GROUP BY event_type, v),
+            n AS (SELECT event_type,
+                         CAST(SUM(c_old) AS BIGINT) AS n_old,
+                         CAST(SUM(c_new) AS BIGINT) AS n_new
+                  FROM c GROUP BY event_type),
+            cum AS (
+              SELECT event_type, v,
+                     SUM(c_old) OVER (PARTITION BY event_type
+                                      ORDER BY v) AS f_old,
+                     SUM(c_new) OVER (PARTITION BY event_type
+                                      ORDER BY v) AS f_new
+              FROM c),
+            ks AS (
+              SELECT cum.event_type,
+                     CAST(max(abs(f_old * n.n_new - f_new * n.n_old))
+                          AS BIGINT) AS ks_num
+              FROM cum JOIN n USING (event_type)
+              GROUP BY cum.event_type)
+            SELECT ks.event_type, n.n_old, n.n_new, ks.ks_num,
+                   CAST(ks.ks_num AS DOUBLE) /
+                   NULLIF(CAST(n.n_old AS DOUBLE)
+                          * CAST(n.n_new AS DOUBLE), 0) AS ks_stat
+            FROM ks JOIN n USING (event_type)
+            ORDER BY ks.event_type
+        """,
         "dedup_ngram_docs": r"""
             WITH d AS (
               SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

@@ -1208,6 +1208,58 @@ def doc_frequencies_docs(sf_dir: str):
     return doc_frequencies(docs, k=100)
 
 
+def embedding_quantize_int8(sf_dir: str):
+    """Scalar int8 quantization of the embeddings (the ANN-serving
+    memory compression, 4 bytes/dim → 1): per-dim min/max fold, then
+    integer code assignment — vectors never shuffle.  The operator's
+    native output is the packed ``codes`` list (the serving layout);
+    this gate query flattens it to long ``(vec_id, dim, code)`` rows so
+    the DuckDB oracle (unnest + per-dim min/max join) compares scalar
+    columns."""
+    from ..stages.ann import scalar_quantize_int8
+    codes = scalar_quantize_int8(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+
+    def flatten(t: pa.Table) -> pa.Table:
+        col = t.column("codes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n, d = len(col), col.type.list_size
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    n), pa.int64()),
+            "code": col.flatten()})
+
+    return codes.map_batches(flatten,
+                             batch_format="pyarrow").sort(["vec_id",
+                                                           "dim"])
+
+
+def events_drift_ks(sf_dir: str):
+    """Distribution-drift monitor: per event type, the two-sample
+    Kolmogorov-Smirnov statistic between the early and late halves of
+    the stream (split at the midpoint of the time range).  The CDF gap
+    is cross-multiplied so the max is integer-exact; ``ks_stat`` is one
+    IEEE division on identical operands both sides."""
+    from ..stages.relational import grouped_ks_drift
+    ev = _read(sf_dir, "events", columns=["event_type", "value", "ts"])
+    return grouped_ks_drift(ev, "event_type", "value",
+                            "ts").sort("event_type")
+
+
+def inverted_index_docs(sf_dir: str):
+    """Postings-list construction over the documents table:
+    ``(token, df, postings)`` with postings = ascending comma-joined
+    doc ids.  One token-bucketed exchange of distinct (token, doc_id)
+    pairs; text never shuffles.  SQL-oracled via DISTINCT-unnest +
+    ordered string_agg."""
+    from ..stages.retrieval import inverted_index
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_index(docs).sort("token")
+
+
 def docs_above_p90(sf_dir: str):
     """Quantile-threshold curation: keep docs whose whitespace-token
     count exceeds the corpus P90.  Composes the distributed exact

@@ -456,3 +456,54 @@ def kmeans_medoids(ds: Dataset, k: int = 8, n_iter: int = 3,
                             pa.int64()),
         id_col: pa.array(win[id_col].to_numpy(np.int64), pa.int64()),
         "dist": pa.array(win["dist"].to_numpy(np.int64), pa.int64())}))
+
+
+def scalar_quantize_int8(ds: Dataset, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         scale: int = 1_000_000) -> Dataset:
+    """Scalar int8 quantization of an embedding column — the memory-
+    compression step that makes billion-vector ANN serving fit in RAM
+    (4 bytes/dim -> 1): per-dimension min/max over the corpus, then
+    ``code = ((xq - min_q) * 255) // max(range_q, 1)`` with
+    ``xq = floor(float64(x) * scale)`` so every operation after the
+    one float multiply is integer and the codes are bit-exact vs the
+    SQL oracle.
+
+    Shape: pass 1 folds per-batch per-dim (min, max) int64 partials —
+    ``blocks × d`` tiny rows reach the driver, never the vectors; the
+    d-sized arrays ride to pass 2 in the task closure (a few KB).  Both
+    passes stream; the vectors are never exchanged at all.
+
+    Output ``(id, codes: list<int64> in [0, 255])``.  No reference
+    counterpart; net-new ANN-infrastructure op."""
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        mat = vectors_to_matrix(t, vec_col, dtype=np.float64)
+        if mat.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        q = np.floor(mat * scale).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+            "mn": pa.array(q.min(axis=0), pa.int64()),
+            "mx": pa.array(q.max(axis=0), pa.int64())})
+
+    parts = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        raise ValueError("scalar_quantize_int8: empty input")
+    agg = parts.groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max"))
+    mn = agg["mn"].to_numpy(np.int64)
+    rng = np.maximum(agg["mx"].to_numpy(np.int64) - mn, 1)
+
+    def encode(t: pa.Table) -> pa.Table:
+        mat = vectors_to_matrix(t, vec_col, dtype=np.float64)
+        q = np.floor(mat * scale).astype(np.int64)
+        codes = ((q - mn) * 255) // rng
+        return pa.table({
+            id_col: t.column(id_col),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.int64()),
+                codes.shape[1])})
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -1730,3 +1730,109 @@ def pack_sequences_by_lang(ds: Dataset, seq_len: int,
     return (ds.map_batches(tokenize, batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(fold, batch_format="pandas"))
+
+
+def grouped_ks_drift(ds: Dataset, group_col: str, value_col: str,
+                     ts_col: str, n_buckets: int = 16) -> Dataset:
+    """Per-group two-sample Kolmogorov-Smirnov drift detector between
+    the early and late halves of the stream — the distribution-shift
+    monitor a production training-data pipeline runs between crawl
+    snapshots.  Split point = midpoint of the observed time range
+    (integer µs, exact); the KS statistic is computed on the
+    integer-cents value grid with the CDF gap CROSS-MULTIPLIED
+    (``|F_old*n_new - F_new*n_old|``) so the max is found entirely in
+    integers — the float ``ks_stat = ks_num / (n_old*n_new)`` is a
+    single IEEE division on identical operands both sides, hence
+    bit-exact vs the SQL oracle.
+
+    Shape: pass A folds per-batch (min, max) timestamp partials (tiny);
+    pass B's combiner pre-aggregates ``(group, value, c_old, c_new)``
+    counts per batch, ONE group-bucketed exchange moves only those
+    count rows, and the per-group fold is a vectorized cumsum sweep.
+    Cross products stay in int64 up to ~2^31 rows per side per group;
+    beyond that the fold switches to Python ints (arbitrary precision,
+    same values).  Null group/value/ts rows are dropped (oracle
+    mirrors with WHERE IS NOT NULL).
+
+    No reference counterpart; net-new curation-monitoring op."""
+    from .joins import str_bucket
+
+    def rng_partial(t: pa.Table) -> pa.Table:
+        us = pc.drop_null(t.column(ts_col).cast(pa.int64()))
+        if len(us) == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return pa.table({"mn": pa.array([pc.min(us).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    rng = ds.map_batches(rng_partial, batch_format="pyarrow").to_pandas()
+    if len(rng) == 0:
+        raise ValueError("grouped_ks_drift: no non-null timestamps")
+    mid = (int(rng["mn"].min()) + int(rng["mx"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(t.column(group_col).is_valid(),
+                               t.column(value_col).is_valid()),
+                       t.column(ts_col).is_valid())
+        t = t.filter(keep)
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = _cents(t.column(value_col).to_numpy(zero_copy_only=False))
+        new = us > mid
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pylist(),
+            "v": v,
+            "c_old": (~new).astype(np.int64),
+            "c_new": new.astype(np.int64)})
+        agg = df.groupby(["g", "v"], as_index=False).agg(
+            c_old=("c_old", "sum"), c_new=("c_new", "sum"))
+        return pa.table({
+            "g": pa.array(agg["g"], pa.string()),
+            "v": pa.array(agg["v"].to_numpy(np.int64), pa.int64()),
+            "c_old": pa.array(agg["c_old"].to_numpy(np.int64), pa.int64()),
+            "c_new": pa.array(agg["c_new"].to_numpy(np.int64), pa.int64()),
+            "_bucket": pa.array(str_bucket(agg["g"], n_buckets),
+                                pa.int64())})
+
+    def fold(grp: pd.DataFrame) -> pa.Table:
+        out_g, out_n0, out_n1, out_ks, out_stat = [], [], [], [], []
+        if len(grp) and "g" in grp.columns:
+            for key, sub in grp.groupby("g", sort=False):
+                sub = (sub.groupby("v", as_index=False)
+                       .agg(c_old=("c_old", "sum"),
+                            c_new=("c_new", "sum"))
+                       .sort_values("v", kind="mergesort"))
+                c0 = sub["c_old"].to_numpy(np.int64)
+                c1 = sub["c_new"].to_numpy(np.int64)
+                n0, n1 = int(c0.sum()), int(c1.sum())
+                cum0, cum1 = np.cumsum(c0), np.cumsum(c1)
+                if n0 * n1 < (1 << 62):
+                    ks = int(np.abs(cum0 * np.int64(n1)
+                                    - cum1 * np.int64(n0)).max()) \
+                        if len(sub) else 0
+                else:  # arbitrary-precision fallback at extreme scale
+                    ks = max(abs(int(a) * n1 - int(b) * n0)
+                             for a, b in zip(cum0, cum1))
+                stat = (float(ks) / (float(n0) * float(n1))
+                        if n0 and n1 else None)
+                out_g.append(key)
+                out_n0.append(n0)
+                out_n1.append(n1)
+                out_ks.append(ks)
+                out_stat.append(stat)
+        return pa.table({
+            "g": pa.array(out_g, pa.string()),
+            "n_old": pa.array(out_n0, pa.int64()),
+            "n_new": pa.array(out_n1, pa.int64()),
+            "ks_num": pa.array(out_ks, pa.int64()),
+            "ks_stat": pa.array(out_stat, pa.float64())})
+
+    folded = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(fold, batch_format="pandas"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([group_col, "n_old", "n_new",
+                                 "ks_num", "ks_stat"])
+
+    return folded.map_batches(rename, batch_format="pyarrow")

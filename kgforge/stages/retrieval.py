@@ -254,3 +254,59 @@ def importance_weights(docs: Dataset, target_col: str, target_value,
 
     return (docs.select_columns([id_col, target_col, text_col])
                 .map_batches(score_partial, batch_format="pyarrow"))
+
+
+def inverted_index(docs: Dataset, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   n_buckets: int = 16) -> Dataset:
+    """Full-corpus inverted index (postings-list construction — the
+    retrieval-serving primitive BM25 implies but never materializes):
+    ``(token, df, postings)`` with postings = comma-joined doc ids in
+    ascending numeric order.
+
+    Shape: the per-batch combiner emits DISTINCT ``(token, doc_id)``
+    pairs (a doc lives in exactly one batch, so per-batch distinct IS
+    global distinct — same argument as the web link edge build); ONE
+    token-bucketed exchange moves only the pair rows (text never
+    shuffles); the per-bucket fold concatenates, sorts and joins each
+    token's ids.  At 10^12-doc scale a stop-word's posting list no
+    longer fits one row — shard it into fixed-size posting BLOCKS
+    ``(token, block_no, postings)`` by emitting ``doc_id //
+    block_size`` as part of the fold key (layout documented, not
+    needed at gate scale).
+
+    No reference counterpart (the reference queries FalkorDB/Cypher,
+    ``graphrag_sdk/kg.py``); net-new retrieval-infrastructure op."""
+
+    from .joins import str_bucket
+
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, parents, _dl = _token_lists(t.column(text_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)[parents]
+        df = pd.DataFrame({"token": flat.to_pylist(), "doc_id": ids})
+        df = df.drop_duplicates()
+        return pa.table({
+            "token": pa.array(df["token"], pa.string()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "_bucket": pa.array(str_bucket(df["token"], n_buckets),
+                                pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "token" not in g.columns:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        gg = g.groupby("token", as_index=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id",
+                      lambda s: ",".join(str(i) for i in s)))
+        return pa.table({
+            "token": pa.array(gg["token"], pa.string()),
+            "df": pa.array(gg["df"].to_numpy(np.int64), pa.int64()),
+            "postings": pa.array(gg["postings"], pa.string())})
+
+    return (docs.map_batches(pairs, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(fold, batch_format="pandas"))
