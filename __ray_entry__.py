@@ -83,6 +83,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pytest/mirror-only verification into hard external signal and
     # making cumulative driver coverage complete) + the newly-oracled
     # quantile sketch + re-gates for every operator this round changed.
+    # Session D adds 7 never-gated ops inside the window (web link
+    # graph x4, inverted index, KS drift, int8 quantization); the
+    # displaced re-gates (kg_components, kg_khop, dedup_exact_docs/
+    # _hash, curate_training_docs, domain_cap_pages, kg_mentions) all
+    # have green r01-r04 driver rows and stay mirror-verified.
     # Previously-gated queries follow after slot 50;
     # tests/test_entry_gate.py still verifies ALL of them locally.
     return {
@@ -146,9 +151,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against the same oracle)
         "kg_hits": Q.kg_hits,
         "kg_hits_distributed": Q.kg_hits_distributed,
-        # re-gate: auto mode now returns a Dataset (r5)
-        "kg_components": Q.kg_components,
-        "kg_khop": Q.kg_khop,
         # NEW r5 session D: web link graph (never gated)
         "web_link_edges": Q.web_link_edges,
         "web_pagerank_pages": Q.web_pagerank_pages,
@@ -158,8 +160,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_drift_ks": Q.events_drift_ks,
         # NEW r5 session D: int8 ANN compression (never gated)
         "embedding_quantize_int8": Q.embedding_quantize_int8,
+        # NEW r5 session D: web-graph compositions (never gated)
+        "web_components": Q.web_components,
+        "web_section_rank": Q.web_section_rank,
         # re-gate: stop-shingle guard defaults on (r5)
         "dedup_ngram_docs": Q.dedup_ngram_docs,
+        # r03-green re-gates of the loop-repartition fix; the fix is
+        # externally gated in-window by kg_communities_distributed and
+        # kg_hits_distributed (same loop code, no prior rows), so these
+        # two sit just below the ~50-slot driver window
+        "kg_components": Q.kg_components,
+        "kg_khop": Q.kg_khop,
         # re-gate: oracle_mode hash refactor (r5)
         "dedup_exact_docs": Q.dedup_exact_docs,
         "dedup_exact_hash_docs": Q.dedup_exact_hash_docs,
@@ -1877,6 +1888,35 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM p GROUP BY token ORDER BY token
+        """,
+        # recursive min-reachable closure over the link-edge SQL (the
+        # kg_components oracle re-pointed at the web graph)
+        "web_components": f"""
+            WITH RECURSIVE e0 AS ({_WEB_LINK_EDGES_SQL}),
+            ed AS (SELECT src_id AS u, dst_id AS v FROM e0
+                   WHERE src_id <> dst_id
+                   UNION SELECT dst_id, src_id FROM e0
+                   WHERE src_id <> dst_id),
+            nodes AS (SELECT src_id AS node_id FROM e0
+                      UNION SELECT dst_id FROM e0),
+            reach AS (
+              SELECT node_id, node_id AS r FROM nodes
+              UNION
+              SELECT reach.node_id, e.v
+              FROM reach JOIN ed e ON reach.r = e.u)
+            SELECT node_id, min(r) AS component_id
+            FROM reach GROUP BY node_id
+        """,
+        # integer pr_fixed sums are order-free, so the full composition
+        # (extract links -> pagerank -> section rollup) is bit-exact
+        "web_section_rank": f"""
+            SELECT CASE CAST(node_id % 3 AS INTEGER)
+                     WHEN 0 THEN 'movies' WHEN 1 THEN 'people'
+                     ELSE 'news' END AS section,
+                   count(*) AS n_pages,
+                   CAST(sum(pr_fixed) AS BIGINT) AS rank_mass
+            FROM ({_pagerank_sql(10, edges_sql=_WEB_LINK_EDGES_SQL)})
+            GROUP BY 1 ORDER BY section
         """,
         # int8 quantization: xq = floor(double(x)*1e6) once (the only
         # float op, identical IEEE multiply both sides), then pure

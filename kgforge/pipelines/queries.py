@@ -2031,6 +2031,60 @@ def web_pagerank_pages(sf_dir: str):
     return pagerank_fixed(_web_link_edges_ds(sf_dir), n_iter=10)
 
 
+def web_components(sf_dir: str):
+    """Undirected weakly-connected components over the extracted web
+    link graph (crawl-frontier / mirror-cluster analysis) — the same
+    distributed min-label propagation as ``kg_components``, composed
+    onto the link-extraction output; oracle = the recursive
+    min-reachable CTE over the link-edge SQL."""
+    from ..stages.graph import connected_components
+    return connected_components(_web_link_edges_ds(sf_dir))
+
+
+def web_section_rank(sf_dir: str):
+    """Crawl-section reputation rollup: PageRank mass and page count
+    per site section (the per-host/per-section quality prior used to
+    steer crawl budgets).  Integer pr_fixed sums are order-free, so the
+    composition (extract links → PageRank → rollup) stays bit-exact
+    end-to-end."""
+    from ..stages.graph import pagerank_fixed
+    pr = pagerank_fixed(_web_link_edges_ds(sf_dir), n_iter=10)
+
+    def partial(t: pa.Table) -> pa.Table:
+        nid = t.column("node_id").to_numpy(zero_copy_only=False)
+        sec = pc.take(pa.array(list(_LINK_CATS), pa.string()),
+                      pa.array(nid % 3, pa.int64()))
+        df = pd.DataFrame({"section": sec.to_pylist(),
+                           "pr_fixed": t.column("pr_fixed").to_numpy(
+                               zero_copy_only=False)})
+        g = df.groupby("section", as_index=False).agg(
+            n_pages=("pr_fixed", "size"), rank_mass=("pr_fixed", "sum"))
+        return pa.table({
+            "section": pa.array(g["section"], pa.string()),
+            "n_pages": pa.array(g["n_pages"].to_numpy(np.int64),
+                                pa.int64()),
+            "rank_mass": pa.array(g["rank_mass"].to_numpy(np.int64),
+                                  pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "section" not in g.columns:
+            return pa.table({"section": pa.array([], pa.string()),
+                             "n_pages": pa.array([], pa.int64()),
+                             "rank_mass": pa.array([], pa.int64())})
+        gg = g.groupby("section", as_index=False).agg(
+            n_pages=("n_pages", "sum"), rank_mass=("rank_mass", "sum"))
+        return pa.table({
+            "section": pa.array(gg["section"], pa.string()),
+            "n_pages": pa.array(gg["n_pages"].to_numpy(np.int64),
+                                pa.int64()),
+            "rank_mass": pa.array(gg["rank_mass"].to_numpy(np.int64),
+                                  pa.int64())})
+
+    return (pr.map_batches(partial, batch_format="pyarrow")
+              .groupby("section").map_groups(fold, batch_format="pandas")
+              .sort("section"))
+
+
 def host_dedup_stats(sf_dir: str):
     """Per-host duplication report (which hosts are boilerplate/mirror
     farms — the crawl-curation signal that drives per-domain caps):

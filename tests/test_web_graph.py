@@ -74,3 +74,38 @@ def test_web_pagerank_mass_and_schema():
     # fixed-point mass is bounded by S = 2^40 (floor losses only)
     assert 0 < df["pr_fixed"].sum() <= (1 << 40)
     assert (df["pr_fixed"] >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_web_components_cover_link_graph_nodes():
+    import kgforge.pipelines.queries as Q
+    sf = "/root/testdata/sf0.001"
+    edges = Q.web_link_edges(sf).to_pandas()
+    comp = Q.web_components(sf).to_pandas()
+    nodes = set(edges["src_id"]) | set(edges["dst_id"])
+    assert set(comp["node_id"]) == nodes
+    # component id is the min node id of its member set
+    comp_min = comp.groupby("component_id")["node_id"].min()
+    assert (comp_min.index == comp_min.values).all()
+    # endpoints of every edge share a component
+    cid = comp.set_index("node_id")["component_id"]
+    assert (cid.loc[edges["src_id"]].to_numpy()
+            == cid.loc[edges["dst_id"]].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_web_section_rank_conserves_mass():
+    import kgforge.pipelines.queries as Q
+    sf = "/root/testdata/sf0.001"
+    pr = Q.web_pagerank_pages(sf).to_pandas()
+    roll = Q.web_section_rank(sf).to_pandas()
+    assert sorted(roll["section"]) == ["movies", "news", "people"]
+    assert roll["rank_mass"].sum() == pr["pr_fixed"].sum()
+    assert roll["n_pages"].sum() == len(pr)
+    # per-section recompute
+    import numpy as np
+    cats = np.array(["movies", "people", "news"])
+    pr["section"] = cats[pr["node_id"].to_numpy() % 3]
+    ref = pr.groupby("section")["pr_fixed"].sum()
+    got = roll.set_index("section")["rank_mass"]
+    assert (got.sort_index() == ref.sort_index()).all()
