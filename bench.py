@@ -68,7 +68,12 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              # signed random projection, canonical-URL dedup, HITS)
              "dedup_semantic_docs", "pack_training_docs",
              "embedding_random_projection", "dedup_url_pages",
-             "kg_hits"]
+             "kg_hits",
+             # round-5 session-D additions (web link graph + PageRank
+             # composition, postings build, KS drift, int8 codes)
+             "web_link_edges", "web_pagerank_pages",
+             "inverted_index_docs", "events_drift_ks",
+             "embedding_quantize_int8"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,
