@@ -163,12 +163,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW r5 session D: web-graph compositions (never gated)
         "web_components": Q.web_components,
         "web_section_rank": Q.web_section_rank,
-        # re-gate: stop-shingle guard defaults on (r5)
-        "dedup_ngram_docs": Q.dedup_ngram_docs,
+        # NEW r5 session D: Adamic-Adar link prediction (never gated)
+        "kg_adamic_adar": Q.kg_adamic_adar,
+        # stop-shingle-guard re-gate (r02/r03 green; the new default
+        # cutoff 1000 exceeds the sf0.1 df range, so gate-scale
+        # behavior is unchanged and the r03 row still covers it) and
         # r03-green re-gates of the loop-repartition fix; the fix is
         # externally gated in-window by kg_communities_distributed and
         # kg_hits_distributed (same loop code, no prior rows), so these
-        # two sit just below the ~50-slot driver window
+        # queries sit just below the ~50-slot driver window
+        "dedup_ngram_docs": Q.dedup_ngram_docs,
         "kg_components": Q.kg_components,
         "kg_khop": Q.kg_khop,
         # re-gate: oracle_mode hash refactor (r5)
@@ -1634,6 +1638,36 @@ def oracle_sql() -> dict[str, str]:
         # KG edge oracle: symmetrized adjacency, shared-neighbor
         # intersection counts, NOT EXISTS edge exclusion; jaccard is
         # one division of exact integers -> bit-equal to the engine
+        "kg_adamic_adar": f"""
+            WITH e0 AS ({_KG_EDGES_SQL}),
+            c AS (SELECT DISTINCT src_id AS a, dst_id AS b FROM e0
+                  WHERE src_id < dst_id
+                  UNION SELECT DISTINCT dst_id, src_id FROM e0
+                  WHERE dst_id < src_id),
+            nb AS (SELECT a AS u, b AS v FROM c
+                   UNION ALL SELECT b, a FROM c),
+            dg AS (SELECT u, count(*) AS d FROM nb GROUP BY u),
+            -- per-center weight quantized ONCE to nano-units (wedge
+            -- centers always have d >= 2, so ln(d) > 0)
+            wq AS (SELECT u, CAST(floor(1e9 / ln(CAST(d AS DOUBLE))
+                                        + 0.5) AS BIGINT) AS q
+                   FROM dg WHERE d >= 2),
+            inter AS (SELECT x.v AS a, y.v AS b,
+                             count(*) AS i,
+                             CAST(SUM(w.q) AS BIGINT) AS aa_e9
+                      FROM nb x JOIN nb y
+                        ON x.u = y.u AND x.v < y.v
+                      JOIN wq w ON w.u = x.u
+                      GROUP BY 1, 2),
+            cand AS (SELECT * FROM inter i
+                     WHERE NOT EXISTS (SELECT 1 FROM c e
+                                       WHERE e.a = i.a AND e.b = i.b))
+            SELECT a AS src_id, b AS dst_id,
+                   CAST(i AS BIGINT) AS inter, aa_e9,
+                   CAST(aa_e9 AS DOUBLE) / 1e9 AS aa
+            FROM cand
+            ORDER BY aa_e9 DESC, src_id, dst_id LIMIT 20
+        """,
         "kg_link_prediction": f"""
             WITH e0 AS ({_KG_EDGES_SQL}),
             -- no least()/greatest(): DuckDB promotes UBIGINT args to

@@ -2690,6 +2690,18 @@ def kg_link_prediction(sf_dir: str):
     return neighborhood_jaccard(_kg_result(sf_dir).edges, k=20)
 
 
+def kg_adamic_adar(sf_dir: str):
+    """Top-20 predicted links of the built KG by Adamic-Adar
+    (hub-discounted common neighbors).  The per-center weight
+    ``1/ln(deg)`` is quantized once to integer nano-units (the DSIR
+    discipline), so pair scores are order-free integer sums and the
+    DuckDB oracle matches hash-exactly; the float ``aa`` column is one
+    IEEE division on identical operands."""
+    from ..stages.graph import link_prediction_adamic_adar
+    _ensure_gate_artifact(sf_dir)
+    return link_prediction_adamic_adar(_kg_result(sf_dir).edges, k=20)
+
+
 def events_scd2_intervals(sf_dir: str):
     """SCD2 validity intervals of each user's event_type runs —
     gaps-and-islands collapsed to (user, state, from, to, n) with

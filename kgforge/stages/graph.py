@@ -1287,6 +1287,138 @@ def neighborhood_jaccard(edges: Dataset, src_col: str = "src_id",
             .limit(k))
 
 
+def link_prediction_adamic_adar(edges: Dataset,
+                                 src_col: str = "src_id",
+                                 dst_col: str = "dst_id", k: int = 20,
+                                 n_buckets: int = 64) -> Dataset:
+    """Adamic-Adar link prediction over the undirected simple graph:
+    for every non-edge pair at distance 2,
+    ``AA(u, v) = sum over w in N(u) inter N(v) of 1 / ln(deg(w))`` —
+    the classic common-neighbor weighting that discounts hub centers.
+
+    Exactness contract (the DSIR discipline,
+    :func:`kgforge.stages.retrieval.importance_weights`): the per-node
+    weight is quantized ONCE to integer nano-units
+    ``q(d) = floor(1e9 / ln(d) + 0.5)`` so pair scores are order-free
+    integer sums — SQL-oracle-able without float-summation hazards.
+    Wedge centers always have deg >= 2 (a center needs two neighbors
+    to form a pair), so ``ln(deg) >= ln 2 > 0`` by construction.
+
+    Dataflow is :func:`neighborhood_jaccard`'s candidate-first shape:
+    wedge self-merge per center (coarse-bucketed, never all pairs)
+    with the center's weight attached from the broadcast node-sized
+    degree vector; in-bucket (a, b) combiner; tag-union anti-join
+    drops existing edges; ONE pair-bucketed fold.  Output
+    ``(src_id, dst_id, inter, aa_e9, aa)`` ordered by
+    (aa_e9 desc, src_id, dst_id) limit k — the ordering key is the
+    INTEGER score, so ties are deterministic.  Hub-skew cap note as in
+    :func:`neighborhood_jaccard`."""
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    canon = _canonical_edges(edges, src_col, dst_col, n_buckets)
+    canon = canon.materialize()
+    nodes, deg = _node_degrees(canon)
+    empty = pa.table({"src_id": pa.array([], pa.uint64()),
+                      "dst_id": pa.array([], pa.uint64()),
+                      "inter": pa.array([], pa.int64()),
+                      "aa_e9": pa.array([], pa.int64()),
+                      "aa": pa.array([], pa.float64())})
+    if len(nodes) == 0:
+        return ray.data.from_arrow(empty)
+    qdeg = np.zeros(len(deg), np.int64)
+    m2 = deg >= 2
+    qdeg[m2] = np.floor(
+        1e9 / np.log(deg[m2].astype(np.float64)) + 0.5).astype(np.int64)
+    nodes_ref = ray.put(nodes)
+    q_ref = ray.put(qdeg)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        w = np.concatenate([a, b])
+        x = np.concatenate([b, a])
+        wb = ((w * MIX) & np.uint64(63)).astype(np.int64)
+        return pa.table({"w": pa.array(w, pa.uint64()),
+                         "x": pa.array(x, pa.uint64()),
+                         "wb": pa.array(wb, pa.int64())})
+
+    def wedge_partials(g: pd.DataFrame) -> pa.Table:
+        """Per-center neighbor pairs weighted by q(deg(center)),
+        pre-summed per (a, b) within the bucket (combiner)."""
+        if len(g) == 0:
+            m = None
+        else:
+            e = g[["w", "x"]]
+            m = e.merge(e, on="w")
+            m = m[m["x_x"] < m["x_y"]]
+        if m is None or len(m) == 0:
+            return pa.table({"a": pa.array([], pa.uint64()),
+                             "b": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64())})
+        nds, q = ray.get(nodes_ref), ray.get(q_ref)
+        wq = q[np.searchsorted(nds, m["w"].to_numpy(np.uint64))]
+        m = m.assign(_q=wq)
+        c = m.groupby(["x_x", "x_y"], as_index=False).agg(
+            n=("_q", "size"), s=("_q", "sum"))
+        return pa.table({
+            "a": pa.array(c["x_x"].to_numpy(np.uint64), pa.uint64()),
+            "b": pa.array(c["x_y"].to_numpy(np.uint64), pa.uint64()),
+            "n": pa.array(c["n"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(c["s"].to_numpy(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(c), np.int64), pa.int64())})
+
+    wedge_ds = (canon.map_batches(symmetrize, batch_format="pyarrow")
+                .groupby("wb")
+                .map_groups(wedge_partials, batch_format="pandas"))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "n": z, "s": z,
+                         "kind": pa.array(np.zeros(n, np.int64),
+                                          pa.int64())})
+
+    union = wedge_ds.union(canon.map_batches(edge_rows,
+                                             batch_format="pyarrow"))
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        bk = ((a * MIX + b) & np.uint64(n_buckets - 1)).astype(np.int64)
+        return t.append_column("pb", pa.array(bk, pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        wd = g[g["kind"] == 1]
+        if len(wd) == 0:
+            return empty
+        srt = wd.groupby(["a", "b"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"))
+        ed = g[g["kind"] == 0][["a", "b"]]
+        if len(ed):
+            srt = srt.merge(ed.assign(_e=1), on=["a", "b"], how="left")
+            srt = srt[srt["_e"].isna()]
+        if len(srt) == 0:
+            return empty
+        aa_e9 = srt["s"].to_numpy(np.int64)
+        return pa.table({
+            "src_id": pa.array(srt["a"].to_numpy(np.uint64),
+                               pa.uint64()),
+            "dst_id": pa.array(srt["b"].to_numpy(np.uint64),
+                               pa.uint64()),
+            "inter": pa.array(srt["n"].to_numpy(np.int64), pa.int64()),
+            "aa_e9": pa.array(aa_e9, pa.int64()),
+            "aa": pa.array(aa_e9.astype(np.float64) / 1e9,
+                           pa.float64())})
+
+    return (union.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pb").map_groups(fold, batch_format="pandas")
+            .sort(["aa_e9", "src_id", "dst_id"],
+                  descending=[True, False, False])
+            .limit(k))
+
+
 def clustering_coefficient(edges: Dataset, src_col: str = "src_id",
                            dst_col: str = "dst_id",
                            n_buckets: int = 64) -> pd.DataFrame:

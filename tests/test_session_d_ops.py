@@ -131,3 +131,40 @@ def test_scalar_quantize_constant_dim():
     # constant dim 0: range clamps to 1, all codes 0
     assert (codes[:, 0] == 0).all()
     assert codes[0, 1] == 0 and codes[2, 1] == 255
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_adamic_adar_matches_bruteforce():
+    import math
+
+    from kgforge.stages.graph import link_prediction_adamic_adar
+    # path + hub graph: 1-2, 2-3, 1-4, 3-4, 4-5 (undirected)
+    edges = pa.table({
+        "src_id": pa.array([1, 2, 1, 3, 4], pa.uint64()),
+        "dst_id": pa.array([2, 3, 4, 4, 5], pa.uint64())})
+    got = link_prediction_adamic_adar(
+        ray.data.from_arrow(edges), k=100).to_pandas()
+    # brute force
+    adj: dict[int, set[int]] = {}
+    for s, d in zip([1, 2, 1, 3, 4], [2, 3, 4, 4, 5]):
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    q = {u: int(math.floor(1e9 / math.log(len(vs)) + 0.5))
+         for u, vs in adj.items() if len(vs) >= 2}
+    exp = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in adj[u]:
+                continue
+            common = adj[u] & adj[v]
+            if common:
+                exp[(u, v)] = (len(common),
+                               sum(q[w] for w in common))
+    got_pairs = {(int(r.src_id), int(r.dst_id)): (int(r.inter),
+                                                  int(r.aa_e9))
+                 for r in got.itertuples()}
+    assert got_pairs == exp
+    # float column is the single-division image of the integer score
+    for r in got.itertuples():
+        assert r.aa == float(r.aa_e9) / 1e9
