@@ -140,7 +140,10 @@ def extract_hrefs(col) -> tuple[pa.Array, pa.Array]:
         pc.replace_substring(col, "<a ", "\n<a "), "\n")
     flat = pc.list_flatten(seg)
     parent = pc.list_parent_indices(seg)
+    # only segments that START with an anchor open count — otherwise
+    # href attributes of non-anchor tags preceding the first '<a '
+    # (<link>/<base> in <head>) would leak in as phantom outlinks
     ext = pc.extract_regex(flat, _ARROW_HREF_RE)
-    ok = ext.is_valid()
+    ok = pc.and_(ext.is_valid(), pc.starts_with(flat, "<a "))
     return (pc.filter(pc.struct_field(ext, "href"), ok),
             pc.filter(parent, ok))

@@ -1989,6 +1989,12 @@ def _web_link_edges_ds(sf_dir: str):
     _, pages_path = pages_for_sf(sf_dir)
     pages = ray.data.read_parquet(pages_path, columns=["url"])
     n_pages = pages.count()
+    if n_pages > 10 ** 6:
+        # the FIXTURE's 6-digit page-number format (url slug +
+        # _PAGE_NUM_RE on both engine and oracle sides) caps this
+        # synthetic graph at 10^6 pages; the operator itself
+        # (extract_hrefs + distinct) has no such bound
+        raise ValueError("web link fixture is defined for <= 1e6 pages")
 
     def links(t: pa.Table) -> pa.Table:
         urls = t.column("url").combine_chunks() \

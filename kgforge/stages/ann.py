@@ -498,6 +498,13 @@ def scalar_quantize_int8(ds: Dataset, id_col: str = "vec_id",
 
     def encode(t: pa.Table) -> pa.Table:
         mat = vectors_to_matrix(t, vec_col, dtype=np.float64)
+        if mat.size == 0:
+            # empty block: vectors_to_matrix returns (0, 0), which
+            # would mis-broadcast against the (d,) min/range vectors
+            return pa.table({
+                id_col: t.column(id_col),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.int64()), len(mn))})
         q = np.floor(mat * scale).astype(np.int64)
         codes = ((q - mn) * 255) // rng
         return pa.table({

@@ -1169,181 +1169,42 @@ def triangle_counts(edges: Dataset, src_col: str = "src_id",
             .groupby("nb").map_groups(fold, batch_format="pandas"))
 
 
-def neighborhood_jaccard(edges: Dataset, src_col: str = "src_id",
-                         dst_col: str = "dst_id", k: int = 20,
-                         n_buckets: int = 64) -> Dataset:
-    """Link prediction by neighborhood Jaccard: for every NON-edge
-    pair at distance 2, ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` over the
-    undirected simple graph; returns the top-k pairs as
-    (src_id, dst_id, inter, union_ct, jaccard) ordered by
-    (jaccard desc, src_id, dst_id).  Candidate pairs are generated
-    ONLY through shared neighbors (a wedge self-merge per center,
-    coarse-bucketed — never all pairs); intersection counts
-    partial-aggregate in the wedge fold, the existing-edge exclusion
-    is the same tag-union coarse-bucket anti-join used everywhere in
-    this repo (the edge set is never broadcast), and degrees attach
-    from the node-sized driver vector (:func:`pagerank`'s documented
-    bound).  inter/union are integers and jaccard is ONE
-    correctly-rounded IEEE division of them, so the DuckDB oracle
-    matches bit-for-bit.  Hub skew note: a degree-d hub contributes
-    C(d, 2) wedges; at web scale cap candidate generation per center
-    (top-d neighbor truncation) — at KG density it is exact."""
+def _wedge_candidates(canon, n_buckets: int, nodes_ref, q_ref):
+    """Shared candidate machinery for common-neighbor link predictors
+    (:func:`neighborhood_jaccard`, :func:`link_prediction_adamic_adar`):
+    non-edge distance-2 pairs of the canonical undirected simple graph
+    as ``(a, b, inter, s)`` rows, where ``inter`` counts common
+    neighbors and ``s`` sums the per-center int64 weight looked up in
+    the broadcast ``(nodes, q)`` vectors (pass an all-ones q for plain
+    counting).
+
+    Shape: wedge self-merge per center (coarse-bucketed by the center
+    id — NEVER all pairs), in-bucket (a, b) combiner, tag-union
+    anti-join against the edge set inside ONE pair-bucketed fold.
+    ``n_buckets`` must be a power of two (both bucket masks).  Hub
+    skew: a degree-d hub contributes C(d, 2) wedges; at web scale cap
+    per-center candidate generation (top-d neighbor truncation) — at
+    KG density it is exact."""
     MIX = np.uint64(0x9E3779B97F4A7C15)
-    canon = _canonical_edges(edges, src_col, dst_col, n_buckets)
-    canon = canon.materialize()
-    nodes, deg = _node_degrees(canon)
-    empty = pa.table({"src_id": pa.array([], pa.uint64()),
-                      "dst_id": pa.array([], pa.uint64()),
+    wedge_mask = np.uint64(n_buckets - 1)
+    empty = pa.table({"a": pa.array([], pa.uint64()),
+                      "b": pa.array([], pa.uint64()),
                       "inter": pa.array([], pa.int64()),
-                      "union_ct": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
-    if len(nodes) == 0:
-        return ray.data.from_arrow(empty)
-    nodes_ref = ray.put(nodes)
-    deg_ref = ray.put(deg)
+                      "s": pa.array([], pa.int64())})
 
     def symmetrize(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
         w = np.concatenate([a, b])
         x = np.concatenate([b, a])
-        wb = ((w * MIX) & np.uint64(63)).astype(np.int64)
+        wb = ((w * MIX) & wedge_mask).astype(np.int64)
         return pa.table({"w": pa.array(w, pa.uint64()),
                          "x": pa.array(x, pa.uint64()),
                          "wb": pa.array(wb, pa.int64())})
 
     def wedge_partials(g: pd.DataFrame) -> pa.Table:
-        """Per-center neighbor pairs, pre-summed per (a, b) within
-        the bucket (combiner) — kind=1 rows carry partial inter."""
-        if len(g) == 0:
-            m = None
-        else:
-            e = g[["w", "x"]]
-            m = e.merge(e, on="w")
-            m = m[m["x_x"] < m["x_y"]]
-        if m is None or len(m) == 0:
-            return pa.table({"a": pa.array([], pa.uint64()),
-                             "b": pa.array([], pa.uint64()),
-                             "n": pa.array([], pa.int64()),
-                             "kind": pa.array([], pa.int64())})
-        c = m.groupby(["x_x", "x_y"], as_index=False).size()
-        return pa.table({
-            "a": pa.array(c["x_x"].to_numpy(np.uint64), pa.uint64()),
-            "b": pa.array(c["x_y"].to_numpy(np.uint64), pa.uint64()),
-            "n": pa.array(c["size"].to_numpy(np.int64), pa.int64()),
-            "kind": pa.array(np.ones(len(c), np.int64), pa.int64())})
-
-    wedge_ds = (canon.map_batches(symmetrize, batch_format="pyarrow")
-                .groupby("wb")
-                .map_groups(wedge_partials, batch_format="pandas"))
-
-    def edge_rows(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({"a": t.column("a"), "b": t.column("b"),
-                         "n": pa.array(np.zeros(n, np.int64),
-                                       pa.int64()),
-                         "kind": pa.array(np.zeros(n, np.int64),
-                                          pa.int64())})
-
-    union = wedge_ds.union(canon.map_batches(edge_rows,
-                                             batch_format="pyarrow"))
-
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        bk = ((a * MIX + b) & np.uint64(n_buckets - 1)).astype(np.int64)
-        return t.append_column("pb", pa.array(bk, pa.int64()))
-
-    def fold(g: pd.DataFrame) -> pa.Table:
-        """Sum inter partials per pair; drop pairs that ARE edges
-        (anti-join inside the bucket); attach degrees + jaccard."""
-        wd = g[g["kind"] == 1]
-        if len(wd) == 0:
-            return empty
-        s = wd.groupby(["a", "b"], as_index=False)["n"].sum()
-        ed = g[g["kind"] == 0][["a", "b"]]
-        if len(ed):
-            s = s.merge(ed.assign(_e=1), on=["a", "b"], how="left")
-            s = s[s["_e"].isna()]
-        if len(s) == 0:
-            return empty
-        nds, dg = ray.get(nodes_ref), ray.get(deg_ref)
-        a = s["a"].to_numpy(np.uint64)
-        b = s["b"].to_numpy(np.uint64)
-        inter = s["n"].to_numpy(np.int64)
-        un = (dg[np.searchsorted(nds, a)]
-              + dg[np.searchsorted(nds, b)] - inter)
-        jac = inter.astype(np.float64) / un.astype(np.float64)
-        return pa.table({"src_id": pa.array(a, pa.uint64()),
-                         "dst_id": pa.array(b, pa.uint64()),
-                         "inter": pa.array(inter, pa.int64()),
-                         "union_ct": pa.array(un, pa.int64()),
-                         "jaccard": pa.array(jac, pa.float64())})
-
-    return (union.map_batches(pair_bucket, batch_format="pyarrow")
-            .groupby("pb").map_groups(fold, batch_format="pandas")
-            .sort(["jaccard", "src_id", "dst_id"],
-                  descending=[True, False, False])
-            .limit(k))
-
-
-def link_prediction_adamic_adar(edges: Dataset,
-                                 src_col: str = "src_id",
-                                 dst_col: str = "dst_id", k: int = 20,
-                                 n_buckets: int = 64) -> Dataset:
-    """Adamic-Adar link prediction over the undirected simple graph:
-    for every non-edge pair at distance 2,
-    ``AA(u, v) = sum over w in N(u) inter N(v) of 1 / ln(deg(w))`` —
-    the classic common-neighbor weighting that discounts hub centers.
-
-    Exactness contract (the DSIR discipline,
-    :func:`kgforge.stages.retrieval.importance_weights`): the per-node
-    weight is quantized ONCE to integer nano-units
-    ``q(d) = floor(1e9 / ln(d) + 0.5)`` so pair scores are order-free
-    integer sums — SQL-oracle-able without float-summation hazards.
-    Wedge centers always have deg >= 2 (a center needs two neighbors
-    to form a pair), so ``ln(deg) >= ln 2 > 0`` by construction.
-
-    Dataflow is :func:`neighborhood_jaccard`'s candidate-first shape:
-    wedge self-merge per center (coarse-bucketed, never all pairs)
-    with the center's weight attached from the broadcast node-sized
-    degree vector; in-bucket (a, b) combiner; tag-union anti-join
-    drops existing edges; ONE pair-bucketed fold.  Output
-    ``(src_id, dst_id, inter, aa_e9, aa)`` ordered by
-    (aa_e9 desc, src_id, dst_id) limit k — the ordering key is the
-    INTEGER score, so ties are deterministic.  Hub-skew cap note as in
-    :func:`neighborhood_jaccard`."""
-    MIX = np.uint64(0x9E3779B97F4A7C15)
-    canon = _canonical_edges(edges, src_col, dst_col, n_buckets)
-    canon = canon.materialize()
-    nodes, deg = _node_degrees(canon)
-    empty = pa.table({"src_id": pa.array([], pa.uint64()),
-                      "dst_id": pa.array([], pa.uint64()),
-                      "inter": pa.array([], pa.int64()),
-                      "aa_e9": pa.array([], pa.int64()),
-                      "aa": pa.array([], pa.float64())})
-    if len(nodes) == 0:
-        return ray.data.from_arrow(empty)
-    qdeg = np.zeros(len(deg), np.int64)
-    m2 = deg >= 2
-    qdeg[m2] = np.floor(
-        1e9 / np.log(deg[m2].astype(np.float64)) + 0.5).astype(np.int64)
-    nodes_ref = ray.put(nodes)
-    q_ref = ray.put(qdeg)
-
-    def symmetrize(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        w = np.concatenate([a, b])
-        x = np.concatenate([b, a])
-        wb = ((w * MIX) & np.uint64(63)).astype(np.int64)
-        return pa.table({"w": pa.array(w, pa.uint64()),
-                         "x": pa.array(x, pa.uint64()),
-                         "wb": pa.array(wb, pa.int64())})
-
-    def wedge_partials(g: pd.DataFrame) -> pa.Table:
-        """Per-center neighbor pairs weighted by q(deg(center)),
-        pre-summed per (a, b) within the bucket (combiner)."""
+        """Per-center neighbor pairs weighted by q(center), pre-summed
+        per (a, b) within the bucket (combiner) — kind=1 rows."""
         if len(g) == 0:
             m = None
         else:
@@ -1390,6 +1251,8 @@ def link_prediction_adamic_adar(edges: Dataset,
         return t.append_column("pb", pa.array(bk, pa.int64()))
 
     def fold(g: pd.DataFrame) -> pa.Table:
+        """Sum partials per pair; drop pairs that ARE edges (anti-join
+        inside the bucket)."""
         wd = g[g["kind"] == 1]
         if len(wd) == 0:
             return empty
@@ -1401,19 +1264,119 @@ def link_prediction_adamic_adar(edges: Dataset,
             srt = srt[srt["_e"].isna()]
         if len(srt) == 0:
             return empty
-        aa_e9 = srt["s"].to_numpy(np.int64)
         return pa.table({
-            "src_id": pa.array(srt["a"].to_numpy(np.uint64),
-                               pa.uint64()),
-            "dst_id": pa.array(srt["b"].to_numpy(np.uint64),
-                               pa.uint64()),
+            "a": pa.array(srt["a"].to_numpy(np.uint64), pa.uint64()),
+            "b": pa.array(srt["b"].to_numpy(np.uint64), pa.uint64()),
             "inter": pa.array(srt["n"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(srt["s"].to_numpy(np.int64), pa.int64())})
+
+    return (union.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pb").map_groups(fold, batch_format="pandas"))
+
+
+def neighborhood_jaccard(edges: Dataset, src_col: str = "src_id",
+                         dst_col: str = "dst_id", k: int = 20,
+                         n_buckets: int = 64) -> Dataset:
+    """Link prediction by neighborhood Jaccard: for every NON-edge
+    pair at distance 2, ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` over the
+    undirected simple graph; returns the top-k pairs as
+    (src_id, dst_id, inter, union_ct, jaccard) ordered by
+    (jaccard desc, src_id, dst_id).  Candidate generation / anti-join
+    / combiner shape: :func:`_wedge_candidates` (all-ones center
+    weight).  Degrees attach from the node-sized broadcast vector
+    (:func:`pagerank`'s documented bound); inter/union are integers
+    and jaccard is ONE correctly-rounded IEEE division of them, so the
+    DuckDB oracle matches bit-for-bit."""
+    canon = _canonical_edges(edges, src_col, dst_col, n_buckets)
+    canon = canon.materialize()
+    nodes, deg = _node_degrees(canon)
+    empty = pa.table({"src_id": pa.array([], pa.uint64()),
+                      "dst_id": pa.array([], pa.uint64()),
+                      "inter": pa.array([], pa.int64()),
+                      "union_ct": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if len(nodes) == 0:
+        return ray.data.from_arrow(empty)
+    nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg)
+    ones_ref = ray.put(np.ones(len(nodes), np.int64))
+    pairs = _wedge_candidates(canon, n_buckets, nodes_ref, ones_ref)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        nds, dg = ray.get(nodes_ref), ray.get(deg_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        inter = t.column("inter").to_numpy(zero_copy_only=False)
+        un = (dg[np.searchsorted(nds, a)]
+              + dg[np.searchsorted(nds, b)] - inter)
+        jac = inter.astype(np.float64) / un.astype(np.float64)
+        return pa.table({"src_id": pa.array(a, pa.uint64()),
+                         "dst_id": pa.array(b, pa.uint64()),
+                         "inter": pa.array(inter, pa.int64()),
+                         "union_ct": pa.array(un, pa.int64()),
+                         "jaccard": pa.array(jac, pa.float64())})
+
+    return (pairs.map_batches(finish, batch_format="pyarrow")
+            .sort(["jaccard", "src_id", "dst_id"],
+                  descending=[True, False, False])
+            .limit(k))
+
+
+def link_prediction_adamic_adar(edges: Dataset,
+                                src_col: str = "src_id",
+                                dst_col: str = "dst_id", k: int = 20,
+                                n_buckets: int = 64) -> Dataset:
+    """Adamic-Adar link prediction over the undirected simple graph:
+    for every non-edge pair at distance 2,
+    ``AA(u, v) = sum over w in N(u) inter N(v) of 1 / ln(deg(w))`` —
+    the classic common-neighbor weighting that discounts hub centers.
+
+    Exactness contract (the DSIR discipline,
+    :func:`kgforge.stages.retrieval.importance_weights`): the per-node
+    weight is quantized ONCE to integer nano-units
+    ``q(d) = floor(1e9 / ln(d) + 0.5)`` so pair scores are order-free
+    integer sums — SQL-oracle-able without float-summation hazards.
+    Wedge centers always have deg >= 2 (a center needs two neighbors
+    to form a pair), so ``ln(deg) >= ln 2 > 0`` by construction.
+
+    Candidate generation / anti-join / combiner shape:
+    :func:`_wedge_candidates` with the quantized weight as the
+    per-center payload.  Output ``(src_id, dst_id, inter, aa_e9, aa)``
+    ordered by (aa_e9 desc, src_id, dst_id) limit k — the ordering key
+    is the INTEGER score, so ties are deterministic."""
+    canon = _canonical_edges(edges, src_col, dst_col, n_buckets)
+    canon = canon.materialize()
+    nodes, deg = _node_degrees(canon)
+    empty = pa.table({"src_id": pa.array([], pa.uint64()),
+                      "dst_id": pa.array([], pa.uint64()),
+                      "inter": pa.array([], pa.int64()),
+                      "aa_e9": pa.array([], pa.int64()),
+                      "aa": pa.array([], pa.float64())})
+    if len(nodes) == 0:
+        return ray.data.from_arrow(empty)
+    qdeg = np.zeros(len(deg), np.int64)
+    m2 = deg >= 2
+    qdeg[m2] = np.floor(
+        1e9 / np.log(deg[m2].astype(np.float64)) + 0.5).astype(np.int64)
+    nodes_ref = ray.put(nodes)
+    q_ref = ray.put(qdeg)
+    pairs = _wedge_candidates(canon, n_buckets, nodes_ref, q_ref)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        aa_e9 = t.column("s").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src_id": t.column("a").cast(pa.uint64()),
+            "dst_id": t.column("b").cast(pa.uint64()),
+            "inter": t.column("inter").cast(pa.int64()),
             "aa_e9": pa.array(aa_e9, pa.int64()),
             "aa": pa.array(aa_e9.astype(np.float64) / 1e9,
                            pa.float64())})
 
-    return (union.map_batches(pair_bucket, batch_format="pyarrow")
-            .groupby("pb").map_groups(fold, batch_format="pandas")
+    return (pairs.map_batches(finish, batch_format="pyarrow")
             .sort(["aa_e9", "src_id", "dst_id"],
                   descending=[True, False, False])
             .limit(k))

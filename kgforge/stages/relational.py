@@ -1758,7 +1758,14 @@ def grouped_ks_drift(ds: Dataset, group_col: str, value_col: str,
     from .joins import str_bucket
 
     def rng_partial(t: pa.Table) -> pa.Table:
-        us = pc.drop_null(t.column(ts_col).cast(pa.int64()))
+        # the midpoint must be computed over the SAME row set the
+        # counting pass keeps (group AND value AND ts non-null) or a
+        # null-value row at the global min/max shifts the engine's mid
+        # but not the oracle's
+        keep = pc.and_(pc.and_(t.column(group_col).is_valid(),
+                               t.column(value_col).is_valid()),
+                       t.column(ts_col).is_valid())
+        us = t.filter(keep).column(ts_col).cast(pa.int64())
         if len(us) == 0:
             return pa.table({"mn": pa.array([], pa.int64()),
                              "mx": pa.array([], pa.int64())})
@@ -1832,6 +1839,14 @@ def grouped_ks_drift(ds: Dataset, group_col: str, value_col: str,
                 .map_groups(fold, batch_format="pandas"))
 
     def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns != 5:
+            # schema-less empty partition from the group shuffle (more
+            # output partitions than buckets) bypasses the fold
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n_old": pa.array([], pa.int64()),
+                             "n_new": pa.array([], pa.int64()),
+                             "ks_num": pa.array([], pa.int64()),
+                             "ks_stat": pa.array([], pa.float64())})
         return t.rename_columns([group_col, "n_old", "n_new",
                                  "ks_num", "ks_stat"])
 

@@ -283,13 +283,17 @@ def inverted_index(docs: Dataset, id_col: str = "doc_id",
     def pairs(t: pa.Table) -> pa.Table:
         flat, parents, _dl = _token_lists(t.column(text_col))
         ids = t.column(id_col).to_numpy(zero_copy_only=False)[parents]
-        df = pd.DataFrame({"token": flat.to_pylist(), "doc_id": ids})
-        df = df.drop_duplicates()
+        # arrow-native distinct FIRST; only the deduped pair set ever
+        # leaves Arrow (str_bucket needs objects, but on far fewer rows)
+        dedup = pa.table({
+            "token": flat,
+            "doc_id": pa.array(ids, pa.int64())}).group_by(
+            ["token", "doc_id"]).aggregate([])
+        tok = dedup.column("token").to_pandas()
         return pa.table({
-            "token": pa.array(df["token"], pa.string()),
-            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64),
-                               pa.int64()),
-            "_bucket": pa.array(str_bucket(df["token"], n_buckets),
+            "token": dedup.column("token"),
+            "doc_id": dedup.column("doc_id"),
+            "_bucket": pa.array(str_bucket(tok, n_buckets),
                                 pa.int64())})
 
     def fold(g: pd.DataFrame) -> pa.Table:

@@ -109,3 +109,13 @@ def test_web_section_rank_conserves_mass():
     ref = pr.groupby("section")["pr_fixed"].sum()
     got = roll.set_index("section")["rank_mass"]
     assert (got.sort_index() == ref.sort_index()).all()
+
+
+def test_extract_hrefs_ignores_non_anchor_tags():
+    # <link>/<base> hrefs in <head> must NOT become outlinks
+    h, idx = extract_hrefs(pa.array(
+        ['<head><link href="style.css"><base href="/b/"></head>'
+         '<a href="u1">x</a>',
+         '<link href="only-non-anchor.css">']))
+    assert h.to_pylist() == ["u1"]
+    assert idx.to_pylist() == [0]
