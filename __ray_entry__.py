@@ -165,6 +165,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_section_rank": Q.web_section_rank,
         # NEW r5 session D: Adamic-Adar link prediction (never gated)
         "kg_adamic_adar": Q.kg_adamic_adar,
+        # NEW r5 session E (below the ~50-slot driver window; verified
+        # by the local mirror + test_entry_gate): inbound anchor-text
+        # aggregation, co-citation pairs, Markov transitions,
+        # Good-Turing spectrum, BPE pair statistics
+        "web_anchor_texts": Q.web_anchor_texts,
+        "web_cocitation": Q.web_cocitation,
+        "events_markov_transitions": Q.events_markov_transitions,
+        "token_spectrum_docs": Q.token_spectrum_docs,
+        "bpe_pairs_docs": Q.bpe_pairs_docs,
         # stop-shingle-guard re-gate (r02/r03 green; the new default
         # cutoff 1000 exceeds the sf0.1 df range, so gate-scale
         # behavior is unchanged and the r03 row still covers it) and
@@ -822,7 +831,10 @@ def _walks_sql(w: int, L: int) -> str:
         ORDER BY start_id, rep, step"""
 
 
-_WEB_LINK_EDGES_SQL = r"""
+# Anchor-fixture re-derivation through the `anchors` CTE (url ->
+# synthesized snippet) — shared by the link-edge, anchor-text and
+# co-citation oracles.
+_WEB_ANCHORS_PREFIX = r"""
 WITH pages AS (
   SELECT url FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')),
 nn AS (SELECT count(*) AS n FROM pages),
@@ -844,7 +856,9 @@ anchors AS (
                   WHEN 1 THEN 'people' ELSE 'news' END ||
              '/page-' || printf('%06d', d) || '">link-' ||
              CAST(j AS VARCHAR) || '</a>', chr(10) ORDER BY j) AS snippet
-  FROM tgt GROUP BY url),
+  FROM tgt GROUP BY url)"""
+
+_WEB_LINK_EDGES_SQL = _WEB_ANCHORS_PREFIX + r""",
 hrefs AS (
   SELECT url AS src_url,
          unnest(regexp_extract_all(snippet, 'href="([^"]+)"', 1))
@@ -1951,6 +1965,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(pr_fixed) AS BIGINT) AS rank_mass
             FROM ({_pagerank_sql(10, edges_sql=_WEB_LINK_EDGES_SQL)})
             GROUP BY 1 ORDER BY section
+        """,
+        # anchor fixture re-derived through the shared prefix; both
+        # regex groups extracted with regexp_extract_all(snippet, P,
+        # 1|2) and zipped positionally by list index
+        "web_anchor_texts": _WEB_ANCHORS_PREFIX + r""",
+            ex AS (
+              SELECT url AS src_url,
+                     regexp_extract_all(snippet,
+                         'href="([^"]+)">([^<]*)</a>', 1) AS hs,
+                     regexp_extract_all(snippet,
+                         'href="([^"]+)">([^<]*)</a>', 2) AS axs
+              FROM anchors),
+            z AS (
+              SELECT src_url,
+                     hs[CAST(t.j AS INTEGER)] AS dst_url,
+                     axs[CAST(t.j AS INTEGER)] AS anchor
+              FROM ex CROSS JOIN generate_series(1, 4) t(j)
+              WHERE t.j <= len(hs))
+            SELECT CAST(regexp_extract(dst_url, 'page-(\d{6})', 1)
+                        AS BIGINT) AS dst_id,
+                   count(*) AS n_inlinks,
+                   count(DISTINCT src_url) AS n_src_pages,
+                   string_agg(DISTINCT anchor, ',' ORDER BY anchor)
+                       AS anchors
+            FROM z GROUP BY 1 ORDER BY dst_id
+        """,
+        # co-citation: self-join of the link-edge SQL on src
+        "web_cocitation": f"""
+            WITH e AS ({_WEB_LINK_EDGES_SQL})
+            SELECT a.dst_id AS a_id, b.dst_id AS b_id,
+                   count(*) AS n_shared_src
+            FROM e a JOIN e b
+              ON a.src_id = b.src_id AND a.dst_id < b.dst_id
+            GROUP BY 1, 2 ORDER BY a_id, b_id
+        """,
+        # per-user lag chain over (ts, event_id); null users/types/ts
+        # drop on both sides BEFORE the lag (engine mirror)
+        "events_markov_transitions": """
+            WITH e AS (
+              SELECT user_id, event_type, ts, event_id FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND ts IS NOT NULL),
+            l AS (
+              SELECT event_type AS next_type,
+                     lag(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_type
+              FROM e)
+            SELECT prev_type, next_type, count(*) AS n_transitions
+            FROM l WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+            ORDER BY prev_type, next_type
+        """,
+        # Good-Turing count-of-counts over \S+ token totals
+        "token_spectrum_docs": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS t
+              FROM documents),
+            f AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+            SELECT c AS freq, count(*) AS n_tokens
+            FROM f GROUP BY c ORDER BY freq
+        """,
+        # BPE pair stats: substr(w, 1, 256) truncation mirrors the
+        # engine's utf8_slice_codeunits (both codepoint semantics)
+        "bpe_pairs_docs": r"""
+            WITH tok AS (
+              SELECT substr(t, 1, 256) AS w FROM (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS t
+                FROM documents)),
+            wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            pr AS (
+              SELECT substr(w, CAST(t.j AS INTEGER), 2) AS pair, c
+              FROM wc CROSS JOIN generate_series(1, 255) t(j)
+              WHERE t.j <= length(w) - 1)
+            SELECT pair, CAST(sum(c) AS BIGINT) AS n_occurrences
+            FROM pr GROUP BY pair ORDER BY pair
         """,
         # int8 quantization: xq = floor(double(x)*1e6) once (the only
         # float op, identical IEEE multiply both sides), then pure

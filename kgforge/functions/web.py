@@ -133,17 +133,47 @@ def extract_hrefs(col) -> tuple[pa.Array, pa.Array]:
     page and discards structure, ``document_loaders/url.py:22-51``);
     at Common-Crawl scale the outlink graph is a first-class curation
     signal (host reputation, PageRank priors) — net-new operator."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    col = pc.fill_null(pc.cast(col, pa.string()), "")
-    seg = pc.split_pattern(
-        pc.replace_substring(col, "<a ", "\n<a "), "\n")
-    flat = pc.list_flatten(seg)
-    parent = pc.list_parent_indices(seg)
+    flat, parent = _anchor_segments(col)
     # only segments that START with an anchor open count — otherwise
     # href attributes of non-anchor tags preceding the first '<a '
     # (<link>/<base> in <head>) would leak in as phantom outlinks
     ext = pc.extract_regex(flat, _ARROW_HREF_RE)
     ok = pc.and_(ext.is_valid(), pc.starts_with(flat, "<a "))
     return (pc.filter(pc.struct_field(ext, "href"), ok),
+            pc.filter(parent, ok))
+
+
+def _anchor_segments(col) -> tuple[pa.Array, pa.Array]:
+    """Segment an html column at every ``"<a "`` tag open (vectorized
+    ``replace_substring`` + newline split) so each flattened segment
+    starts with at most one anchor; returns ``(segments, row_index)``.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(pc.cast(col, pa.string()), "")
+    seg = pc.split_pattern(
+        pc.replace_substring(col, "<a ", "\n<a "), "\n")
+    return pc.list_flatten(seg), pc.list_parent_indices(seg)
+
+
+# Full-anchor extraction (href AND anchor text) — one RE2 pattern,
+# shared with the DuckDB oracle's regexp_extract_all(snippet, LINK_RE,
+# 1|2) positional-zip.
+LINK_RE = r'href="([^"]+)">([^<]*)</a>'
+_ARROW_LINK_RE = r'href="(?P<href>[^"]+)">(?P<anchor>[^<]*)</a>'
+
+
+def extract_links(col) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """Vectorized (href, anchor_text, row_index) extraction from an
+    html column — the inbound-anchor-text aggregation input (anchor
+    text is the classic web-KG entity-linking signal: what OTHER pages
+    call a target url).  Same segmentation discipline as
+    :func:`extract_hrefs`; the single two-group RE2 pattern runs once
+    over the flattened segments.  No reference counterpart
+    (``document_loaders/url.py:22-51`` discards link structure)."""
+    flat, parent = _anchor_segments(col)
+    ext = pc.extract_regex(flat, _ARROW_LINK_RE)
+    ok = pc.and_(ext.is_valid(), pc.starts_with(flat, "<a "))
+    return (pc.filter(pc.struct_field(ext, "href"), ok),
+            pc.filter(pc.struct_field(ext, "anchor"), ok),
             pc.filter(parent, ok))

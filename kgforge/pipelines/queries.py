@@ -2091,6 +2091,121 @@ def web_section_rank(sf_dir: str):
               .sort("section"))
 
 
+def web_anchor_texts(sf_dir: str):
+    """Inbound anchor-text aggregation per target page — the classic
+    web-KG entity-linking signal (what OTHER pages call a url):
+    ``(dst_id, n_inlinks, n_src_pages, anchors)`` with ``anchors`` =
+    comma-joined DISTINCT anchor texts in ascending order.
+
+    Shape: the two-group RE2 link extraction
+    (:func:`kgforge.functions.web.extract_links`) runs per batch; ONE
+    dst-bucketed exchange moves only (dst, src, anchor) short rows
+    (html never shuffles); the per-bucket fold counts, distinct-counts
+    sources and joins each target's sorted anchor vocabulary.  The SQL
+    oracle re-derives the anchor fixture, extracts both regex groups
+    with ``regexp_extract_all(snippet, LINK_RE, 1|2)`` and zips them
+    positionally."""
+    from ..functions.web import extract_links
+    _ensure_gate_pages(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url"])
+    n_pages = pages.count()
+    if n_pages > 10 ** 6:
+        raise ValueError("web link fixture is defined for <= 1e6 pages")
+
+    def links(t: pa.Table) -> pa.Table:
+        urls = t.column("url").combine_chunks() \
+            if isinstance(t.column("url"), pa.ChunkedArray) \
+            else t.column("url")
+        html = pa.array(_synth_link_html(urls.to_pylist(), n_pages),
+                        pa.string())
+        href, anchor, idx = extract_links(html)
+        src_url = pc.take(urls, idx)
+        dst_id = pc.cast(pc.struct_field(
+            pc.extract_regex(href, _PAGE_NUM_RE), "num"), pa.int64())
+        bucket = pc.cast(pc.bit_wise_and(dst_id, 63), pa.int64())
+        return pa.table({"dst_id": dst_id, "src_url": src_url,
+                         "anchor": anchor, "_bucket": bucket})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "dst_id" not in g.columns:
+            return pa.table({"dst_id": pa.array([], pa.int64()),
+                             "n_inlinks": pa.array([], pa.int64()),
+                             "n_src_pages": pa.array([], pa.int64()),
+                             "anchors": pa.array([], pa.string())})
+        gg = g.groupby("dst_id", as_index=False).agg(
+            n_inlinks=("anchor", "size"),
+            n_src_pages=("src_url", "nunique"),
+            anchors=("anchor",
+                     lambda s: ",".join(sorted(set(s)))))
+        return pa.table({
+            "dst_id": pa.array(gg["dst_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "n_inlinks": pa.array(gg["n_inlinks"].to_numpy(np.int64),
+                                  pa.int64()),
+            "n_src_pages": pa.array(gg["n_src_pages"].to_numpy(np.int64),
+                                    pa.int64()),
+            "anchors": pa.array(gg["anchors"], pa.string())})
+
+    return (pages.map_batches(links, batch_format="pyarrow")
+                 .groupby("_bucket")
+                 .map_groups(fold, batch_format="pandas")
+                 .sort("dst_id"))
+
+
+def web_cocitation(sf_dir: str):
+    """Co-citation pair counts over the extracted web link graph:
+    pages cited together by the same source (``(a_id, b_id,
+    n_shared_src)``) — the link-structure similarity signal behind
+    related-page discovery and mirror detection.
+
+    Shape: ZERO exchange for pair generation — every src page's
+    outlinks live in one batch (one html row → one batch), so the
+    per-src self-merge and the in-batch pair combiner run locally;
+    ONE pair-bucketed exchange moves only combined (a, b, n) rows.
+    Pair fan-out is bounded by out-degree² per src (real crawls cap
+    outlinks per page the same way).  Oracle: self-join of the
+    link-edge SQL on src with ``dst_a < dst_b``."""
+    edges = _web_link_edges_ds(sf_dir)
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = df.merge(df, on="src_id")
+        m = m[m["dst_id_x"] < m["dst_id_y"]]
+        if len(m) == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "_pb": pa.array([], pa.int64())})
+        c = m.groupby(["dst_id_x", "dst_id_y"], as_index=False).size()
+        a = c["dst_id_x"].to_numpy(np.uint64)
+        b = c["dst_id_y"].to_numpy(np.uint64)
+        bk = ((a * MIX + b) & np.uint64(63)).astype(np.int64)
+        return pa.table({
+            "a_id": pa.array(a.astype(np.int64), pa.int64()),
+            "b_id": pa.array(b.astype(np.int64), pa.int64()),
+            "n": pa.array(c["size"].to_numpy(np.int64), pa.int64()),
+            "_pb": pa.array(bk, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "a_id" not in g.columns:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "n_shared_src": pa.array([], pa.int64())})
+        gg = g.groupby(["a_id", "b_id"], as_index=False)["n"].sum()
+        return pa.table({
+            "a_id": pa.array(gg["a_id"].to_numpy(np.int64), pa.int64()),
+            "b_id": pa.array(gg["b_id"].to_numpy(np.int64), pa.int64()),
+            "n_shared_src": pa.array(gg["n"].to_numpy(np.int64),
+                                     pa.int64())})
+
+    return (edges.map_batches(pairs, batch_format="pyarrow")
+                 .groupby("_pb")
+                 .map_groups(fold, batch_format="pandas")
+                 .sort(["a_id", "b_id"]))
+
+
 def host_dedup_stats(sf_dir: str):
     """Per-host duplication report (which hosts are boilerplate/mirror
     farms — the crawl-curation signal that drives per-domain caps):
@@ -3290,3 +3405,37 @@ def events_type_distinct_users_hll(sf_dir: str):
     return grouped_hll_distinct(
         _read(sf_dir, "events", columns=["event_type", "user_id"]),
         "event_type", "user_id")
+
+
+def events_markov_transitions(sf_dir: str):
+    """Per-user first-order Markov transition counts over the event
+    stream (``(prev_type, next_type, n_transitions)``) — the
+    next-action / session-graph primitive.  One key-bucket shuffle,
+    transition-matrix-sized output; oracle = window ``lag`` over
+    ``(user ORDER BY ts, event_id)`` + GROUP BY."""
+    from ..stages.windows import grouped_transitions
+    return grouped_transitions(
+        _read(sf_dir, "events",
+              columns=["user_id", "event_type", "ts", "event_id"])
+    ).sort(["prev_type", "next_type"])
+
+
+def token_spectrum_docs(sf_dir: str):
+    """Good-Turing frequency spectrum of the corpus vocabulary
+    (``(freq, n_tokens)``) — the count-of-counts table LM smoothing
+    estimates discounts from.  One token-bucketed exchange of
+    per-batch count partials; spectrum-sized thereafter."""
+    from ..stages.retrieval import token_count_of_counts
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return token_count_of_counts(docs).sort("freq")
+
+
+def bpe_pairs_docs(sf_dir: str):
+    """BPE first-iteration merge statistics: adjacent codepoint-pair
+    counts weighted by word frequency (``(pair, n_occurrences)``) —
+    tokenizer-training support.  Pair expansion runs per batch over
+    UNIQUE words only (one vectorized slice per character offset);
+    ONE pair-bucketed exchange of combined counts."""
+    from ..stages.retrieval import bpe_pair_counts
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return bpe_pair_counts(docs).sort("pair")

@@ -314,3 +314,142 @@ def inverted_index(docs: Dataset, id_col: str = "doc_id",
     return (docs.map_batches(pairs, batch_format="pyarrow")
                 .groupby("_bucket")
                 .map_groups(fold, batch_format="pandas"))
+
+
+def token_count_of_counts(docs: Dataset, text_col: str = "text",
+                          n_buckets: int = 16) -> Dataset:
+    """Good-Turing frequency spectrum over the corpus vocabulary:
+    ``(freq, n_tokens)`` = how many distinct tokens occur exactly
+    ``freq`` times (the count-of-counts table Kneser-Ney / Good-Turing
+    LM smoothing estimates discounts from).
+
+    Shape: per-batch ``value_counts`` combiner → ONE token-bucketed
+    exchange of (token, n) partials (text never shuffles) → per-bucket
+    fold sums each token's total and immediately collapses to
+    (freq, n_tokens) partials — output leaving the fold is
+    spectrum-sized, not vocabulary-sized — → a final fold over the
+    tiny spectrum.  At 10^12 docs the spectrum has O(thousands) of
+    distinct frequencies; everything after the first exchange is
+    negligible.
+
+    No reference counterpart (the reference holds no corpus
+    statistics, ``graphrag_sdk/steps/extract_data_step.py``);
+    net-new LM-training-support operator."""
+    from .joins import str_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _token_lists(t.column(text_col))
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_bucket": pa.array([], pa.int64())})
+        vc = pc.value_counts(flat)
+        tokens = vc.field("values").cast(pa.string())
+        return pa.table({
+            "token": tokens,
+            "n": vc.field("counts").cast(pa.int64()),
+            "_bucket": pa.array(str_bucket(tokens.to_pandas(), n_buckets),
+                                pa.int64())})
+
+    def bucket_fold(g: pd.DataFrame) -> pa.Table:
+        """Token totals for this vocabulary shard, collapsed straight
+        to the shard's frequency spectrum (spectrum-sized output)."""
+        if len(g) == 0 or "token" not in g.columns:
+            return pa.table({"freq": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "_fb": pa.array([], pa.int64())})
+        tot = g.groupby("token", sort=False)["n"].sum()
+        freq, cnt = np.unique(tot.to_numpy(np.int64), return_counts=True)
+        return pa.table({
+            "freq": pa.array(freq, pa.int64()),
+            "n_tokens": pa.array(cnt.astype(np.int64), pa.int64()),
+            "_fb": pa.array(freq & 7, pa.int64())})
+
+    def final_fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "freq" not in g.columns:
+            return pa.table({"freq": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        gg = g.groupby("freq", as_index=False)["n_tokens"].sum()
+        return pa.table({
+            "freq": pa.array(gg["freq"].to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(gg["n_tokens"].to_numpy(np.int64),
+                                 pa.int64())})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(bucket_fold, batch_format="pandas")
+                .groupby("_fb")
+                .map_groups(final_fold, batch_format="pandas"))
+
+
+def bpe_pair_counts(docs: Dataset, text_col: str = "text",
+                    max_word_len: int = 256,
+                    n_buckets: int = 16) -> Dataset:
+    """Adjacent-character-pair statistics weighted by word frequency —
+    the first merge-selection iteration of BPE tokenizer training
+    (Sennrich et al. 2016): ``(pair, n_occurrences)`` where ``pair``
+    is a 2-codepoint substring of a whitespace token and the count
+    weights each word by its corpus frequency.
+
+    Shape: per-batch word ``value_counts`` combiner, then the pair
+    expansion runs over the batch's UNIQUE words only — one vectorized
+    ``utf8_slice_codeunits`` per character offset (codepoint semantics,
+    = DuckDB ``substr``), masked by word length; an in-batch pair
+    combiner bounds what rides the ONE pair-bucketed exchange to the
+    batch's pair vocabulary.  ``max_word_len`` truncates pathological
+    tokens (URLs, base64 blobs) BEFORE counting so the offset loop is
+    bounded — mirrored by ``substr(w, 1, 256)`` in the oracle.
+
+    No reference counterpart (the reference delegates tokenization to
+    the LLM); net-new tokenizer-training operator."""
+    from .joins import str_bucket
+
+    empty = pa.table({"pair": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "_bucket": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _token_lists(t.column(text_col))
+        if len(flat) == 0:
+            return empty
+        flat = pc.utf8_slice_codeunits(flat, 0, max_word_len)
+        vc = pc.value_counts(flat)
+        words = vc.field("values").cast(pa.string())
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(words).to_numpy(zero_copy_only=False)
+        max_len = int(lens.max())
+        pair_chunks, cnt_chunks = [], []
+        for i in range(max_len - 1):
+            mask = pa.array(lens >= i + 2)
+            pair_chunks.append(
+                pc.filter(pc.utf8_slice_codeunits(words, i, i + 2), mask))
+            cnt_chunks.append(counts[lens >= i + 2])
+        if not pair_chunks:
+            return empty
+        pairs = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in pair_chunks])
+        ns = pa.array(np.concatenate(cnt_chunks).astype(np.int64),
+                      pa.int64())
+        comb = pa.table({"pair": pairs, "n": ns}).group_by(
+            "pair").aggregate([("n", "sum")])
+        pcol = comb.column("pair").cast(pa.string())
+        return pa.table({
+            "pair": pcol,
+            "n": comb.column("n_sum").cast(pa.int64()),
+            "_bucket": pa.array(str_bucket(pcol.to_pandas(), n_buckets),
+                                pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "pair" not in g.columns:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n_occurrences": pa.array([], pa.int64())})
+        gg = g.groupby("pair", as_index=False)["n"].sum()
+        return pa.table({
+            "pair": pa.array(gg["pair"], pa.string()),
+            "n_occurrences": pa.array(gg["n"].to_numpy(np.int64),
+                                      pa.int64())})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(fold, batch_format="pandas"))

@@ -642,3 +642,83 @@ def grouped_journey(ds: Dataset, key_col: str = "user_id",
                 key_col, n_buckets)
             .groupby("bucket")
             .map_groups(fold, batch_format="pandas"))
+
+
+def grouped_transitions(ds: Dataset, key_col: str = "user_id",
+                        type_col: str = "event_type", ts_col: str = "ts",
+                        id_col: str = "event_id",
+                        n_buckets: int = 64) -> Dataset:
+    """First-order Markov transition counts over each key's ordered
+    event stream: ``(prev_type, next_type, n_transitions)`` — the
+    next-action model / session-graph primitive (page-transition
+    matrices, funnel discovery).
+
+    Shape: ONE key-bucket shuffle co-locates each key's rows; the
+    in-bucket fold sorts once by ``(key, ts, id)``, pairs consecutive
+    rows with a vectorized shift (pairs never cross keys), and emits
+    per-bucket (prev, next) count partials — output leaving the fold
+    is transition-matrix-sized (|types|²), not event-sized — then a
+    tiny final fold sums partials.  Null keys, null types AND null
+    timestamps drop on both sides (oracle mirror: ``WHERE … IS NOT
+    NULL``; a null type inside the lag chain would otherwise fabricate
+    NULL-endpoint transitions that SQL's lag would count differently).
+    """
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.and_(
+            pc.and_(t.column(key_col).is_valid(),
+                    t.column(type_col).is_valid()),
+            t.column(ts_col).is_valid()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or type_col not in g.columns:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_fb": pa.array([], pa.int64())})
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        # positional compare on the raw int keys — a pandas .shift()
+        # would promote int64 keys to float64 (the >2^53 id trap)
+        k = g[key_col].to_numpy()
+        same = np.zeros(len(k), dtype=bool)
+        same[1:] = k[1:] == k[:-1]
+        types = g[type_col].to_numpy()
+        pairs = pd.DataFrame({
+            "prev_type": np.concatenate(([None], types[:-1])),
+            "next_type": types})[same]
+        if len(pairs) == 0:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_fb": pa.array([], pa.int64())})
+        c = pairs.groupby(["prev_type", "next_type"],
+                          as_index=False).size()
+        from .joins import str_bucket
+        return pa.table({
+            "prev_type": pa.array(c["prev_type"], pa.string()),
+            "next_type": pa.array(c["next_type"], pa.string()),
+            "n": pa.array(c["size"].to_numpy(np.int64), pa.int64()),
+            "_fb": pa.array(str_bucket(c["prev_type"], 8), pa.int64())})
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "prev_type" not in g.columns:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n_transitions": pa.array([], pa.int64())})
+        gg = g.groupby(["prev_type", "next_type"], as_index=False)[
+            "n"].sum()
+        return pa.table({
+            "prev_type": pa.array(gg["prev_type"], pa.string()),
+            "next_type": pa.array(gg["next_type"], pa.string()),
+            "n_transitions": pa.array(gg["n"].to_numpy(np.int64),
+                                      pa.int64())})
+
+    return (_bucketed(ds.select_columns(
+                [key_col, type_col, ts_col, id_col])
+                .map_batches(drop_null, batch_format="pyarrow"),
+                key_col, n_buckets)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas")
+            .groupby("_fb")
+            .map_groups(final, batch_format="pandas"))
