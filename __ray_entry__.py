@@ -174,6 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_transitions": Q.events_markov_transitions,
         "token_spectrum_docs": Q.token_spectrum_docs,
         "bpe_pairs_docs": Q.bpe_pairs_docs,
+        "dedup_containment_docs": Q.dedup_containment_docs,
+        "ngram_novelty_docs": Q.ngram_novelty_docs,
+        "web_bibcoupling": Q.web_bibcoupling,
+        "domain_lang_pivot_pages": Q.domain_lang_pivot_pages,
         # stop-shingle-guard re-gate (r02/r03 green; the new default
         # cutoff 1000 exceeds the sf0.1 df range, so gate-scale
         # behavior is unchanged and the r03 row still covers it) and
@@ -2026,6 +2030,85 @@ def oracle_sql() -> dict[str, str]:
             f AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
             SELECT c AS freq, count(*) AS n_tokens
             FROM f GROUP BY c ORDER BY freq
+        """,
+        # containment = I / LEAST(|A|, |B|): same CTEs as the Jaccard
+        # oracle, only the final ratio differs (LEAST on BIGINTs stays
+        # BIGINT — the UBIGINT-promotion trap doesn't apply)
+        "dedup_containment_docs": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(range(1, len(toks) - 1), i ->
+                               toks[i] || ' ' || toks[i+1] || ' ' ||
+                               toks[i+2]) END AS grams
+              FROM d WHERE len(toks) > 0),
+            s AS (SELECT doc_id, unnest(list_distinct(grams)) AS sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, containment
+            FROM (SELECT p.id_a, p.id_b,
+                         CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n)
+                             AS containment
+                  FROM pairs p JOIN sz sa ON p.id_a = sa.doc_id
+                               JOIN sz sb ON p.id_b = sb.doc_id)
+            WHERE containment >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        # per-doc novelty: distinct positional 3-grams (docs shorter
+        # than n tokens have no window and drop), gram df, df==1
+        # fraction; the single division is IEEE-identical both sides
+        "ngram_novelty_docs": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(toks) - 1), i ->
+                         toks[i] || ' ' || toks[i+1] || ' ' ||
+                         toks[i+2]) AS grams
+              FROM d WHERE len(toks) >= 3),
+            s AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram
+                  FROM g),
+            df AS (SELECT gram, count(*) AS df FROM s GROUP BY gram),
+            per AS (
+              SELECT s.doc_id,
+                     count(*) AS n_distinct_grams,
+                     count(*) FILTER (WHERE df.df = 1) AS n_unique_grams
+              FROM s JOIN df USING (gram) GROUP BY s.doc_id)
+            SELECT doc_id, n_distinct_grams, n_unique_grams,
+                   CAST(n_unique_grams AS DOUBLE) / n_distinct_grams
+                       AS novelty
+            FROM per ORDER BY doc_id
+        """,
+        # bibliographic coupling: self-join of the link-edge SQL on dst
+        "web_bibcoupling": f"""
+            WITH e AS ({_WEB_LINK_EDGES_SQL})
+            SELECT a.src_id AS a_id, b.src_id AS b_id,
+                   count(*) AS n_shared_dst
+            FROM e a JOIN e b
+              ON a.dst_id = b.dst_id AND a.src_id < b.src_id
+            GROUP BY 1, 2 ORDER BY a_id, b_id
+        """,
+        # host × language crosstab over the exported pages artifact
+        "domain_lang_pivot_pages": r"""
+            SELECT regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                       1) AS host,
+                   count(*) FILTER (WHERE lang = 'en') AS n_en,
+                   count(*) FILTER (WHERE lang = 'de') AS n_de,
+                   count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+                   count(*) AS n_pages
+            FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')
+            WHERE regexp_matches(url,
+                '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?')
+            GROUP BY 1 ORDER BY host
         """,
         # BPE pair stats: substr(w, 1, 256) truncation mirrors the
         # engine's utf8_slice_codeunits (both codepoint semantics)

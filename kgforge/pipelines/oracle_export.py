@@ -203,10 +203,13 @@ def export_gate_pages(pages: Dataset, out_dir: str = GATE_DIR) -> str:
         # url_hash (the curated-KG oracle's join key) — blake2b is not
         # SQL-derivable, the mapping itself is artifact data
         uh = [hash64(u) for u in t.column("url").to_pylist()]
-        return pa.table({"url": t.column("url"),
-                         "url_hash": pa.array(uh, pa.uint64()),
-                         "warc_ts_us": ts,
-                         "text": t.column("text")})
+        cols = {"url": t.column("url"),
+                "url_hash": pa.array(uh, pa.uint64()),
+                "warc_ts_us": ts,
+                "text": t.column("text")}
+        if "lang" in t.column_names:  # host×lang pivot oracle input
+            cols["lang"] = t.column("lang")
+        return pa.table(cols)
 
     pages.map_batches(prep, batch_format="pyarrow").write_parquet(d)
     return d

@@ -84,7 +84,7 @@ def _ensure_gate_pages(sf_dir: str) -> None:
     from .oracle_export import export_gate_pages
     _, pages_path = pages_for_sf(sf_dir)
     export_gate_pages(ray.data.read_parquet(
-        pages_path, columns=["url", "warc_ts", "text"]))
+        pages_path, columns=["url", "warc_ts", "text", "lang"]))
     # overwriting the pages artifact invalidates any OTHER sf's full
     # export (its kg oracles would read this sf's pages) — both memos
     # must agree on the single on-disk artifact
@@ -114,7 +114,7 @@ def _ensure_gate_artifact(sf_dir: str) -> None:
         ontology_json=ontology_json))
     export_gate_mentions(mentions, ontology_json, alias_map)
     export_gate_pages(ray.data.read_parquet(
-        pages_path, columns=["url", "warc_ts", "text"]))
+        pages_path, columns=["url", "warc_ts", "text", "lang"]))
     _GATE_EXPORT_SEC.clear()
     _GATE_EXPORT_SEC[sf_dir] = _time.time() - _t0
     _GATE_EXPORTED.clear()
@@ -3439,3 +3439,140 @@ def bpe_pairs_docs(sf_dir: str):
     from ..stages.retrieval import bpe_pair_counts
     docs = _read(sf_dir, "documents", columns=["text"])
     return bpe_pair_counts(docs).sort("pair")
+
+
+def dedup_containment_docs(sf_dir: str):
+    """EXACT n-gram CONTAINMENT pairs (``I / min(|A|, |B|)``) — the
+    asymmetric near-dup metric that catches subset duplication (short
+    docs quoted whole inside longer ones) which symmetric Jaccard
+    dilutes.  Same candidate index and exchanges as dedup_ngram_docs;
+    only the final vectorized ratio differs."""
+    return ngram_jaccard_pairs(_read(sf_dir, "documents",
+                                     columns=["doc_id", "text"]),
+                               threshold=0.5, metric="containment")
+
+
+def ngram_novelty_docs(sf_dir: str):
+    """Per-doc n-gram novelty (fraction of distinct 3-grams unique to
+    the doc corpus-wide) — the diversity-preference curation signal.
+    One gram-bucketed exchange; df never leaves its bucket."""
+    from ..stages.dedup import ngram_novelty
+    return ngram_novelty(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"])).sort("doc_id")
+
+
+def web_bibcoupling(sf_dir: str):
+    """Bibliographic-coupling pair counts over the extracted web link
+    graph: source pages sharing outlink targets (``(a_id, b_id,
+    n_shared_dst)``) — the structural twin of co-citation, but the
+    pair expansion groups by DST, whose in-degree is NOT batch-local:
+    ONE dst-bucketed exchange of (dst, src) edge rows co-locates each
+    target's citers, then per-dst pair expansion + in-bucket combiner
+    → ONE pair-bucketed fold.  In-degree is the skew axis here (a hub
+    page cited by 10^6 sources would emit O(indeg²) pairs) — at web
+    scale cap per-dst expansion exactly like ngram_jaccard's
+    ``max_shingle_df`` stop-shingle guard; exact at fixture densities.
+    Oracle: self-join of the link-edge SQL on dst."""
+    edges = _web_link_edges_ds(sf_dir)
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def dst_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_db", pc.cast(pc.bit_wise_and(t.column("dst_id"), 63),
+                           pa.int64()))
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "dst_id" not in g.columns:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "_pb": pa.array([], pa.int64())})
+        e = g[["dst_id", "src_id"]]
+        m = e.merge(e, on="dst_id")
+        m = m[m["src_id_x"] < m["src_id_y"]]
+        if len(m) == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "_pb": pa.array([], pa.int64())})
+        c = m.groupby(["src_id_x", "src_id_y"], as_index=False).size()
+        a = c["src_id_x"].to_numpy(np.uint64)
+        b = c["src_id_y"].to_numpy(np.uint64)
+        bk = ((a * MIX + b) & np.uint64(63)).astype(np.int64)
+        return pa.table({
+            "a_id": pa.array(a.astype(np.int64), pa.int64()),
+            "b_id": pa.array(b.astype(np.int64), pa.int64()),
+            "n": pa.array(c["size"].to_numpy(np.int64), pa.int64()),
+            "_pb": pa.array(bk, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "a_id" not in g.columns:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "n_shared_dst": pa.array([], pa.int64())})
+        gg = g.groupby(["a_id", "b_id"], as_index=False)["n"].sum()
+        return pa.table({
+            "a_id": pa.array(gg["a_id"].to_numpy(np.int64), pa.int64()),
+            "b_id": pa.array(gg["b_id"].to_numpy(np.int64), pa.int64()),
+            "n_shared_dst": pa.array(gg["n"].to_numpy(np.int64),
+                                     pa.int64())})
+
+    return (edges.map_batches(dst_bucket, batch_format="pyarrow")
+                 .groupby("_db")
+                 .map_groups(pairs, batch_format="pandas")
+                 .groupby("_pb")
+                 .map_groups(fold, batch_format="pandas")
+                 .sort(["a_id", "b_id"]))
+
+
+def domain_lang_pivot_pages(sf_dir: str):
+    """Per-host language profile over the CC-style pages corpus
+    (``(host, n_en, n_de, n_fr, n_pages)``) — the per-domain language
+    mix a multilingual curation pass keys crawl budgets and lang-ID
+    escalation off.  Vectorized host extraction (shared RE2), in-batch
+    (host, lang) combiner, one tiny host-bucket fold into a fixed-
+    column crosstab; oracle = FILTER-aggregation over the exported
+    pages artifact."""
+    from ..functions.web import url_host_section
+    _ensure_gate_pages(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url", "lang"])
+    langs = ["en", "de", "fr"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        host, _, ok = url_host_section(t.column("url"))
+        df = pa.table({"host": host,
+                       "lang": t.column("lang")}).filter(ok).to_pandas()
+        agg = df.groupby(["host", "lang"], as_index=False).size()
+        import zlib as _z
+        bs = [_z.crc32(h.encode("utf-8")) % 16 for h in agg["host"]]
+        return pa.table({
+            "host": pa.array(agg["host"], pa.string()),
+            "lang": pa.array(agg["lang"], pa.string()),
+            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "_b": pa.array(bs, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "host" not in g.columns:
+            return pa.table(
+                {"host": pa.array([], pa.string())}
+                | {f"n_{lg}": pa.array([], pa.int64()) for lg in langs}
+                | {"n_pages": pa.array([], pa.int64())})
+        piv = g.pivot_table(index="host", columns="lang", values="n",
+                            aggfunc="sum", fill_value=0)
+        hosts = piv.index.tolist()
+        cols = {"host": pa.array(hosts, pa.string())}
+        for lg in langs:
+            v = (piv[lg].to_numpy(np.int64) if lg in piv.columns
+                 else np.zeros(len(hosts), np.int64))
+            cols[f"n_{lg}"] = pa.array(v, pa.int64())
+        # n_pages counts EVERY page of the host (langs beyond the
+        # fixed pivot columns still count toward the total)
+        tot = g.groupby("host")["n"].sum().loc[hosts]
+        cols["n_pages"] = pa.array(tot.to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+                 .groupby("_b")
+                 .map_groups(fold, batch_format="pandas")
+                 .sort("host"))

@@ -544,8 +544,16 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id",
 def ngram_jaccard_pairs(ds: Dataset, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = 1000) -> Dataset:
+                        max_shingle_df: int | None = 1000,
+                        metric: str = "jaccard") -> Dataset:
     """EXACT word-n-gram Jaccard >= threshold over all document pairs.
+
+    ``metric="containment"`` switches the final ratio to
+    ``I / min(|A|, |B|)`` (same candidate index, same exchanges) —
+    containment catches SUBSET duplication (a short doc quoted whole
+    inside a longer one, mirrors with extra boilerplate) that symmetric
+    Jaccard dilutes toward 0; the output score column is named after
+    the metric.
 
     Count-based exact algorithm (no shingle sets ever move, no per-pair
     set intersections): exact Jaccard is a pure function of the shared-
@@ -586,13 +594,15 @@ def ngram_jaccard_pairs(ds: Dataset, id_col: str = "doc_id",
         return pa.table({id_col: pa.array(out_i, pa.int64()),
                          "n_shingles": pa.array(out_n, pa.int64())})
 
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     size_map: dict[int, int] = {}
     for b in (ds.map_batches(sizes_batch, batch_format="pyarrow")
               .iter_batches(batch_size=65536, batch_format="pyarrow")):
         size_map.update(zip(b.column(id_col).to_pylist(),
                             b.column("n_shingles").to_pylist()))
     if not size_map:
-        return _empty_pairs("jaccard", pa.float64())
+        return _empty_pairs(metric, pa.float64())
     sref = ray.put(size_map)
 
     def explode_shingles(batch: pa.Table) -> pa.Table:
@@ -657,11 +667,14 @@ def ngram_jaccard_pairs(ds: Dataset, id_col: str = "doc_id",
                          count=len(a))
         nb = np.fromiter((sizes[i] for i in b), dtype=np.float64,
                          count=len(b))
-        jac = inter / (na + nb - inter)
-        m = jac >= threshold
+        if metric == "containment":
+            score = inter / np.minimum(na, nb)
+        else:
+            score = inter / (na + nb - inter)
+        m = score >= threshold
         return pd.DataFrame({"id_a": a[m].astype(np.int64),
                              "id_b": b[m].astype(np.int64),
-                             "jaccard": jac[m].astype(np.float64)})
+                             metric: score[m].astype(np.float64)})
 
     return (ds.map_batches(explode_shingles, batch_format="pyarrow")
               .groupby("bucket")
@@ -1333,3 +1346,93 @@ def fuzzy_pairs_editdist1(ds: Dataset, id_col: str, name_col: str,
               .map_groups(candidates, batch_format="pandas")
               .groupby("bucket")
               .map_groups(verify, batch_format="pandas"))
+
+
+def ngram_novelty(docs: Dataset, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  n_buckets: int = 64) -> Dataset:
+    """Per-document n-gram novelty score — the corpus-diversity signal
+    a curation pass uses to prefer documents contributing NEW content:
+    ``(doc_id, n_distinct_grams, n_unique_grams, novelty)`` where
+    ``novelty`` = fraction of the doc's DISTINCT word n-grams that
+    occur in no other document (corpus df == 1; a doc's own repeats
+    don't count against it).  Documents with fewer than ``n`` tokens
+    contribute no gram window and are excluded (oracle mirror:
+    ``WHERE len(toks) >= n``).
+
+    Scale shape: text never shuffles.  Per-batch distinct (gram,
+    doc_id) pairs (a doc lives in one batch, so per-batch distinct IS
+    global distinct — the inverted-index argument) ride ONE
+    gram-bucketed exchange; the in-bucket fold computes each gram's df
+    and collapses straight to per-doc ``(n_distinct, n_unique)``
+    partials (doc-sized output, gram rows never leave the bucket);
+    a second doc-bucketed fold sums partials and performs the single
+    IEEE division.  Gram strings (not hashes) ride the exchange so the
+    df==1 test is exact — at 10^12 docs swap in a 128-bit gram hash
+    (collision-safe) to cut exchange bytes.
+
+    No reference counterpart; net-new curation-metrics operator
+    (complements ``ngram_jaccard_pairs``/``span_dedup``)."""
+    from .joins import key_bucket
+
+    def pairs(t: pa.Table) -> pa.Table:
+        _, docix, grams, starts = _positional_ngrams(t.column(text_col), n)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "_gb": pa.array([], pa.int64())})
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)[docix[starts]]
+        dedup = pa.table({"gram": grams,
+                          "doc_id": pa.array(ids, pa.int64())}).group_by(
+            ["gram", "doc_id"]).aggregate([])
+        gcol = dedup.column("gram").cast(pa.string())
+        return pa.table({"gram": gcol, "doc_id": dedup.column("doc_id"),
+                         "_gb": key_bucket(gcol, n_buckets)})
+
+    def gram_fold(g: pd.DataFrame) -> pa.Table:
+        """df per gram -> per-doc (n_distinct, n_unique) partials for
+        this gram shard; output is doc-sized."""
+        if len(g) == 0 or "gram" not in g.columns:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64()),
+                             "nu": pa.array([], pa.int64()),
+                             "_db": pa.array([], pa.int64())})
+        df = g.groupby("gram", sort=False)["doc_id"].transform("size")
+        uniq = (df.to_numpy(np.int64) == 1)
+        agg = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                            "u": uniq.astype(np.int64)}).groupby(
+            "doc_id", as_index=False).agg(nd=("u", "size"),
+                                          nu=("u", "sum"))
+        ids = agg["doc_id"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "nd": pa.array(agg["nd"].to_numpy(np.int64), pa.int64()),
+            "nu": pa.array(agg["nu"].to_numpy(np.int64), pa.int64()),
+            "_db": pa.array(ids & (n_buckets - 1), pa.int64())})
+
+    def doc_fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "doc_id" not in g.columns:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_distinct_grams": pa.array([], pa.int64()),
+                "n_unique_grams": pa.array([], pa.int64()),
+                "novelty": pa.array([], pa.float64())})
+        agg = g.groupby("doc_id", as_index=False).agg(
+            nd=("nd", "sum"), nu=("nu", "sum"))
+        nd = agg["nd"].to_numpy(np.int64)
+        nu = agg["nu"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "n_distinct_grams": pa.array(nd, pa.int64()),
+            "n_unique_grams": pa.array(nu, pa.int64()),
+            "novelty": pa.array(nu.astype(np.float64)
+                                / nd.astype(np.float64), pa.float64())})
+
+    return (docs.select_columns([id_col, text_col])
+                .map_batches(pairs, batch_format="pyarrow")
+                .groupby("_gb")
+                .map_groups(gram_fold, batch_format="pandas")
+                .groupby("_db")
+                .map_groups(doc_fold, batch_format="pandas"))

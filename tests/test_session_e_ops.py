@@ -122,3 +122,48 @@ def test_bpe_pair_counts_unicode_and_truncation():
         for i in range(len(w) - 1):
             ref[w[i:i + 2]] += 1
     assert dict(zip(got["pair"], got["n_occurrences"])) == dict(ref)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_containment_catches_subset_jaccard_misses():
+    # doc 2 is a strict subset of doc 1 (plus unique padding on doc 1)
+    # -> containment 1.0 for the shared window while Jaccard dilutes
+    base = "alpha beta gamma delta epsilon"
+    long = base + " " + " ".join(f"pad{i}" for i in range(30))
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([long, base], pa.string())})
+    from kgforge.stages.dedup import ngram_jaccard_pairs
+    cont = ngram_jaccard_pairs(ray.data.from_arrow(t), threshold=0.9,
+                               metric="containment").to_pandas()
+    jac = ngram_jaccard_pairs(ray.data.from_arrow(t),
+                              threshold=0.9).to_pandas()
+    assert len(jac) == 0
+    assert len(cont) == 1 and cont.iloc[0]["containment"] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_novelty_matches_reference():
+    from kgforge.stages.dedup import ngram_novelty
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    grams: dict[int, set] = {}
+    for row in docs.itertuples():
+        toks = _tokens(row.text)
+        if len(toks) < 3:
+            continue
+        grams[row.doc_id] = {" ".join(toks[i:i + 3])
+                             for i in range(len(toks) - 2)}
+    df: Counter = Counter()
+    for gs in grams.values():
+        df.update(gs)
+    got = ngram_novelty(
+        ray.data.read_parquet(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"])).to_pandas()
+    assert set(got["doc_id"]) == set(grams)
+    by_id = got.set_index("doc_id")
+    for did, gs in grams.items():
+        nu = sum(1 for g in gs if df[g] == 1)
+        row = by_id.loc[did]
+        assert row["n_distinct_grams"] == len(gs)
+        assert row["n_unique_grams"] == nu
+        assert row["novelty"] == nu / len(gs)
