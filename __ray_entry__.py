@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty_docs": Q.ngram_novelty_docs,
         "web_bibcoupling": Q.web_bibcoupling,
         "domain_lang_pivot_pages": Q.domain_lang_pivot_pages,
+        "kg_walk_pairs": Q.kg_walk_pairs,
         # stop-shingle-guard re-gate (r02/r03 green; the new default
         # cutoff 1000 exceeds the sf0.1 df range, so gate-scale
         # behavior is unchanged and the r03 row still covers it) and
@@ -3040,6 +3041,17 @@ def oracle_sql() -> dict[str, str]:
         # deterministic walk corpus: ranked adjacency via window
         # functions, one unrolled join per step, md5 choice hash
         "kg_walks": _walks_sql(w=2, L=3),
+        # skip-gram pairs: self-join of the unrolled walk CTE on step
+        # distance 1..2 within one (start, rep) walk
+        "kg_walk_pairs": f"""
+            WITH walks AS ({_walks_sql(w=2, L=3)})
+            SELECT w1.node_id AS center_id, w2.node_id AS context_id,
+                   count(*) AS n_pairs
+            FROM walks w1 JOIN walks w2
+              ON w1.start_id = w2.start_id AND w1.rep = w2.rep
+             AND abs(w1.step - w2.step) BETWEEN 1 AND 2
+            GROUP BY 1, 2 ORDER BY center_id, context_id
+        """,
         # personalized PageRank: integer recurrence unrolled, teleport
         # and dangling mass restricted to the seed set
         "kg_ppr": _ppr_sql(n_iter=10, n_seeds=5),

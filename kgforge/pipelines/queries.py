@@ -3576,3 +3576,17 @@ def domain_lang_pivot_pages(sf_dir: str):
                  .groupby("_b")
                  .map_groups(fold, batch_format="pandas")
                  .sort("host"))
+
+
+def kg_walk_pairs(sf_dir: str):
+    """Skip-gram (center, context) pair counts from the deterministic
+    walk corpus (window 2) — the graph-embedding training-data export
+    step of DeepWalk.  One start-bucket exchange + one pair-bucket
+    fold; oracle = self-join of the unrolled walk CTE on step
+    distance <= 2."""
+    from ..stages.graph import deterministic_walks, walk_skipgram_pairs
+    _ensure_gate_artifact(sf_dir)
+    walks = deterministic_walks(_kg_result(sf_dir).edges,
+                                n_walks=2, walk_len=3)
+    return walk_skipgram_pairs(walks, window=2).sort(
+        ["center_id", "context_id"])

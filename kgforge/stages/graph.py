@@ -2874,3 +2874,89 @@ def hits_fixed_distributed(edges: Dataset, src_col: str = "src_id",
                                   pa.float64())})
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+def walk_skipgram_pairs(walks: Dataset, window: int = 2,
+                        n_buckets: int = 64) -> Dataset:
+    """Skip-gram (center, context) training pairs from a walk corpus
+    (the word2vec-over-walks step of DeepWalk / node2vec): for every
+    walk position, every node within ``window`` steps on either side
+    is a context; returns ``(center_id, context_id, n_pairs)`` counts
+    — the aggregated co-occurrence table an embedding trainer consumes
+    (or samples from) instead of raw pair streams.
+
+    Input: ``(start_id, rep, step, node_id)`` rows as produced by
+    :func:`deterministic_walks`.  Shape: ONE start-bucketed exchange
+    co-locates each walk's rows (walks are ``walk_len+1`` rows — no
+    skew axis); the in-bucket fold sorts once by ``(start, rep,
+    step)`` and pairs rows at offsets 1..window with vectorized
+    same-walk masks (pairs never cross walks), combining counts
+    in-bucket; a pair-bucketed fold sums partials.  Output is
+    co-occurrence-vocabulary-sized, bounded by ``2·window·|walk
+    rows|`` emissions.
+
+    No reference counterpart; composes with ``deterministic_walks``
+    so the whole corpus is SQL-re-derivable (oracle: self-join of the
+    unrolled walk CTE on |step distance| <= window)."""
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def sbucket(t: pa.Table) -> pa.Table:
+        s = t.column("start_id").to_numpy(zero_copy_only=False)
+        bk = ((s.astype(np.uint64) * MIX)
+              & np.uint64(n_buckets - 1)).astype(np.int64)
+        return t.append_column("_sb", pa.array(bk, pa.int64()))
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"center_id": pa.array([], pa.uint64()),
+                          "context_id": pa.array([], pa.uint64()),
+                          "n": pa.array([], pa.int64()),
+                          "_pb": pa.array([], pa.int64())})
+        if len(g) == 0 or "start_id" not in g.columns:
+            return empty
+        g = g.sort_values(["start_id", "rep", "step"], kind="mergesort")
+        s = g["start_id"].to_numpy(np.uint64)
+        r = g["rep"].to_numpy(np.int64)
+        nodes = g["node_id"].to_numpy(np.uint64)
+        cs, xs = [], []
+        for d in range(1, window + 1):
+            if d >= len(nodes):
+                break
+            same = (s[d:] == s[:-d]) & (r[d:] == r[:-d])
+            lo, hi = nodes[:-d][same], nodes[d:][same]
+            cs.append(lo)
+            xs.append(hi)
+            cs.append(hi)
+            xs.append(lo)
+        if not cs:
+            return empty
+        df = pd.DataFrame({"c": np.concatenate(cs),
+                           "x": np.concatenate(xs)})
+        agg = df.groupby(["c", "x"], as_index=False).size()
+        c = agg["c"].to_numpy(np.uint64)
+        x = agg["x"].to_numpy(np.uint64)
+        bk = ((c * MIX + x) & np.uint64(n_buckets - 1)).astype(np.int64)
+        return pa.table({
+            "center_id": pa.array(c, pa.uint64()),
+            "context_id": pa.array(x, pa.uint64()),
+            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "_pb": pa.array(bk, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "center_id" not in g.columns:
+            return pa.table({"center_id": pa.array([], pa.uint64()),
+                             "context_id": pa.array([], pa.uint64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        gg = g.groupby(["center_id", "context_id"],
+                       as_index=False)["n"].sum()
+        return pa.table({
+            "center_id": pa.array(gg["center_id"].to_numpy(np.uint64),
+                                  pa.uint64()),
+            "context_id": pa.array(gg["context_id"].to_numpy(np.uint64),
+                                   pa.uint64()),
+            "n_pairs": pa.array(gg["n"].to_numpy(np.int64), pa.int64())})
+
+    return (walks.map_batches(sbucket, batch_format="pyarrow")
+                 .groupby("_sb")
+                 .map_groups(pairs, batch_format="pandas")
+                 .groupby("_pb")
+                 .map_groups(fold, batch_format="pandas"))

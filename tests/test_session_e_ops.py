@@ -167,3 +167,30 @@ def test_ngram_novelty_matches_reference():
         assert row["n_distinct_grams"] == len(gs)
         assert row["n_unique_grams"] == nu
         assert row["novelty"] == nu / len(gs)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_walk_skipgram_pairs_matches_reference():
+    from kgforge.stages.graph import walk_skipgram_pairs
+    # two walks: [1,2,3,4] and [5,6,5,6] (repeat visits count)
+    rows = []
+    for (s, r), seq in [((1, 0), [1, 2, 3, 4]), ((5, 0), [5, 6, 5, 6])]:
+        for st, nd in enumerate(seq):
+            rows.append((s, r, st, nd))
+    t = pa.table({
+        "start_id": pa.array([r[0] for r in rows], pa.uint64()),
+        "rep": pa.array([r[1] for r in rows], pa.int64()),
+        "step": pa.array([r[2] for r in rows], pa.int64()),
+        "node_id": pa.array([r[3] for r in rows], pa.uint64())})
+    ref: Counter = Counter()
+    for seq in [[1, 2, 3, 4], [5, 6, 5, 6]]:
+        for i, c in enumerate(seq):
+            for d in (1, 2):
+                if i + d < len(seq):
+                    ref[(c, seq[i + d])] += 1
+                    ref[(seq[i + d], c)] += 1
+    got = walk_skipgram_pairs(ray.data.from_arrow(t),
+                              window=2).to_pandas()
+    assert ({(int(a), int(b)): int(n) for a, b, n in
+             zip(got["center_id"], got["context_id"], got["n_pairs"])}
+            == dict(ref))
