@@ -73,7 +73,12 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              # composition, postings build, KS drift, int8 codes)
              "web_link_edges", "web_pagerank_pages",
              "inverted_index_docs", "events_drift_ks",
-             "embedding_quantize_int8"]
+             "embedding_quantize_int8",
+             # round-5 session-E additions (inbound anchor texts,
+             # co-citation, BPE pair stats, per-doc n-gram novelty,
+             # walk skip-gram export)
+             "web_anchor_texts", "web_cocitation", "bpe_pairs_docs",
+             "ngram_novelty_docs", "kg_walk_pairs"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,
