@@ -179,6 +179,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_bibcoupling": Q.web_bibcoupling,
         "domain_lang_pivot_pages": Q.domain_lang_pivot_pages,
         "kg_walk_pairs": Q.kg_walk_pairs,
+        # NEW r5 session F (below the window; mirror + test_entry_gate
+        # verified): unigram-LM surprisal quality score, DSIR top-k
+        # selection, per-host language entropy, preferential-attachment
+        # link prediction, fixed-point Katz centrality
+        "surprisal_docs": Q.surprisal_docs,
+        "dsir_select_docs": Q.dsir_select_docs,
+        "host_lang_entropy_pages": Q.host_lang_entropy_pages,
+        "kg_preferential_attachment": Q.kg_preferential_attachment,
+        "kg_katz": Q.kg_katz,
         # stop-shingle-guard re-gate (r02/r03 green; the new default
         # cutoff 1000 exceeds the sf0.1 df range, so gate-scale
         # behavior is unchanged and the r03 row still covers it) and
@@ -876,6 +885,48 @@ SELECT DISTINCT
            AS dst_id
 FROM hrefs
 """
+
+
+def _katz_sql(n_iter: int = 5, scale_bits: int = 30) -> str:
+    """Mechanically-unrolled fixed-point Katz centrality mirroring
+    ``kgforge.stages.graph.katz_fixed`` exactly: x0 = S, x_{t+1}[v] =
+    S + sum over u in N(v) of x_t[u] // den with den = 2*max_degree+1
+    (data-derived INSIDE the SQL, so the string stays static).  Every
+    operation is integer on non-negative values (DuckDB ``//`` ==
+    numpy floor division there), so the chain is bit-exact.  AS
+    MATERIALIZED is load-bearing (the k-core lesson)."""
+    S = 1 << scale_bits
+    parts = [f"""
+        WITH e0 AS ({_KG_EDGES_SQL}),
+        c AS MATERIALIZED (
+            SELECT DISTINCT src_id AS a, dst_id AS b FROM e0
+            WHERE src_id < dst_id
+            UNION SELECT DISTINCT dst_id, src_id FROM e0
+            WHERE dst_id < src_id),
+        nb AS MATERIALIZED (SELECT a AS u, b AS v FROM c
+                            UNION ALL SELECT b, a FROM c),
+        dg AS MATERIALIZED (SELECT u, count(*) AS d FROM nb GROUP BY u),
+        dn AS MATERIALIZED (
+            SELECT CAST(2 * max(d) + 1 AS BIGINT) AS den FROM dg),
+        x0 AS MATERIALIZED (
+            SELECT u AS node_id, CAST({S} AS BIGINT) AS x FROM dg),"""]
+    for i in range(n_iter):
+        parts.append(f"""
+        x{i + 1} AS MATERIALIZED (
+            SELECT d.u AS node_id,
+                   CAST({S} + COALESCE(inc.s, 0) AS BIGINT) AS x
+            FROM dg d LEFT JOIN (
+                SELECT nb.v AS node_id,
+                       CAST(SUM(p.x // dn.den) AS BIGINT) AS s
+                FROM nb JOIN x{i} p ON nb.u = p.node_id
+                CROSS JOIN dn
+                GROUP BY nb.v) inc ON d.u = inc.node_id),""")
+    parts.append(f"""
+        fin AS (SELECT node_id, x FROM x{n_iter})
+        SELECT node_id, dn.den AS den, x AS katz_fixed,
+               CAST(x AS DOUBLE) / {float(S)} AS katz
+        FROM fin CROSS JOIN dn ORDER BY node_id""")
+    return "".join(parts)
 
 
 def _pagerank_sql(n_iter: int, scale_bits: int = 40,
@@ -1687,6 +1738,34 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             ORDER BY aa_e9 DESC, src_id, dst_id LIMIT 20
         """,
+        # preferential attachment: same candidate/anti-join SQL as
+        # kg_link_prediction, score = exact integer degree product
+        "kg_preferential_attachment": f"""
+            WITH e0 AS ({_KG_EDGES_SQL}),
+            c AS (SELECT DISTINCT src_id AS a, dst_id AS b FROM e0
+                  WHERE src_id < dst_id
+                  UNION SELECT DISTINCT dst_id, src_id FROM e0
+                  WHERE dst_id < src_id),
+            nb AS (SELECT a AS u, b AS v FROM c
+                   UNION ALL SELECT b, a FROM c),
+            dg AS (SELECT u, count(*) AS d FROM nb GROUP BY u),
+            inter AS (SELECT x.v AS a, y.v AS b, count(*) AS i
+                      FROM nb x JOIN nb y
+                        ON x.u = y.u AND x.v < y.v
+                      GROUP BY 1, 2),
+            cand AS (SELECT * FROM inter i
+                     WHERE NOT EXISTS (SELECT 1 FROM c e
+                                       WHERE e.a = i.a AND e.b = i.b))
+            SELECT cand.a AS src_id, cand.b AS dst_id,
+                   CAST(cand.i AS BIGINT) AS inter,
+                   CAST(da.d * db.d AS BIGINT) AS pa_score
+            FROM cand JOIN dg da ON cand.a = da.u
+                      JOIN dg db ON cand.b = db.u
+            ORDER BY pa_score DESC, src_id, dst_id LIMIT 20
+        """,
+        # fixed-point Katz: unrolled integer CTE chain, den derived
+        # inside the SQL (2*max_degree + 1) so the string is static
+        "kg_katz": _katz_sql(n_iter=5, scale_bits=30),
         "kg_link_prediction": f"""
             WITH e0 AS ({_KG_EDGES_SQL}),
             -- no least()/greatest(): DuckDB promotes UBIGINT args to
@@ -2110,6 +2189,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(url,
                 '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?')
             GROUP BY 1 ORDER BY host
+        """,
+        # per-host language entropy: quantized-ln on COUNTS makes
+        # n*H an order-free integer; the float is ONE mirrored
+        # division of it by (double(n) * 1e9)
+        "host_lang_entropy_pages": r"""
+            WITH p AS (
+              SELECT regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                  1) AS host, lang
+              FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')
+              WHERE regexp_matches(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?')),
+            cl AS (SELECT host, lang, count(*) AS c
+                   FROM p GROUP BY 1, 2),
+            clq AS (SELECT host, c,
+                           c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9
+                                          + 0.5) AS BIGINT) AS cq
+                    FROM cl),
+            hn AS (SELECT host, CAST(sum(c) AS BIGINT) AS n_pages,
+                          CAST(count(*) AS BIGINT) AS n_langs,
+                          CAST(sum(cq) AS BIGINT) AS sum_cq
+                   FROM clq GROUP BY 1),
+            he AS (SELECT host, n_pages, n_langs,
+                          n_pages * CAST(floor(
+                              ln(CAST(n_pages AS DOUBLE)) * 1e9 + 0.5)
+                              AS BIGINT) - sum_cq AS h_e9n
+                   FROM hn)
+            SELECT host, n_pages, n_langs,
+                   CAST(h_e9n AS BIGINT) AS h_e9n,
+                   CAST(h_e9n AS DOUBLE)
+                       / (CAST(n_pages AS DOUBLE) * 1e9) AS entropy
+            FROM he ORDER BY host
         """,
         # BPE pair stats: substr(w, 1, 256) truncation mirrors the
         # engine's utf8_slice_codeunits (both codepoint semantics)
@@ -3280,6 +3391,80 @@ def oracle_sql() -> dict[str, str]:
         # DSIR importance weights: per-bucket llr quantized to integer
         # nano-units (floor(x*1e9+0.5), ln ops mirrored verbatim), doc
         # scores are order-free integer sums => hash-exact
+        # unigram-LM surprisal: the DSIR quantization discipline over a
+        # single (background) distribution — integer doc sums
+        "surprisal_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(text,
+                            '[ \t\n\f\r]+')) AS t
+              FROM documents),
+            tok2 AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % 256
+                          AS BIGINT) AS dim
+              FROM toks WHERE t <> ''),
+            cnt AS (SELECT dim, count(*) AS c FROM tok2 GROUP BY dim),
+            tot AS (SELECT sum(c) AS b_tot FROM cnt),
+            w AS (
+              SELECT dim,
+                     CAST(floor((ln(CAST(tot.b_tot + 256 AS DOUBLE))
+                                 - ln(CAST(c + 1 AS DOUBLE)))
+                                * 1e9 + 0.5) AS BIGINT) AS w
+              FROM cnt, tot),
+            docdim AS (SELECT doc_id, dim, count(*) AS c
+                       FROM tok2 GROUP BY 1, 2),
+            scores AS (
+              SELECT d.doc_id,
+                     CAST(sum(d.c) AS BIGINT) AS n_tokens,
+                     CAST(sum(d.c * w.w) AS BIGINT) AS surprisal_e9
+              FROM docdim d JOIN w USING (dim) GROUP BY 1)
+            SELECT doc.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.surprisal_e9, 0) AS surprisal_e9
+            FROM documents doc LEFT JOIN scores s USING (doc_id)
+            ORDER BY doc.doc_id
+        """,
+        # DSIR selection: the importance-weight CTE + ONE deterministic
+        # integer-keyed ORDER BY ... LIMIT (ties broken on doc_id)
+        "dsir_select_docs": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(string_split_regex(text,
+                            '[ \t\n\f\r]+')) AS t
+              FROM documents),
+            tok2 AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % 256
+                          AS BIGINT) AS dim
+              FROM toks WHERE t <> ''),
+            cnt AS (
+              SELECT dim, count(*) AS c_all,
+                     count(*) FILTER (WHERE lang = 'en') AS c_tgt
+              FROM tok2 GROUP BY dim),
+            tot AS (SELECT sum(c_all) AS b_tot, sum(c_tgt) AS t_tot
+                    FROM cnt),
+            llr AS (
+              SELECT dim,
+                     CAST(floor((ln(CAST(c_tgt + 1 AS DOUBLE))
+                                 - ln(CAST(c_all + 1 AS DOUBLE))
+                                 + ln(CAST(tot.b_tot + 256 AS DOUBLE))
+                                 - ln(CAST(tot.t_tot + 256 AS DOUBLE)))
+                                * 1e9 + 0.5) AS BIGINT) AS w
+              FROM cnt, tot),
+            docdim AS (SELECT doc_id, dim, count(*) AS c
+                       FROM tok2 GROUP BY 1, 2),
+            scores AS (
+              SELECT d.doc_id,
+                     CAST(sum(d.c * l.w) AS BIGINT) AS score_e9,
+                     CAST(sum(d.c) AS BIGINT) AS n_tokens
+              FROM docdim d JOIN llr l USING (dim) GROUP BY 1)
+            SELECT doc.doc_id, doc.lang,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.score_e9, 0) AS score_e9
+            FROM documents doc LEFT JOIN scores s USING (doc_id)
+            ORDER BY score_e9 DESC, doc.doc_id LIMIT 200
+        """,
         "dsir_weights_docs": """
             WITH toks AS (
               SELECT doc_id, lang,

@@ -78,7 +78,10 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              # co-citation, BPE pair stats, per-doc n-gram novelty,
              # walk skip-gram export)
              "web_anchor_texts", "web_cocitation", "bpe_pairs_docs",
-             "ngram_novelty_docs", "kg_walk_pairs"]
+             "ngram_novelty_docs", "kg_walk_pairs",
+             # round-5 session-F additions (unigram-LM surprisal
+             # scoring, Katz centrality, host language entropy)
+             "surprisal_docs", "kg_katz", "host_lang_entropy_pages"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,

@@ -3590,3 +3590,122 @@ def kg_walk_pairs(sf_dir: str):
                                 n_walks=2, walk_len=3)
     return walk_skipgram_pairs(walks, window=2).sort(
         ["center_id", "context_id"])
+
+
+def surprisal_docs(sf_dir: str):
+    """Per-document unigram-LM surprisal over the corpus-fitted hashed
+    LM (``retrieval.unigram_surprisal``) — the cheap pre-neural quality
+    score: boilerplate scores low, rare-vocabulary docs high.  The
+    per-bucket weight is quantized once to nano-units on the driver, so
+    doc scores are order-free integer sums and the oracle is
+    hash-exact."""
+    from ..stages.retrieval import unigram_surprisal
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_surprisal(docs).sort("doc_id")
+
+
+def dsir_select_docs(sf_dir: str):
+    """The SELECTION step DSIR's importance weights exist for: keep
+    the top-200 documents by quantized log-likelihood ratio (target =
+    English), deterministic tie-break on doc_id — i.e. importance
+    resampling's greedy-deterministic variant, the last stage of a
+    target-domain mixture build.  Composition of the already-oracled
+    ``importance_weights`` with ONE integer-keyed sort+limit; no new
+    float surface."""
+    from ..stages.retrieval import importance_weights
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    w = importance_weights(docs, "lang", "en")
+    return w.sort(["score_e9", "doc_id"],
+                  descending=[True, False]).limit(200)
+
+
+def host_lang_entropy(pages) -> "ray.data.Dataset":
+    """Per-host Shannon entropy of the language mix over a
+    ``(url, lang)`` Dataset — the crawl-audit signal that separates
+    single-language sites from mixed/mis-tagged hosts (a high-entropy
+    host is where lang-ID escalation pays).  Integer-exact via the
+    quantized-ln trick on COUNTS (not probabilities): with
+    ``q(x) = floor(ln(x)*1e9 + 0.5)``,
+    ``h_e9n = n*q(n) - sum over langs of c*q(c)`` is an order-free
+    integer (= n·H in nano-nats, exact at 1e-9 per term), and the
+    float ``entropy`` is one mirrored IEEE expression.  One tiny
+    (host, lang) count exchange; text/html never move."""
+    from ..functions.web import url_host_section
+
+    def partial(t: pa.Table) -> pa.Table:
+        host, _, ok = url_host_section(t.column("url"))
+        df = pa.table({"host": host,
+                       "lang": t.column("lang")}).filter(ok).to_pandas()
+        agg = df.groupby(["host", "lang"], as_index=False).size()
+        import zlib as _z
+        bs = [_z.crc32(h.encode("utf-8")) % 16 for h in agg["host"]]
+        return pa.table({
+            "host": pa.array(agg["host"], pa.string()),
+            "lang": pa.array(agg["lang"], pa.string()),
+            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "_b": pa.array(bs, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "host" not in g.columns:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "n_pages": pa.array([], pa.int64()),
+                             "n_langs": pa.array([], pa.int64()),
+                             "h_e9n": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
+        cl = g.groupby(["host", "lang"], as_index=False)["n"].sum()
+
+        def q(v: np.ndarray) -> np.ndarray:
+            # floor(ln(c)*1e9 + 0.5) per count — op-for-op the SQL
+            # oracle's expression (ulp-safe: ln args are small ints)
+            return np.floor(
+                np.log(v.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
+
+        cl["cq"] = cl["n"].to_numpy(np.int64) * q(cl["n"].to_numpy())
+        hn = cl.groupby("host").agg(
+            n_pages=("n", "sum"), n_langs=("n", "size"),
+            sum_cq=("cq", "sum")).reset_index()
+        n = hn["n_pages"].to_numpy(np.int64)
+        h_e9n = n * q(n) - hn["sum_cq"].to_numpy(np.int64)
+        ent = h_e9n.astype(np.float64) / (n.astype(np.float64) * 1e9)
+        return pa.table({
+            "host": pa.array(hn["host"], pa.string()),
+            "n_pages": pa.array(n, pa.int64()),
+            "n_langs": pa.array(hn["n_langs"].to_numpy(np.int64),
+                                pa.int64()),
+            "h_e9n": pa.array(h_e9n, pa.int64()),
+            "entropy": pa.array(ent, pa.float64())})
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+                 .groupby("_b")
+                 .map_groups(fold, batch_format="pandas")
+                 .sort("host"))
+
+
+def host_lang_entropy_pages(sf_dir: str):
+    """Gate wrapper over :func:`host_lang_entropy` for the CC-style
+    pages corpus (column-pruned read: only url + lang leave
+    storage)."""
+    _ensure_gate_pages(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url", "lang"])
+    return host_lang_entropy(pages)
+
+
+def kg_preferential_attachment(sf_dir: str):
+    """Top-20 predicted links of the built KG by preferential
+    attachment (``deg(u)*deg(v)`` over the distance-2 non-edge
+    candidates) — the degree-product baseline next to Adamic-Adar and
+    Jaccard.  All-integer scores; bit-exact oracle."""
+    from ..stages.graph import link_prediction_preferential
+    _ensure_gate_artifact(sf_dir)
+    return link_prediction_preferential(_kg_result(sf_dir).edges, k=20)
+
+
+def kg_katz(sf_dir: str):
+    """Fixed-point Katz centrality of the built KG (attenuation
+    ``1/(2*max_degree+1)``, 5 iterations) — reach-weighted centrality
+    without PageRank's out-degree normalization.  Integer recurrence
+    unrolled as a MATERIALIZED CTE chain in the oracle, bit-exact."""
+    from ..stages.graph import katz_fixed
+    _ensure_gate_artifact(sf_dir)
+    return katz_fixed(_kg_result(sf_dir).edges, n_iter=5).sort("node_id")

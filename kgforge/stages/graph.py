@@ -1382,6 +1382,149 @@ def link_prediction_adamic_adar(edges: Dataset,
             .limit(k))
 
 
+def link_prediction_preferential(edges: Dataset,
+                                 src_col: str = "src_id",
+                                 dst_col: str = "dst_id", k: int = 20,
+                                 n_buckets: int = 64) -> Dataset:
+    """Preferential-attachment link prediction over the undirected
+    simple graph: ``PA(u, v) = deg(u) * deg(v)`` — the growth-model
+    baseline every link-prediction benchmark reports next to
+    Adamic-Adar and Jaccard (Liben-Nowell & Kleinberg 2003).  Scored
+    over the same distance-2 non-edge candidate set as the other two
+    predictors (the standard evaluation restriction; all-pairs PA is
+    a cross join by definition and carries no locality signal).
+
+    Everything is exact integers: candidates from
+    :func:`_wedge_candidates` (all-ones center weight), degrees from
+    the node-sized broadcast vector, score one int64 product — so the
+    DuckDB oracle matches bit-for-bit and top-k ties are
+    deterministic (pa_score desc, src_id, dst_id)."""
+    canon = _canonical_edges(edges, src_col, dst_col, n_buckets)
+    canon = canon.materialize()
+    nodes, deg = _node_degrees(canon)
+    empty = pa.table({"src_id": pa.array([], pa.uint64()),
+                      "dst_id": pa.array([], pa.uint64()),
+                      "inter": pa.array([], pa.int64()),
+                      "pa_score": pa.array([], pa.int64())})
+    if len(nodes) == 0:
+        return ray.data.from_arrow(empty)
+    nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg)
+    ones_ref = ray.put(np.ones(len(nodes), np.int64))
+    pairs = _wedge_candidates(canon, n_buckets, nodes_ref, ones_ref)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        nds, dg = ray.get(nodes_ref), ray.get(deg_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        score = (dg[np.searchsorted(nds, a)]
+                 * dg[np.searchsorted(nds, b)])
+        return pa.table({
+            "src_id": pa.array(a, pa.uint64()),
+            "dst_id": pa.array(b, pa.uint64()),
+            "inter": t.column("inter").cast(pa.int64()),
+            "pa_score": pa.array(score, pa.int64())})
+
+    return (pairs.map_batches(finish, batch_format="pyarrow")
+            .sort(["pa_score", "src_id", "dst_id"],
+                  descending=[True, False, False])
+            .limit(k))
+
+
+def katz_fixed(edges: Dataset, src_col: str = "src_id",
+               dst_col: str = "dst_id", n_iter: int = 5,
+               scale_bits: int = 30) -> Dataset:
+    """Deterministic fixed-point Katz centrality over the undirected
+    simple graph: ``x[v] = beta + alpha * sum over u in N(v) of x[u]``
+    iterated ``n_iter`` times from ``x0 = beta`` — the classic
+    attenuated-path centrality (Katz 1953) that, unlike PageRank,
+    rewards raw reach without out-degree normalization.
+
+    Integer recurrence (the :func:`pagerank_fixed` discipline, so the
+    DuckDB oracle — an unrolled MATERIALIZED CTE chain — reproduces it
+    bit-for-bit): ``beta = S = 2**scale_bits`` and the attenuation is
+    ``alpha = 1/den`` with ``den = 2*max_degree + 1`` chosen from the
+    data, which guarantees convergence (``alpha < 1/lambda_max``
+    because ``lambda_max <= max_degree``) AND a mass bound: the
+    geometric series is dominated by ratio ``max_degree/den < 1/2``,
+    so ``x < 2*S`` always fits int64.  Per-edge contributions are
+    ``x[u] // den`` (each an exact integer, so distributed summation
+    is order-free).
+
+    Dataflow: the canonical edge list is indexed ONCE and stays
+    distributed; each iteration broadcasts the node-sized int64 vector
+    and folds per-block ``np.add.at`` scatter partials — identical
+    shape to :func:`pagerank_fixed` (node-sized driver state is the
+    documented ~16 B/node bound; the keyed-Dataset scale path of
+    ``pagerank_fixed_distributed`` applies verbatim past that).
+    Returns a Dataset of ``(node_id, den, katz_fixed, katz)`` with
+    ``katz = katz_fixed / S`` exactly representable."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if scale_bits > 31:
+        raise ValueError(
+            "scale_bits > 31 can overflow the 2*S int64 mass bound "
+            "under the edge-count multiplier")
+    canon = _canonical_edges(edges, src_col, dst_col).materialize()
+    nodes, deg = _node_degrees(canon)
+    empty = pa.table({"node_id": pa.array([], pa.uint64()),
+                      "den": pa.array([], pa.int64()),
+                      "katz_fixed": pa.array([], pa.int64()),
+                      "katz": pa.array([], pa.float64())})
+    if len(nodes) == 0:
+        return ray.data.from_arrow(empty)
+    den = 2 * int(deg.max()) + 1
+    nodes_ref = ray.put(nodes)
+
+    def index_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table({"ai": pa.array([], pa.int64()),
+                             "bi": pa.array([], pa.int64())})
+        nds = ray.get(nodes_ref)
+        a = np.searchsorted(nds, batch.column("a")
+                            .to_numpy(zero_copy_only=False))
+        b = np.searchsorted(nds, batch.column("b")
+                            .to_numpy(zero_copy_only=False))
+        return pa.table({"ai": pa.array(a, pa.int64()),
+                         "bi": pa.array(b, pa.int64())})
+
+    indexed = canon.map_batches(index_edges,
+                                batch_format="pyarrow").materialize()
+    n = len(nodes)
+    S = 1 << scale_bits
+    x = np.full(n, S, np.int64)
+    for _ in range(n_iter):
+        contrib_ref = ray.put(x // den)
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            c = ray.get(contrib_ref)
+            ai = batch.column("ai").to_numpy()
+            bi = batch.column("bi").to_numpy()
+            sums = np.zeros(len(c), np.int64)
+            np.add.at(sums, bi, c[ai])
+            np.add.at(sums, ai, c[bi])
+            nz = np.flatnonzero(sums)
+            return pa.table({"i": pa.array(nz, pa.int64()),
+                             "s": pa.array(sums[nz], pa.int64())})
+
+        parts = indexed.map_batches(scatter,
+                                    batch_format="pyarrow").to_pandas()
+        incoming = np.zeros(n, np.int64)
+        if len(parts):
+            np.add.at(incoming, parts["i"].to_numpy(np.int64),
+                      parts["s"].to_numpy(np.int64))
+        x = S + incoming
+    out = pa.table({
+        "node_id": pa.array(nodes, pa.uint64()),
+        "den": pa.array(np.full(n, den, np.int64), pa.int64()),
+        "katz_fixed": pa.array(x, pa.int64()),
+        "katz": pa.array(x.astype(np.float64) / float(S),
+                         pa.float64())})
+    return ray.data.from_arrow(out)
+
+
 def clustering_coefficient(edges: Dataset, src_col: str = "src_id",
                            dst_col: str = "dst_id",
                            n_buckets: int = 64) -> pd.DataFrame:

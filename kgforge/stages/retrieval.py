@@ -256,6 +256,87 @@ def importance_weights(docs: Dataset, target_col: str, target_value,
                 .map_batches(score_partial, batch_format="pyarrow"))
 
 
+def unigram_surprisal(docs: Dataset, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      dim: int = 256) -> Dataset:
+    """Per-document unigram-LM surprisal — the cheapest useful
+    "perplexity-ish" quality score a pretraining curation pass runs
+    before any neural scorer: fit a hashed unigram LM on the corpus
+    itself (md5 → ``dim`` buckets, add-1 smoothing), then score each
+    document by its total negative log-likelihood under that LM.
+    Boilerplate/templated documents score LOW (their tokens are
+    corpus-frequent); rare-vocabulary documents score HIGH.
+
+    Exactness contract (the DSIR discipline of
+    :func:`importance_weights`): the per-bucket surprisal
+    ``w = floor((ln(B + dim) - ln(c + 1)) * 1e9 + 0.5)`` is quantized
+    ONCE on the driver, so document scores are order-free INTEGER sums
+    and the DuckDB oracle matches hash-exactly.  ``w >= 0`` always
+    (``c + 1 <= B + dim``), so scores are non-negative.
+
+    Dataflow (the BM25 two-scan shape): pass 1 folds per-batch
+    ``bincount`` partials to ONE driver-side ``dim``-vector (text
+    never shuffles; O(blocks × dim) rows move); pass 2 re-tokenizes
+    and emits one ``(id_col, n_tokens, surprisal_e9)`` row per
+    document.  No reference counterpart (the reference has no corpus
+    statistics; net-new curation op)."""
+    import hashlib
+
+    def _dims_for(tokens: np.ndarray) -> np.ndarray:
+        uniq, inv = np.unique(tokens, return_inverse=True)
+        ud = np.fromiter(
+            (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % dim
+             for u in uniq), dtype=np.int64, count=len(uniq))
+        return ud[inv]
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, _parents, _dl = _token_lists(t.column(text_col))
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False),
+                          dtype=object)
+        if len(toks) == 0:
+            c = np.zeros(dim, dtype=np.int64)
+        else:
+            c = np.bincount(_dims_for(toks),
+                            minlength=dim).astype(np.int64)
+        return pa.table({"dim": pa.array(np.arange(dim, dtype=np.int64)),
+                         "c": pa.array(c)})
+
+    partials = (docs.select_columns([text_col])
+                    .map_batches(count_partial, batch_format="pyarrow")
+                    .to_pandas())
+    agg = partials.groupby("dim")["c"].sum()
+    c_all = np.zeros(dim, dtype=np.int64)
+    c_all[agg.index.to_numpy()] = agg.to_numpy()
+    total = int(c_all.sum())
+    # quantized per-bucket surprisal, op-for-op the SQL oracle's
+    # expression: ln(B + dim) - ln(c + 1), then floor(x*1e9 + .5)
+    w = np.array(
+        [math.floor((math.log(float(total + dim))
+                     - math.log(float(c_all[b] + 1))) * 1e9 + 0.5)
+         for b in range(dim)], dtype=np.int64)
+
+    import ray
+    w_ref = ray.put(w)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        flat, parents, dl = _token_lists(t.column(text_col))
+        score = np.zeros(t.num_rows, dtype=np.int64)
+        if len(parents):
+            toks = np.asarray(flat.to_numpy(zero_copy_only=False),
+                              dtype=object)
+            # int64 np.add.at, not a float bincount — exactness is the
+            # contract (importance_weights' argument)
+            np.add.at(score, parents, wv[_dims_for(toks)])
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(dl, pa.int64()),
+            "surprisal_e9": pa.array(score, pa.int64())})
+
+    return (docs.select_columns([id_col, text_col])
+                .map_batches(score_partial, batch_format="pyarrow"))
+
+
 def inverted_index(docs: Dataset, id_col: str = "doc_id",
                    text_col: str = "text",
                    n_buckets: int = 16) -> Dataset:
