@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_lang_entropy_pages": Q.host_lang_entropy_pages,
         "kg_preferential_attachment": Q.kg_preferential_attachment,
         "kg_katz": Q.kg_katz,
+        "kg_assortativity": Q.kg_assortativity,
+        "kg_two_hop_reach": Q.kg_two_hop_reach,
         # stop-shingle-guard re-gate (r02/r03 green; the new default
         # cutoff 1000 exceeds the sf0.1 df range, so gate-scale
         # behavior is unchanged and the r03 row still covers it) and
@@ -1766,6 +1768,69 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point Katz: unrolled integer CTE chain, den derived
         # inside the SQL (2*max_degree + 1) so the string is static
         "kg_katz": _katz_sql(n_iter=5, scale_bits=30),
+        # degree assortativity: HUGEINT moments over both edge
+        # orientations, the grouped_corr IEEE finish mirrored op-for-op
+        "kg_assortativity": f"""
+            WITH e0 AS ({_KG_EDGES_SQL}),
+            c AS (SELECT DISTINCT src_id AS a, dst_id AS b FROM e0
+                  WHERE src_id < dst_id
+                  UNION SELECT DISTINCT dst_id, src_id FROM e0
+                  WHERE dst_id < src_id),
+            nb AS (SELECT a AS u, b AS v FROM c
+                   UNION ALL SELECT b, a FROM c),
+            dg AS (SELECT u, count(*) AS d FROM nb GROUP BY u),
+            s AS (SELECT du.d AS x, dv.d AS y
+                  FROM nb JOIN dg du ON nb.u = du.u
+                          JOIN dg dv ON nb.v = dv.u),
+            mom AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+                           CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                           CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                               AS sxx,
+                           CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT)
+                               AS sxy
+                    FROM s HAVING count(*) > 0)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM dg) AS n_nodes,
+                   CAST(m // 2 AS BIGINT) AS n_edges,
+                   CASE WHEN sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                             = 0.0
+                        THEN 0.0
+                        ELSE CAST(m * sxy - sx * sx AS DOUBLE)
+                             / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(m * sxx - sx * sx
+                                            AS DOUBLE)))
+                   END AS assortativity
+            FROM mom
+        """,
+        # 2-hop reach: degree + distinct distance-2 non-neighbor count
+        # from the shared candidate SQL — all integers
+        "kg_two_hop_reach": f"""
+            WITH e0 AS ({_KG_EDGES_SQL}),
+            c AS (SELECT DISTINCT src_id AS a, dst_id AS b FROM e0
+                  WHERE src_id < dst_id
+                  UNION SELECT DISTINCT dst_id, src_id FROM e0
+                  WHERE dst_id < src_id),
+            nb AS (SELECT a AS u, b AS v FROM c
+                   UNION ALL SELECT b, a FROM c),
+            dg AS (SELECT u, count(*) AS d FROM nb GROUP BY u),
+            inter AS (SELECT x.v AS a, y.v AS b
+                      FROM nb x JOIN nb y
+                        ON x.u = y.u AND x.v < y.v
+                      GROUP BY 1, 2),
+            cand AS (SELECT * FROM inter i
+                     WHERE NOT EXISTS (SELECT 1 FROM c e
+                                       WHERE e.a = i.a AND e.b = i.b)),
+            d2 AS (SELECT node_id, CAST(count(*) AS BIGINT) AS n_dist2
+                   FROM (SELECT a AS node_id FROM cand
+                         UNION ALL SELECT b FROM cand)
+                   GROUP BY 1)
+            SELECT dg.u AS node_id, CAST(dg.d AS BIGINT) AS degree,
+                   COALESCE(d2.n_dist2, 0) AS n_dist2,
+                   CAST(dg.d + COALESCE(d2.n_dist2, 0) AS BIGINT)
+                       AS reach2
+            FROM dg LEFT JOIN d2 ON dg.u = d2.node_id
+            ORDER BY node_id
+        """,
         "kg_link_prediction": f"""
             WITH e0 AS ({_KG_EDGES_SQL}),
             -- no least()/greatest(): DuckDB promotes UBIGINT args to

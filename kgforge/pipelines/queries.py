@@ -3709,3 +3709,23 @@ def kg_katz(sf_dir: str):
     from ..stages.graph import katz_fixed
     _ensure_gate_artifact(sf_dir)
     return katz_fixed(_kg_result(sf_dir).edges, n_iter=5).sort("node_id")
+
+
+def kg_assortativity(sf_dir: str):
+    """Degree assortativity of the built KG — one scalar (hubs-attach-
+    to-hubs vs hubs-attach-to-leaves).  Exact integer moments over
+    both edge orientations + the mirrored IEEE Pearson finish
+    (``grouped_corr`` discipline), bit-exact oracle."""
+    from ..stages.graph import degree_assortativity
+    _ensure_gate_artifact(sf_dir)
+    return degree_assortativity(_kg_result(sf_dir).edges)
+
+
+def kg_two_hop_reach(sf_dir: str):
+    """Per-node 2-hop reach (friend-of-friend audience size) of the
+    built KG — ``deg(v)`` + distinct distance-2 non-neighbors, a pure
+    composition over the wedge-candidate machinery.  All integers;
+    bit-exact oracle."""
+    from ..stages.graph import two_hop_reach
+    _ensure_gate_artifact(sf_dir)
+    return two_hop_reach(_kg_result(sf_dir).edges).sort("node_id")

@@ -1525,6 +1525,133 @@ def katz_fixed(edges: Dataset, src_col: str = "src_id",
     return ray.data.from_arrow(out)
 
 
+def degree_assortativity(edges: Dataset, src_col: str = "src_id",
+                         dst_col: str = "dst_id",
+                         n_buckets: int = 64) -> Dataset:
+    """Degree assortativity coefficient of the undirected simple graph
+    (Newman 2002): the Pearson correlation of the degrees at either
+    end of an edge, computed over both orientations of every edge —
+    one scalar that says whether hubs attach to hubs (> 0, social
+    graphs) or to leaves (< 0, web/biology graphs).
+
+    Exactness contract (the ``grouped_corr`` discipline,
+    ``kgforge.stages.relational``): moments are EXACT arbitrary-
+    precision integers — per-block partials accumulate Python ints
+    over the broadcast degree vector, the driver folds the tiny
+    O(blocks) partial table, and the coefficient is the same mirrored
+    IEEE finish (three rounded casts + sqrt·sqrt + one division), so
+    the DuckDB oracle gates bit-exactly.  Symmetry note: over both
+    orientations ``sx == sy`` and ``sxx == syy`` by construction; the
+    engine still carries them separately so the finish is op-for-op
+    the oracle's.
+
+    Dataflow: canonical edge set (one bucket shuffle) → per-block
+    integer moment partials against the node-sized broadcast degree
+    vector → driver fold of O(blocks) rows.  Output: ONE row
+    ``(n_nodes, n_edges, assortativity)``; empty graph → empty
+    table."""
+    import math
+    canon = _canonical_edges(edges, src_col, dst_col,
+                             n_buckets).materialize()
+    nodes, deg = _node_degrees(canon)
+    empty = pa.table({"n_nodes": pa.array([], pa.int64()),
+                      "n_edges": pa.array([], pa.int64()),
+                      "assortativity": pa.array([], pa.float64())})
+    if len(nodes) == 0:
+        return ray.data.from_arrow(empty)
+    nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg)
+    dec = pa.decimal128(38, 0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"m": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64()),
+                             "sxx": pa.array([], dec),
+                             "sxy": pa.array([], dec)})
+        nds, dg = ray.get(nodes_ref), ray.get(deg_ref)
+        da = dg[np.searchsorted(
+            nds, t.column("a").to_numpy(zero_copy_only=False))]
+        db = dg[np.searchsorted(
+            nds, t.column("b").to_numpy(zero_copy_only=False))]
+        ao, bo = da.astype(object), db.astype(object)
+        # both orientations of every edge: sx == sy, sxx == syy
+        return pa.table({
+            "m": pa.array([2 * t.num_rows], pa.int64()),
+            "sx": pa.array([int((ao + bo).sum())], pa.int64()),
+            "sxx": pa.array([int((ao * ao + bo * bo).sum())], dec),
+            "sxy": pa.array([int((2 * ao * bo).sum())], dec)})
+
+    m = sx = sxx = sxy = 0
+    for row in canon.map_batches(partial,
+                                 batch_format="pyarrow").take_all():
+        m += int(row["m"]); sx += int(row["sx"])
+        sxx += int(row["sxx"]); sxy += int(row["sxy"])
+    num = float(m * sxy - sx * sx)
+    den = (math.sqrt(float(m * sxx - sx * sx))
+           * math.sqrt(float(m * sxx - sx * sx)))
+    r = num / den if den != 0.0 else 0.0
+    return ray.data.from_arrow(pa.table({
+        "n_nodes": pa.array([len(nodes)], pa.int64()),
+        "n_edges": pa.array([m // 2], pa.int64()),
+        "assortativity": pa.array([r], pa.float64())}))
+
+
+def two_hop_reach(edges: Dataset, src_col: str = "src_id",
+                  dst_col: str = "dst_id",
+                  n_buckets: int = 64) -> Dataset:
+    """Per-node 2-hop reach over the undirected simple graph:
+    ``reach2(v) = |{u : 1 <= dist(v, u) <= 2}|`` — the
+    friend-of-friend audience size used for influence estimation and
+    for sizing negative-sampling pools in graph-embedding training.
+
+    Pure composition of existing exact machinery:
+    ``reach2 = deg(v) + #distance-2-non-edge candidate pairs touching
+    v`` — the candidate set from :func:`_wedge_candidates` is exactly
+    the distinct distance-2 non-neighbor pairs, so no new exchange
+    shape; one extra per-node count fold over the candidate rows plus
+    the node-sized broadcast degree vector.  All integers → bit-exact
+    oracle."""
+    canon = _canonical_edges(edges, src_col, dst_col,
+                             n_buckets).materialize()
+    nodes, deg = _node_degrees(canon)
+    empty = pa.table({"node_id": pa.array([], pa.uint64()),
+                      "degree": pa.array([], pa.int64()),
+                      "n_dist2": pa.array([], pa.int64()),
+                      "reach2": pa.array([], pa.int64())})
+    if len(nodes) == 0:
+        return ray.data.from_arrow(empty)
+    nodes_ref = ray.put(nodes)
+    ones_ref = ray.put(np.ones(len(nodes), np.int64))
+    pairs = _wedge_candidates(canon, n_buckets, nodes_ref, ones_ref)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        nds = ray.get(nodes_ref)
+        sums = np.zeros(len(nds), np.int64)
+        np.add.at(sums, np.searchsorted(
+            nds, t.column("a").to_numpy(zero_copy_only=False)), 1)
+        np.add.at(sums, np.searchsorted(
+            nds, t.column("b").to_numpy(zero_copy_only=False)), 1)
+        nz = np.flatnonzero(sums)
+        return pa.table({"i": pa.array(nz, pa.int64()),
+                         "c": pa.array(sums[nz], pa.int64())})
+
+    parts = pairs.map_batches(count_partial,
+                              batch_format="pyarrow").to_pandas()
+    n_dist2 = np.zeros(len(nodes), np.int64)
+    if len(parts):
+        np.add.at(n_dist2, parts["i"].to_numpy(np.int64),
+                  parts["c"].to_numpy(np.int64))
+    return ray.data.from_arrow(pa.table({
+        "node_id": pa.array(nodes, pa.uint64()),
+        "degree": pa.array(deg, pa.int64()),
+        "n_dist2": pa.array(n_dist2, pa.int64()),
+        "reach2": pa.array(deg + n_dist2, pa.int64())}))
+
+
 def clustering_coefficient(edges: Dataset, src_col: str = "src_id",
                            dst_col: str = "dst_id",
                            n_buckets: int = 64) -> pd.DataFrame:

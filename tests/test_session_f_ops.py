@@ -14,7 +14,9 @@ import pyarrow.parquet as pq
 import pytest
 import ray
 
-from kgforge.stages.graph import katz_fixed, link_prediction_preferential
+from kgforge.stages.graph import (degree_assortativity, katz_fixed,
+                                  link_prediction_preferential,
+                                  two_hop_reach)
 from kgforge.stages.retrieval import importance_weights, unigram_surprisal
 
 SF = "/root/testdata/sf0.001"
@@ -190,6 +192,63 @@ def test_katz_fixed_matches_reference():
         assert got.loc[u, "katz_fixed"] == xv
         assert got.loc[u, "katz"] == xv / float(S)
         assert xv < 2 * S  # the documented mass bound
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_degree_assortativity_matches_reference():
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5), (5, 6), (6, 7),
+             (7, 8), (2, 8)]
+    ds = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([a for a, _ in edges], pa.uint64()),
+        "dst_id": pa.array([b for _, b in edges], pa.uint64())}))
+    nbrs, _ = _brute_candidates(edges)
+    xs = []
+    for a, b in edges:
+        xs.append((len(nbrs[a]), len(nbrs[b])))
+        xs.append((len(nbrs[b]), len(nbrs[a])))
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxx = sum(x * x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    num = float(m * sxy - sx * sx)
+    den = (math.sqrt(float(m * sxx - sx * sx))
+           * math.sqrt(float(m * sxx - sx * sx)))
+    got = degree_assortativity(ds).to_pandas()
+    assert len(got) == 1
+    assert got.loc[0, "n_nodes"] == len(nbrs)
+    assert got.loc[0, "n_edges"] == len(edges)
+    assert got.loc[0, "assortativity"] == num / den
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_degree_assortativity_regular_graph_degenerate():
+    # a cycle is 2-regular: zero variance -> the 0.0 guard fires
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    ds = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([a for a, _ in edges], pa.uint64()),
+        "dst_id": pa.array([b for _, b in edges], pa.uint64())}))
+    got = degree_assortativity(ds).to_pandas()
+    assert got.loc[0, "assortativity"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_two_hop_reach_matches_brute_force():
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (2, 6),
+             (6, 7), (7, 1), (4, 8), (10, 11)]
+    ds = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([a for a, _ in edges], pa.uint64()),
+        "dst_id": pa.array([b for _, b in edges], pa.uint64())}))
+    nbrs, _ = _brute_candidates(edges)
+    got = two_hop_reach(ds).to_pandas().set_index("node_id")
+    assert len(got) == len(nbrs)
+    for v, nn in nbrs.items():
+        ball = set(nn)
+        for u in nn:
+            ball |= nbrs[u]
+        ball.discard(v)
+        assert got.loc[v, "degree"] == len(nn)
+        assert got.loc[v, "reach2"] == len(ball)
+        assert got.loc[v, "n_dist2"] == len(ball) - len(nn)
 
 
 @pytest.mark.usefixtures("ray_session")
