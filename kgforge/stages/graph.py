@@ -2450,7 +2450,8 @@ def label_propagation_fixed(edges: Dataset, src_col: str = "src_id",
                             dst_col: str = "dst_id", n_iter: int = 5,
                             n_buckets: int = 64, mode: str = "auto",
                             driver_node_limit: int | None = None,
-                            dedup_edges: bool = True):
+                            dedup_edges: bool = True,
+                            driver_fold_edge_limit: int = 20_000_000):
     """Deterministic synchronous label-propagation community detection
     over an undirected edge list — the classic LPA made SQL-oracle-able
     by removing every random choice:
@@ -2546,6 +2547,17 @@ def label_propagation_fixed(edges: Dataset, src_col: str = "src_id",
             "lab": pa.array(win["lab"].to_numpy(np.uint64),
                             pa.uint64())})
 
+    # Exchange-count knob: the per-round argmax needs the in-block
+    # vote partials brought together per node.  Below
+    # ``driver_fold_edge_limit`` indexed edges the partial table
+    # (<= 2|E| (i, lab, c) rows, usually far fewer after the in-block
+    # combiner) folds ON THE DRIVER — the pagerank_fixed shape, saving
+    # one sort shuffle PER ROUND (at gate scale each Ray groupby costs
+    # ~seconds of fixed exchange latency, 5x per run).  Past the limit
+    # the coarse-bucket exchange path is unchanged (vote volume on a
+    # dense 50M-node graph exceeds the node-sized driver contract).
+    driver_fold = indexed.count() <= driver_fold_edge_limit
+
     labels = nodes.copy()                      # label = own id
     for _ in range(n_iter):
         lab_ref = ray.put(labels)
@@ -2570,10 +2582,19 @@ def label_propagation_fixed(edges: Dataset, src_col: str = "src_id",
                     (df["i"].to_numpy(np.int64) % n_buckets),
                     pa.int64())})
 
-        win = (indexed.map_batches(votes, batch_format="pyarrow")
-               .groupby("bucket")
-               .map_groups(argmax_fold, batch_format="pandas")
-               .to_pandas())
+        if driver_fold:
+            parts = (indexed.map_batches(votes, batch_format="pyarrow")
+                     .to_pandas())
+            # the buckets partition i, so the global argmax IS the
+            # per-bucket argmax — same fold, zero exchanges
+            win = (argmax_fold(parts).to_pandas() if len(parts)
+                   else pd.DataFrame({"i": pd.Series([], np.int64),
+                                      "lab": pd.Series([], np.uint64)}))
+        else:
+            win = (indexed.map_batches(votes, batch_format="pyarrow")
+                   .groupby("bucket")
+                   .map_groups(argmax_fold, batch_format="pandas")
+                   .to_pandas())
         new = labels.copy()
         new[win["i"].to_numpy(np.int64)] = win["lab"].to_numpy(np.uint64)
         if np.array_equal(new, labels):

@@ -155,3 +155,18 @@ def test_community_stats_multigraph_dedup():
     # m = 1 (deduped): q_num = 4*1*0 - 1 = -1; a multiset m of 3 would
     # have given -1 too for e_in=0 but d_tot would be 3 -> -9
     assert list(out["q_num"]) == [-1, -1]
+
+
+def test_bucket_exchange_path_bit_identical_to_driver_fold():
+    # driver_fold_edge_limit=0 forces the per-round coarse-bucket
+    # exchange; default folds votes on the driver — same winners
+    rng = np.random.default_rng(7)
+    pairs = [(int(a), int(b)) for a, b in
+             rng.integers(0, 50, size=(200, 2)) if a != b]
+    a = label_propagation_fixed(_edges_ds(pairs), n_iter=4,
+                                mode="driver")
+    b = label_propagation_fixed(_edges_ds(pairs), n_iter=4,
+                                mode="driver",
+                                driver_fold_edge_limit=0)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
