@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_katz": Q.kg_katz,
         "kg_assortativity": Q.kg_assortativity,
         "kg_two_hop_reach": Q.kg_two_hop_reach,
+        "crawl_refresh_diff": Q.crawl_refresh_diff,
+        "vocab_coverage_docs": Q.vocab_coverage_docs,
         # stop-shingle-guard re-gate (r02/r03 green; the new default
         # cutoff 1000 exceeds the sf0.1 df range, so gate-scale
         # behavior is unchanged and the r03 row still covers it) and
@@ -2255,6 +2257,44 @@ def oracle_sql() -> dict[str, str]:
                 '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?')
             GROUP BY 1 ORDER BY host
         """,
+        # crawl-refresh snapshot diff: v2 re-derived INDEPENDENTLY from
+        # the same md5(url) bucket rules, FULL OUTER JOIN on url,
+        # status CASE mirrored; COALESCE(text, '') both sides
+        "crawl_refresh_diff": r"""
+            WITH p AS (
+              SELECT url, COALESCE(text, '') AS text,
+                     CAST(('0x' || substr(md5(url), 1, 8))::UBIGINT
+                          % 10 AS BIGINT) AS hb
+              FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')),
+            v1 AS (SELECT url, md5(text) AS th1 FROM p),
+            v2 AS (
+              SELECT url, CASE WHEN hb = 1 THEN md5(text || ' [rev2]')
+                               ELSE md5(text) END AS th2
+              FROM p WHERE hb <> 0
+              UNION ALL
+              SELECT url || '?v2', md5(text) FROM p WHERE hb = 2),
+            j AS (SELECT COALESCE(v1.url, v2.url) AS url, th1, th2
+                  FROM v1 FULL OUTER JOIN v2 ON v1.url = v2.url),
+            s AS (SELECT regexp_extract(url,
+                      '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                      1) AS host,
+                         CASE WHEN th1 IS NULL THEN 'added'
+                              WHEN th2 IS NULL THEN 'removed'
+                              WHEN th1 <> th2 THEN 'changed'
+                              ELSE 'unchanged' END AS status
+                  FROM j WHERE regexp_matches(url,
+                      '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?'))
+            SELECT host,
+                   count(*) FILTER (WHERE status = 'added')
+                       AS n_added,
+                   count(*) FILTER (WHERE status = 'removed')
+                       AS n_removed,
+                   count(*) FILTER (WHERE status = 'changed')
+                       AS n_changed,
+                   count(*) FILTER (WHERE status = 'unchanged')
+                       AS n_unchanged
+            FROM s GROUP BY 1 ORDER BY host
+        """,
         # per-host language entropy: quantized-ln on COUNTS makes
         # n*H an order-free integer; the float is ONE mirrored
         # division of it by (double(n) * 1e9)
@@ -3456,6 +3496,35 @@ def oracle_sql() -> dict[str, str]:
         # DSIR importance weights: per-bucket llr quantized to integer
         # nano-units (floor(x*1e9+0.5), ln ops mirrored verbatim), doc
         # scores are order-free integer sums => hash-exact
+        # vocabulary coverage: top-1000 vocab by (tf DESC, token),
+        # exact OOV counts, ONE mirrored IEEE division for the rate
+        "vocab_coverage_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(text,
+                            '[ \t\n\f\r]+')) AS t
+              FROM documents),
+            tok2 AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+            cnt AS (SELECT t, count(*) AS tf FROM tok2 GROUP BY t),
+            vocab AS (SELECT t FROM cnt
+                      ORDER BY tf DESC, t LIMIT 1000),
+            per AS (
+              SELECT tok2.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(*) FILTER (WHERE v.t IS NULL)
+                          AS BIGINT) AS n_oov
+              FROM tok2 LEFT JOIN vocab v USING (t)
+              GROUP BY tok2.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.n_oov, 0) AS n_oov,
+                   CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+                        ELSE CAST(p.n_oov AS DOUBLE)
+                             / CAST(p.n_tokens AS DOUBLE)
+                   END AS oov_rate
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         # unigram-LM surprisal: the DSIR quantization discipline over a
         # single (background) distribution — integer doc sums
         "surprisal_docs": """

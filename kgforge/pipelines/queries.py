@@ -3592,6 +3592,15 @@ def kg_walk_pairs(sf_dir: str):
         ["center_id", "context_id"])
 
 
+def vocab_coverage_docs(sf_dir: str):
+    """Per-document OOV rate against the corpus' own top-1000 token
+    vocabulary (``retrieval.vocab_coverage``) — the tokenizer-vocab QA
+    pass.  Counts exact; rate one mirrored IEEE division."""
+    from ..stages.retrieval import vocab_coverage
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return vocab_coverage(docs).sort("doc_id")
+
+
 def surprisal_docs(sf_dir: str):
     """Per-document unigram-LM surprisal over the corpus-fitted hashed
     LM (``retrieval.unigram_surprisal``) — the cheap pre-neural quality
@@ -3709,6 +3718,114 @@ def kg_katz(sf_dir: str):
     from ..stages.graph import katz_fixed
     _ensure_gate_artifact(sf_dir)
     return katz_fixed(_kg_result(sf_dir).edges, n_iter=5).sort("node_id")
+
+
+def snapshot_diff(v1, v2, n_buckets: int = 16) -> "ray.data.Dataset":
+    """Crawl-refresh delta between two snapshot Datasets of
+    ``(url, th)`` content-hash rows: per-host counts of added /
+    removed / changed / unchanged urls — the incremental-refresh
+    primitive that decides how much of a recrawl actually needs
+    reprocessing.
+
+    Shape: ONE tag-union sort shuffle (the verified
+    :func:`kgforge.stages.joins.full_outer_join` machinery) pairs the
+    two snapshots by url; status is a vectorized per-batch CASE; the
+    per-(host, status) combiner collapses to host-sized rows before
+    the tiny host-bucket pivot fold.  Content hashes ride the
+    exchange, never text."""
+    from ..functions.web import url_host_section
+    from ..stages.joins import full_outer_join
+    j = full_outer_join(v1, v2, "url", "url", ["th1"], ["th2"],
+                        key_name="url")
+    statuses = ["added", "removed", "changed", "unchanged"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        host, _, ok = url_host_section(t.column("url"))
+        df = pa.table({"host": host,
+                       "th1": t.column("th1"),
+                       "th2": t.column("th2")}).filter(ok).to_pandas()
+        a = df["th1"].isna()
+        r = df["th2"].isna()
+        df["status"] = np.where(
+            a, "added", np.where(
+                r, "removed", np.where(
+                    df["th1"] != df["th2"], "changed", "unchanged")))
+        agg = df.groupby(["host", "status"], as_index=False).size()
+        import zlib as _z
+        bs = [_z.crc32(h.encode("utf-8")) % 16 for h in agg["host"]]
+        return pa.table({
+            "host": pa.array(agg["host"], pa.string()),
+            "status": pa.array(agg["status"], pa.string()),
+            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "_b": pa.array(bs, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "host" not in g.columns:
+            return pa.table(
+                {"host": pa.array([], pa.string())}
+                | {f"n_{s}": pa.array([], pa.int64())
+                   for s in statuses})
+        piv = g.pivot_table(index="host", columns="status", values="n",
+                            aggfunc="sum", fill_value=0)
+        hosts = piv.index.tolist()
+        cols = {"host": pa.array(hosts, pa.string())}
+        for s in statuses:
+            v = (piv[s].to_numpy(np.int64) if s in piv.columns
+                 else np.zeros(len(hosts), np.int64))
+            cols[f"n_{s}"] = pa.array(v, pa.int64())
+        return pa.table(cols)
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+             .groupby("_b")
+             .map_groups(fold, batch_format="pandas")
+             .sort("host"))
+
+
+def crawl_refresh_diff(sf_dir: str):
+    """Snapshot diff over the pages corpus vs a DETERMINISTICALLY
+    synthesized recrawl (md5(url) bucket rules, so the SQL oracle
+    re-derives v2 independently): bucket 0 pages vanish, bucket 1
+    pages change text (content hash moves), bucket 2 pages gain a new
+    ``?v2`` sibling url.  Content hashes are md5 (the oracle-able
+    choice; swap ``pd.util.hash_array`` at production scale — the
+    ``oracle_mode`` idiom of exact dedup)."""
+    import hashlib
+    _ensure_gate_pages(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url", "text"])
+
+    def mk(side: int, col: str):
+        def f(t: pa.Table) -> pa.Table:
+            urls = t.column("url").to_pylist()
+            texts = t.column("text").to_pylist()
+            out_u: list[str] = []
+            out_h: list[str] = []
+            for u, x in zip(urls, texts):
+                x = x or ""
+                hb = int(hashlib.md5(
+                    u.encode("utf-8")).hexdigest()[:8], 16) % 10
+                if side == 0:
+                    out_u.append(u)
+                    out_h.append(hashlib.md5(
+                        x.encode("utf-8")).hexdigest())
+                else:
+                    if hb == 0:
+                        continue                       # removed in v2
+                    xt = x + " [rev2]" if hb == 1 else x
+                    out_u.append(u)
+                    out_h.append(hashlib.md5(
+                        xt.encode("utf-8")).hexdigest())
+                    if hb == 2:                        # new sibling
+                        out_u.append(u + "?v2")
+                        out_h.append(hashlib.md5(
+                            x.encode("utf-8")).hexdigest())
+            return pa.table({"url": pa.array(out_u, pa.string()),
+                             col: pa.array(out_h, pa.string())})
+        return f
+
+    v1 = pages.map_batches(mk(0, "th1"), batch_format="pyarrow")
+    v2 = pages.map_batches(mk(1, "th2"), batch_format="pyarrow")
+    return snapshot_diff(v1, v2)
 
 
 def kg_assortativity(sf_dir: str):

@@ -337,6 +337,53 @@ def unigram_surprisal(docs: Dataset, id_col: str = "doc_id",
                 .map_batches(score_partial, batch_format="pyarrow"))
 
 
+def vocab_coverage(docs: Dataset, vocab_size: int = 1000,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> Dataset:
+    """Tokenizer-vocabulary coverage audit: build the top-``vocab_size``
+    token vocabulary by ``(tf DESC, token ASC)`` and score every
+    document's out-of-vocabulary rate — the pretraining QA check that
+    catches corpora a fixed vocab can't represent (code, other
+    scripts, OCR noise) before a tokenizer is trained/frozen.
+
+    Dataflow: one corpus token fold
+    (:func:`kgforge.stages.relational.doc_frequencies` — per-batch
+    combiner + ONE bucket exchange) → the vocab is a top-k sort of the
+    token table, broadcast once via ``ray.put`` → one more corpus scan
+    emits ``(doc_id, n_tokens, n_oov, oov_rate)`` per document.
+    Counts are exact integers; ``oov_rate`` is ONE mirrored IEEE
+    division, so the DuckDB oracle gates bit-exactly."""
+    from .relational import doc_frequencies
+    vocab_df = (doc_frequencies(docs.select_columns([text_col]),
+                                text_col=text_col, k=None)
+                .sort(["tf", "token"], descending=[True, False])
+                .limit(vocab_size).to_pandas())
+    import ray
+    vocab_ref = ray.put(frozenset(vocab_df["token"].tolist()))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        flat, parents, dl = _token_lists(t.column(text_col))
+        n = t.num_rows
+        oov = np.zeros(n, dtype=np.int64)
+        if len(parents):
+            toks = np.asarray(flat.to_numpy(zero_copy_only=False),
+                              dtype=object)
+            miss = ~pd.Series(toks).isin(vocab).to_numpy()
+            np.add.at(oov, parents[miss], 1)
+        rate = np.where(
+            dl > 0,
+            oov.astype(np.float64) / dl.astype(np.float64), 0.0)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(dl, pa.int64()),
+            "n_oov": pa.array(oov, pa.int64()),
+            "oov_rate": pa.array(rate, pa.float64())})
+
+    return (docs.select_columns([id_col, text_col])
+                .map_batches(score, batch_format="pyarrow"))
+
+
 def inverted_index(docs: Dataset, id_col: str = "doc_id",
                    text_col: str = "text",
                    n_buckets: int = 16) -> Dataset:

@@ -261,3 +261,52 @@ def test_katz_path_graph_center_dominates():
     got = katz_fixed(ds, n_iter=8).to_pandas().set_index("node_id")
     assert got["katz_fixed"].idxmax() == 3
     assert got.loc[1, "katz_fixed"] == got.loc[5, "katz_fixed"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_diff_statuses():
+    from kgforge.pipelines.queries import snapshot_diff
+    v1 = ray.data.from_arrow(pa.table({
+        "url": pa.array([f"https://a.test/{i}" for i in range(4)]
+                        + ["https://b.test/x"], pa.string()),
+        "th1": pa.array(["h0", "h1", "h2", "h3", "hb"], pa.string())}))
+    # url 0 unchanged, url 1 changed, url 2 removed, url 3 unchanged,
+    # b.test/x removed, b.test/y + a.test/new added
+    v2 = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://a.test/0", "https://a.test/1",
+                         "https://a.test/3", "https://a.test/new",
+                         "https://b.test/y"], pa.string()),
+        "th2": pa.array(["h0", "h1x", "h3", "hn", "hy"], pa.string())}))
+    got = snapshot_diff(v1, v2).to_pandas().set_index("host")
+    assert got.loc["a.test", "n_unchanged"] == 2
+    assert got.loc["a.test", "n_changed"] == 1
+    assert got.loc["a.test", "n_removed"] == 1
+    assert got.loc["a.test", "n_added"] == 1
+    assert got.loc["b.test", "n_removed"] == 1
+    assert got.loc["b.test", "n_added"] == 1
+    assert got.loc["b.test", "n_changed"] == 0
+    assert got.loc["b.test", "n_unchanged"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_coverage_matches_reference():
+    from kgforge.stages.retrieval import vocab_coverage
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    cnt: Counter = Counter()
+    for row in docs.itertuples():
+        cnt.update(_tokens(row.text))
+    vocab = set(t for t, _ in sorted(cnt.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:50])
+    got = vocab_coverage(
+        ray.data.read_parquet(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        vocab_size=50).to_pandas().set_index("doc_id")
+    assert len(got) == len(docs)
+    for row in docs.itertuples():
+        toks = _tokens(row.text)
+        oov = sum(1 for t in toks if t not in vocab)
+        assert got.loc[row.doc_id, "n_tokens"] == len(toks)
+        assert got.loc[row.doc_id, "n_oov"] == oov
+        expect = (oov / float(len(toks))) if toks else 0.0
+        assert got.loc[row.doc_id, "oov_rate"] == expect
