@@ -2255,6 +2255,10 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')
             WHERE regexp_matches(url,
                 '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?')
+              -- engine's pandas (host, lang) combiner drops NULL-lang
+              -- rows (repo-wide null-group convention); mirror it so
+              -- n_pages agrees on corpora with missing lang
+              AND lang IS NOT NULL
             GROUP BY 1 ORDER BY host
         """,
         # crawl-refresh snapshot diff: v2 re-derived INDEPENDENTLY from
@@ -2305,7 +2309,8 @@ def oracle_sql() -> dict[str, str]:
                   1) AS host, lang
               FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')
               WHERE regexp_matches(url,
-                  '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?')),
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?')
+                AND lang IS NOT NULL),
             cl AS (SELECT host, lang, count(*) AS c
                    FROM p GROUP BY 1, 2),
             clq AS (SELECT host, c,

@@ -3628,72 +3628,11 @@ def dsir_select_docs(sf_dir: str):
                   descending=[True, False]).limit(200)
 
 
-def host_lang_entropy(pages) -> "ray.data.Dataset":
-    """Per-host Shannon entropy of the language mix over a
-    ``(url, lang)`` Dataset — the crawl-audit signal that separates
-    single-language sites from mixed/mis-tagged hosts (a high-entropy
-    host is where lang-ID escalation pays).  Integer-exact via the
-    quantized-ln trick on COUNTS (not probabilities): with
-    ``q(x) = floor(ln(x)*1e9 + 0.5)``,
-    ``h_e9n = n*q(n) - sum over langs of c*q(c)`` is an order-free
-    integer (= n·H in nano-nats, exact at 1e-9 per term), and the
-    float ``entropy`` is one mirrored IEEE expression.  One tiny
-    (host, lang) count exchange; text/html never move."""
-    from ..functions.web import url_host_section
-
-    def partial(t: pa.Table) -> pa.Table:
-        host, _, ok = url_host_section(t.column("url"))
-        df = pa.table({"host": host,
-                       "lang": t.column("lang")}).filter(ok).to_pandas()
-        agg = df.groupby(["host", "lang"], as_index=False).size()
-        import zlib as _z
-        bs = [_z.crc32(h.encode("utf-8")) % 16 for h in agg["host"]]
-        return pa.table({
-            "host": pa.array(agg["host"], pa.string()),
-            "lang": pa.array(agg["lang"], pa.string()),
-            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
-            "_b": pa.array(bs, pa.int64())})
-
-    def fold(g: pd.DataFrame) -> pa.Table:
-        if len(g) == 0 or "host" not in g.columns:
-            return pa.table({"host": pa.array([], pa.string()),
-                             "n_pages": pa.array([], pa.int64()),
-                             "n_langs": pa.array([], pa.int64()),
-                             "h_e9n": pa.array([], pa.int64()),
-                             "entropy": pa.array([], pa.float64())})
-        cl = g.groupby(["host", "lang"], as_index=False)["n"].sum()
-
-        def q(v: np.ndarray) -> np.ndarray:
-            # floor(ln(c)*1e9 + 0.5) per count — op-for-op the SQL
-            # oracle's expression (ulp-safe: ln args are small ints)
-            return np.floor(
-                np.log(v.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
-
-        cl["cq"] = cl["n"].to_numpy(np.int64) * q(cl["n"].to_numpy())
-        hn = cl.groupby("host").agg(
-            n_pages=("n", "sum"), n_langs=("n", "size"),
-            sum_cq=("cq", "sum")).reset_index()
-        n = hn["n_pages"].to_numpy(np.int64)
-        h_e9n = n * q(n) - hn["sum_cq"].to_numpy(np.int64)
-        ent = h_e9n.astype(np.float64) / (n.astype(np.float64) * 1e9)
-        return pa.table({
-            "host": pa.array(hn["host"], pa.string()),
-            "n_pages": pa.array(n, pa.int64()),
-            "n_langs": pa.array(hn["n_langs"].to_numpy(np.int64),
-                                pa.int64()),
-            "h_e9n": pa.array(h_e9n, pa.int64()),
-            "entropy": pa.array(ent, pa.float64())})
-
-    return (pages.map_batches(partial, batch_format="pyarrow")
-                 .groupby("_b")
-                 .map_groups(fold, batch_format="pandas")
-                 .sort("host"))
-
-
 def host_lang_entropy_pages(sf_dir: str):
-    """Gate wrapper over :func:`host_lang_entropy` for the CC-style
-    pages corpus (column-pruned read: only url + lang leave
+    """Gate wrapper over ``relational.host_lang_entropy`` for the
+    CC-style pages corpus (column-pruned read: only url + lang leave
     storage)."""
+    from ..stages.relational import host_lang_entropy
     _ensure_gate_pages(sf_dir)
     _, pages_path = pages_for_sf(sf_dir)
     pages = ray.data.read_parquet(pages_path, columns=["url", "lang"])
@@ -3720,67 +3659,6 @@ def kg_katz(sf_dir: str):
     return katz_fixed(_kg_result(sf_dir).edges, n_iter=5).sort("node_id")
 
 
-def snapshot_diff(v1, v2, n_buckets: int = 16) -> "ray.data.Dataset":
-    """Crawl-refresh delta between two snapshot Datasets of
-    ``(url, th)`` content-hash rows: per-host counts of added /
-    removed / changed / unchanged urls — the incremental-refresh
-    primitive that decides how much of a recrawl actually needs
-    reprocessing.
-
-    Shape: ONE tag-union sort shuffle (the verified
-    :func:`kgforge.stages.joins.full_outer_join` machinery) pairs the
-    two snapshots by url; status is a vectorized per-batch CASE; the
-    per-(host, status) combiner collapses to host-sized rows before
-    the tiny host-bucket pivot fold.  Content hashes ride the
-    exchange, never text."""
-    from ..functions.web import url_host_section
-    from ..stages.joins import full_outer_join
-    j = full_outer_join(v1, v2, "url", "url", ["th1"], ["th2"],
-                        key_name="url")
-    statuses = ["added", "removed", "changed", "unchanged"]
-
-    def partial(t: pa.Table) -> pa.Table:
-        host, _, ok = url_host_section(t.column("url"))
-        df = pa.table({"host": host,
-                       "th1": t.column("th1"),
-                       "th2": t.column("th2")}).filter(ok).to_pandas()
-        a = df["th1"].isna()
-        r = df["th2"].isna()
-        df["status"] = np.where(
-            a, "added", np.where(
-                r, "removed", np.where(
-                    df["th1"] != df["th2"], "changed", "unchanged")))
-        agg = df.groupby(["host", "status"], as_index=False).size()
-        import zlib as _z
-        bs = [_z.crc32(h.encode("utf-8")) % 16 for h in agg["host"]]
-        return pa.table({
-            "host": pa.array(agg["host"], pa.string()),
-            "status": pa.array(agg["status"], pa.string()),
-            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
-            "_b": pa.array(bs, pa.int64())})
-
-    def fold(g: pd.DataFrame) -> pa.Table:
-        if len(g) == 0 or "host" not in g.columns:
-            return pa.table(
-                {"host": pa.array([], pa.string())}
-                | {f"n_{s}": pa.array([], pa.int64())
-                   for s in statuses})
-        piv = g.pivot_table(index="host", columns="status", values="n",
-                            aggfunc="sum", fill_value=0)
-        hosts = piv.index.tolist()
-        cols = {"host": pa.array(hosts, pa.string())}
-        for s in statuses:
-            v = (piv[s].to_numpy(np.int64) if s in piv.columns
-                 else np.zeros(len(hosts), np.int64))
-            cols[f"n_{s}"] = pa.array(v, pa.int64())
-        return pa.table(cols)
-
-    return (j.map_batches(partial, batch_format="pyarrow")
-             .groupby("_b")
-             .map_groups(fold, batch_format="pandas")
-             .sort("host"))
-
-
 def crawl_refresh_diff(sf_dir: str):
     """Snapshot diff over the pages corpus vs a DETERMINISTICALLY
     synthesized recrawl (md5(url) bucket rules, so the SQL oracle
@@ -3790,6 +3668,8 @@ def crawl_refresh_diff(sf_dir: str):
     choice; swap ``pd.util.hash_array`` at production scale — the
     ``oracle_mode`` idiom of exact dedup)."""
     import hashlib
+
+    from ..stages.joins import snapshot_diff
     _ensure_gate_pages(sf_dir)
     _, pages_path = pages_for_sf(sf_dir)
     pages = ray.data.read_parquet(pages_path, columns=["url", "text"])
@@ -3802,23 +3682,24 @@ def crawl_refresh_diff(sf_dir: str):
             out_h: list[str] = []
             for u, x in zip(urls, texts):
                 x = x or ""
-                hb = int(hashlib.md5(
-                    u.encode("utf-8")).hexdigest()[:8], 16) % 10
                 if side == 0:
+                    # v1 never consults the url bucket — skip its md5
                     out_u.append(u)
                     out_h.append(hashlib.md5(
                         x.encode("utf-8")).hexdigest())
-                else:
-                    if hb == 0:
-                        continue                       # removed in v2
-                    xt = x + " [rev2]" if hb == 1 else x
-                    out_u.append(u)
+                    continue
+                hb = int(hashlib.md5(
+                    u.encode("utf-8")).hexdigest()[:8], 16) % 10
+                if hb == 0:
+                    continue                           # removed in v2
+                xt = x + " [rev2]" if hb == 1 else x
+                out_u.append(u)
+                out_h.append(hashlib.md5(
+                    xt.encode("utf-8")).hexdigest())
+                if hb == 2:                            # new sibling
+                    out_u.append(u + "?v2")
                     out_h.append(hashlib.md5(
-                        xt.encode("utf-8")).hexdigest())
-                    if hb == 2:                        # new sibling
-                        out_u.append(u + "?v2")
-                        out_h.append(hashlib.md5(
-                            x.encode("utf-8")).hexdigest())
+                        x.encode("utf-8")).hexdigest())
             return pa.table({"url": pa.array(out_u, pa.string()),
                              col: pa.array(out_h, pa.string())})
         return f

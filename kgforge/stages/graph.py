@@ -2451,7 +2451,7 @@ def label_propagation_fixed(edges: Dataset, src_col: str = "src_id",
                             n_buckets: int = 64, mode: str = "auto",
                             driver_node_limit: int | None = None,
                             dedup_edges: bool = True,
-                            driver_fold_edge_limit: int = 20_000_000):
+                            driver_fold_edge_limit: int = 2_000_000):
     """Deterministic synchronous label-propagation community detection
     over an undirected edge list — the classic LPA made SQL-oracle-able
     by removing every random choice:
@@ -2468,11 +2468,15 @@ def label_propagation_fixed(edges: Dataset, src_col: str = "src_id",
       the update to a fixed point is the identity.
 
     Dataflow: the per-round neighbour-label count is an in-block
-    combiner (distinct (node, label) partials per block) folded in ONE
-    coarse-bucket exchange where the per-node argmax is computed
-    vectorized — only node-sized (node, new_label) rows ever reach the
-    driver, which holds the label vector (``mode="driver"``, gated at
-    :data:`DRIVER_NODE_LIMIT`).  ``mode="distributed"`` keeps the label
+    combiner (distinct (node, label) partials per block).  Below
+    ``driver_fold_edge_limit`` indexed edges (default 2M — a bounded
+    ≤2·|E|-row partial table, ~100 MB worst case) the argmax folds ON
+    THE DRIVER, saving one sort-shuffle exchange PER ROUND; past the
+    limit the partials fold in ONE coarse-bucket exchange and only
+    node-sized (node, new_label) rows reach the driver, which holds
+    the label vector (``mode="driver"``, gated at
+    :data:`DRIVER_NODE_LIMIT`).  Both folds are the same argmax —
+    parity is test-pinned.  ``mode="distributed"`` keeps the label
     table as a keyed Dataset instead (two tag-union co-partition
     exchanges per round, the :func:`pagerank_fixed_distributed` shape)
     — bit-identical output, pinned in pytest.
@@ -2547,15 +2551,13 @@ def label_propagation_fixed(edges: Dataset, src_col: str = "src_id",
             "lab": pa.array(win["lab"].to_numpy(np.uint64),
                             pa.uint64())})
 
-    # Exchange-count knob: the per-round argmax needs the in-block
-    # vote partials brought together per node.  Below
-    # ``driver_fold_edge_limit`` indexed edges the partial table
-    # (<= 2|E| (i, lab, c) rows, usually far fewer after the in-block
-    # combiner) folds ON THE DRIVER — the pagerank_fixed shape, saving
-    # one sort shuffle PER ROUND (at gate scale each Ray groupby costs
-    # ~seconds of fixed exchange latency, 5x per run).  Past the limit
-    # the coarse-bucket exchange path is unchanged (vote volume on a
-    # dense 50M-node graph exceeds the node-sized driver contract).
+    # Exchange-count knob (see docstring): below the edge gate the
+    # <=2|E|-row vote-partial table folds on the driver — the
+    # pagerank_fixed shape, saving one sort shuffle PER ROUND (each
+    # Ray groupby costs ~seconds of fixed exchange latency, n_iter x
+    # per run).  Past the gate the coarse-bucket exchange path is
+    # unchanged (vote volume on a dense graph would exceed the
+    # node-sized driver contract).
     driver_fold = indexed.count() <= driver_fold_edge_limit
 
     labels = nodes.copy()                      # label = own id

@@ -505,3 +505,62 @@ def full_outer_join(left: Dataset, right: Dataset, left_col: str,
 
     return tagged.groupby("_bucket").map_groups(
         merge_bucket, batch_format="pandas")
+
+
+def snapshot_diff(v1: Dataset, v2: Dataset,
+                  n_buckets: int = 16) -> Dataset:
+    """Crawl-refresh delta between two snapshot Datasets of
+    ``(url, th)`` content-hash rows (``th1`` on the v1 side, ``th2``
+    on v2): per-host counts of added / removed / changed / unchanged
+    urls — the incremental-refresh primitive that decides how much of
+    a recrawl actually needs reprocessing.
+
+    Shape: ONE tag-union sort shuffle (:func:`full_outer_join`) pairs
+    the two snapshots by url; status is a vectorized per-batch CASE;
+    the per-(host, status) combiner collapses to host-sized rows
+    before the tiny host-bucket pivot fold.  Content hashes ride the
+    exchange, never text."""
+    from ..functions.web import url_host_section
+    j = full_outer_join(v1, v2, "url", "url", ["th1"], ["th2"],
+                        key_name="url")
+    statuses = ["added", "removed", "changed", "unchanged"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        host, _, ok = url_host_section(t.column("url"))
+        df = pa.table({"host": host,
+                       "th1": t.column("th1"),
+                       "th2": t.column("th2")}).filter(ok).to_pandas()
+        a = df["th1"].isna()
+        r = df["th2"].isna()
+        df["status"] = np.where(
+            a, "added", np.where(
+                r, "removed", np.where(
+                    df["th1"] != df["th2"], "changed", "unchanged")))
+        agg = df.groupby(["host", "status"], as_index=False).size()
+        return pa.table({
+            "host": pa.array(agg["host"], pa.string()),
+            "status": pa.array(agg["status"], pa.string()),
+            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "_b": pa.array(str_bucket(agg["host"], n_buckets),
+                           pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "host" not in g.columns:
+            return pa.table(
+                {"host": pa.array([], pa.string())}
+                | {f"n_{s}": pa.array([], pa.int64())
+                   for s in statuses})
+        piv = g.pivot_table(index="host", columns="status", values="n",
+                            aggfunc="sum", fill_value=0)
+        hosts = piv.index.tolist()
+        cols = {"host": pa.array(hosts, pa.string())}
+        for s in statuses:
+            v = (piv[s].to_numpy(np.int64) if s in piv.columns
+                 else np.zeros(len(hosts), np.int64))
+            cols[f"n_{s}"] = pa.array(v, pa.int64())
+        return pa.table(cols)
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+             .groupby("_b")
+             .map_groups(fold, batch_format="pandas")
+             .sort("host"))

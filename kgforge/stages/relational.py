@@ -1851,3 +1851,68 @@ def grouped_ks_drift(ds: Dataset, group_col: str, value_col: str,
                                  "ks_num", "ks_stat"])
 
     return folded.map_batches(rename, batch_format="pyarrow")
+
+
+def host_lang_entropy(pages: Dataset, n_buckets: int = 16) -> Dataset:
+    """Per-host Shannon entropy of the language mix over a
+    ``(url, lang)`` Dataset — the crawl-audit signal that separates
+    single-language sites from mixed/mis-tagged hosts (a high-entropy
+    host is where lang-ID escalation pays).  Rows with a NULL lang are
+    DROPPED (the repo-wide null-group-key convention; the oracle
+    mirrors ``lang IS NOT NULL``).
+
+    Integer-exact via the quantized-ln trick on COUNTS (not
+    probabilities): with ``q(x) = floor(ln(x)*1e9 + 0.5)``,
+    ``h_e9n = n*q(n) - sum over langs of c*q(c)`` is an order-free
+    integer (= n·H in nano-nats, exact at 1e-9 per term), and the
+    float ``entropy`` is one mirrored IEEE expression.  One tiny
+    (host, lang) count exchange; text/html never move."""
+    from ..functions.web import url_host_section
+
+    def partial(t: pa.Table) -> pa.Table:
+        host, _, ok = url_host_section(t.column("url"))
+        df = pa.table({"host": host,
+                       "lang": t.column("lang")}).filter(ok).to_pandas()
+        # pandas groupby drops NaN keys — the documented null-lang drop
+        agg = df.groupby(["host", "lang"], as_index=False).size()
+        return pa.table({
+            "host": pa.array(agg["host"], pa.string()),
+            "lang": pa.array(agg["lang"], pa.string()),
+            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "_b": pa.array(str_bucket(agg["host"], n_buckets),
+                           pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "host" not in g.columns:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "n_pages": pa.array([], pa.int64()),
+                             "n_langs": pa.array([], pa.int64()),
+                             "h_e9n": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
+        cl = g.groupby(["host", "lang"], as_index=False)["n"].sum()
+
+        def q(v: np.ndarray) -> np.ndarray:
+            # floor(ln(c)*1e9 + 0.5) per count — op-for-op the SQL
+            # oracle's expression (ulp-safe: ln args are small ints)
+            return np.floor(
+                np.log(v.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
+
+        cl["cq"] = cl["n"].to_numpy(np.int64) * q(cl["n"].to_numpy())
+        hn = cl.groupby("host").agg(
+            n_pages=("n", "sum"), n_langs=("n", "size"),
+            sum_cq=("cq", "sum")).reset_index()
+        n = hn["n_pages"].to_numpy(np.int64)
+        h_e9n = n * q(n) - hn["sum_cq"].to_numpy(np.int64)
+        ent = h_e9n.astype(np.float64) / (n.astype(np.float64) * 1e9)
+        return pa.table({
+            "host": pa.array(hn["host"], pa.string()),
+            "n_pages": pa.array(n, pa.int64()),
+            "n_langs": pa.array(hn["n_langs"].to_numpy(np.int64),
+                                pa.int64()),
+            "h_e9n": pa.array(h_e9n, pa.int64()),
+            "entropy": pa.array(ent, pa.float64())})
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+                 .groupby("_b")
+                 .map_groups(fold, batch_format="pandas")
+                 .sort("host"))

@@ -157,6 +157,19 @@ def bm25_topk(docs: Dataset, queries: dict[str, list[str]],
     return top[["query_id", id_col, "score", "rnk"]]
 
 
+def _md5_dims(tokens: np.ndarray, dim: int) -> np.ndarray:
+    """md5-hashed vocabulary bucket per token (shared by
+    :func:`importance_weights` and :func:`unigram_surprisal` — the SQL
+    oracles mirror this exact ``('0x' || substr(md5(t), 1, 8)) % dim``
+    expression, so both operators MUST share one implementation)."""
+    import hashlib
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    ud = np.fromiter(
+        (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % dim
+         for u in uniq), dtype=np.int64, count=len(uniq))
+    return ud[inv]
+
+
 def importance_weights(docs: Dataset, target_col: str, target_value,
                        id_col: str = "doc_id", text_col: str = "text",
                        dim: int = 256) -> Dataset:
@@ -180,15 +193,6 @@ def importance_weights(docs: Dataset, target_col: str, target_value,
     emits one row per document.  Output: ``(id_col, target_col,
     n_tokens, score_e9)``.
     """
-    import hashlib
-
-    def _dims_for(tokens: np.ndarray) -> np.ndarray:
-        uniq, inv = np.unique(tokens, return_inverse=True)
-        ud = np.fromiter(
-            (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % dim
-             for u in uniq), dtype=np.int64, count=len(uniq))
-        return ud[inv]
-
     def count_partial(t: pa.Table) -> pa.Table:
         flat, parents, _dl = _token_lists(t.column(text_col))
         toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
@@ -196,7 +200,7 @@ def importance_weights(docs: Dataset, target_col: str, target_value,
             z = np.zeros(dim, dtype=np.int64)
             c_all = c_tgt = z
         else:
-            dims = _dims_for(toks)
+            dims = _md5_dims(toks, dim)
             c_all = np.bincount(dims, minlength=dim).astype(np.int64)
             # fill_null: a NULL target value is background-only (a bare
             # to_numpy of a null-masked bool gives an object array that
@@ -240,7 +244,7 @@ def importance_weights(docs: Dataset, target_col: str, target_value,
         if len(parents):
             toks = np.asarray(flat.to_numpy(zero_copy_only=False),
                               dtype=object)
-            dims = _dims_for(toks)
+            dims = _md5_dims(toks, dim)
             # pure INT64 accumulation (np.add.at): a float64 weighted
             # bincount loses exactness past 2^53, which a >3e5-token
             # doc with large-|llr| buckets can reach — and exactness is
@@ -280,15 +284,6 @@ def unigram_surprisal(docs: Dataset, id_col: str = "doc_id",
     and emits one ``(id_col, n_tokens, surprisal_e9)`` row per
     document.  No reference counterpart (the reference has no corpus
     statistics; net-new curation op)."""
-    import hashlib
-
-    def _dims_for(tokens: np.ndarray) -> np.ndarray:
-        uniq, inv = np.unique(tokens, return_inverse=True)
-        ud = np.fromiter(
-            (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % dim
-             for u in uniq), dtype=np.int64, count=len(uniq))
-        return ud[inv]
-
     def count_partial(t: pa.Table) -> pa.Table:
         flat, _parents, _dl = _token_lists(t.column(text_col))
         toks = np.asarray(flat.to_numpy(zero_copy_only=False),
@@ -296,7 +291,7 @@ def unigram_surprisal(docs: Dataset, id_col: str = "doc_id",
         if len(toks) == 0:
             c = np.zeros(dim, dtype=np.int64)
         else:
-            c = np.bincount(_dims_for(toks),
+            c = np.bincount(_md5_dims(toks, dim),
                             minlength=dim).astype(np.int64)
         return pa.table({"dim": pa.array(np.arange(dim, dtype=np.int64)),
                          "c": pa.array(c)})
@@ -327,7 +322,7 @@ def unigram_surprisal(docs: Dataset, id_col: str = "doc_id",
                               dtype=object)
             # int64 np.add.at, not a float bincount — exactness is the
             # contract (importance_weights' argument)
-            np.add.at(score, parents, wv[_dims_for(toks)])
+            np.add.at(score, parents, wv[_md5_dims(toks, dim)])
         return pa.table({
             id_col: t.column(id_col),
             "n_tokens": pa.array(dl, pa.int64()),
@@ -371,9 +366,10 @@ def vocab_coverage(docs: Dataset, vocab_size: int = 1000,
                               dtype=object)
             miss = ~pd.Series(toks).isin(vocab).to_numpy()
             np.add.at(oov, parents[miss], 1)
-        rate = np.where(
-            dl > 0,
-            oov.astype(np.float64) / dl.astype(np.float64), 0.0)
+        # guarded divide (np.where would still evaluate 0/0 and warn)
+        rate = np.zeros(n, dtype=np.float64)
+        np.divide(oov.astype(np.float64), dl.astype(np.float64),
+                  out=rate, where=dl > 0)
         return pa.table({
             id_col: t.column(id_col),
             "n_tokens": pa.array(dl, pa.int64()),

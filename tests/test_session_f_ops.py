@@ -89,7 +89,7 @@ def test_dsir_select_is_top_200_of_weights():
 
 @pytest.mark.usefixtures("ray_session")
 def test_host_lang_entropy_multi_host_reference():
-    from kgforge.pipelines.queries import host_lang_entropy
+    from kgforge.stages.relational import host_lang_entropy
     rows = ([("https://a.test/x", "en")] * 4
             + [("https://a.test/y", "de")] * 4
             + [("https://b.test/", "en")] * 5          # single-lang
@@ -265,7 +265,7 @@ def test_katz_path_graph_center_dominates():
 
 @pytest.mark.usefixtures("ray_session")
 def test_snapshot_diff_statuses():
-    from kgforge.pipelines.queries import snapshot_diff
+    from kgforge.stages.joins import snapshot_diff
     v1 = ray.data.from_arrow(pa.table({
         "url": pa.array([f"https://a.test/{i}" for i in range(4)]
                         + ["https://b.test/x"], pa.string()),
@@ -310,3 +310,18 @@ def test_vocab_coverage_matches_reference():
         assert got.loc[row.doc_id, "n_oov"] == oov
         expect = (oov / float(len(toks))) if toks else 0.0
         assert got.loc[row.doc_id, "oov_rate"] == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_lang_entropy_drops_null_lang():
+    from kgforge.stages.relational import host_lang_entropy
+    t = pa.table({
+        "url": pa.array(["https://a.test/1", "https://a.test/2",
+                         "https://a.test/3"], pa.string()),
+        "lang": pa.array(["en", None, "en"], pa.string())})
+    got = host_lang_entropy(ray.data.from_arrow(t)).to_pandas()
+    # the NULL-lang row is dropped (repo-wide null-group convention,
+    # mirrored by the oracle's lang IS NOT NULL)
+    assert got.loc[0, "n_pages"] == 2
+    assert got.loc[0, "n_langs"] == 1
+    assert got.loc[0, "h_e9n"] == 0
