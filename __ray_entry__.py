@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop_reach": Q.kg_two_hop_reach,
         "crawl_refresh_diff": Q.crawl_refresh_diff,
         "vocab_coverage_docs": Q.vocab_coverage_docs,
+        "tfidf_terms_docs": Q.tfidf_terms_docs,
+        "crawl_budget_sections": Q.crawl_budget_sections,
         # stop-shingle-guard re-gate (r02/r03 green; the new default
         # cutoff 1000 exceeds the sf0.1 df range, so gate-scale
         # behavior is unchanged and the r03 row still covers it) and
@@ -3501,6 +3503,67 @@ def oracle_sql() -> dict[str, str]:
         # DSIR importance weights: per-bucket llr quantized to integer
         # nano-units (floor(x*1e9+0.5), ln ops mirrored verbatim), doc
         # scores are order-free integer sums => hash-exact
+        # per-doc top-3 TF-IDF keywords: idf quantized once (DSIR
+        # discipline) -> integer tf*idf_e9 scores, deterministic ties
+        "tfidf_terms_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(text,
+                            '[ \t\n\f\r]+')) AS t
+              FROM documents),
+            tok2 AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+            dft AS (SELECT t, count(DISTINCT doc_id) AS df
+                    FROM tok2 GROUP BY t),
+            nn AS (SELECT count(*) AS n FROM documents),
+            idf AS (
+              SELECT t,
+                     CAST(floor((ln(CAST(nn.n + 1 AS DOUBLE))
+                                 - ln(CAST(df + 1 AS DOUBLE)))
+                                * 1e9 + 0.5) AS BIGINT) AS idf_e9
+              FROM dft, nn),
+            tf AS (SELECT doc_id, t, count(*) AS tf
+                   FROM tok2 GROUP BY 1, 2),
+            sc AS (SELECT tf.doc_id, tf.t AS term,
+                          CAST(tf.tf AS BIGINT) AS tf,
+                          CAST(tf.tf * idf.idf_e9 AS BIGINT)
+                              AS score_e9
+                   FROM tf JOIN idf ON tf.t = idf.t)
+            SELECT doc_id, term, tf, score_e9 FROM sc
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_e9 DESC, term) <= 3
+            ORDER BY doc_id, score_e9 DESC, term
+        """,
+        # Hamilton crawl-budget apportionment: pure integer floor-div
+        # + largest-remainder window rank; sums exactly to the budget
+        "crawl_budget_sections": r"""
+            WITH d AS (
+              SELECT regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                       1) AS host,
+                     regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                       2) AS section,
+                     count(*) AS n_pages
+              FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')
+              WHERE regexp_matches(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?')
+              GROUP BY 1, 2),
+            tot AS (SELECT sum(n_pages) AS nn FROM d),
+            a AS (SELECT host, section, n_pages,
+                         (10000 * n_pages) // tot.nn AS base,
+                         (10000 * n_pages) % tot.nn AS rem
+                  FROM d, tot),
+            r AS (SELECT a.*, row_number() OVER (
+                      ORDER BY rem DESC, host, section) AS rnk
+                  FROM a),
+            s AS (SELECT sum(base) AS sb FROM a)
+            SELECT host, section, CAST(n_pages AS BIGINT) AS n_pages,
+                   CAST(base + CASE WHEN rnk <= 10000 - s.sb
+                                    THEN 1 ELSE 0 END AS BIGINT)
+                       AS allocated
+            FROM r, s ORDER BY host, section
+        """,
         # vocabulary coverage: top-1000 vocab by (tf DESC, token),
         # exact OOV counts, ONE mirrored IEEE division for the rate
         "vocab_coverage_docs": """

@@ -3592,6 +3592,31 @@ def kg_walk_pairs(sf_dir: str):
         ["center_id", "context_id"])
 
 
+def tfidf_terms_docs(sf_dir: str):
+    """Per-document top-3 TF-IDF keywords
+    (``retrieval.tfidf_top_terms``): integer ``tf * idf_e9`` scores
+    with the idf quantized once (DSIR discipline) — hash-exact
+    oracle."""
+    from ..stages.retrieval import tfidf_top_terms
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, k=3).sort(
+        ["doc_id", "score_e9", "term"], descending=[False, True, False])
+
+
+def crawl_budget_sections(sf_dir: str):
+    """Hamilton-apportioned crawl budget (10,000 fetch slots) across
+    (host, section) proportional to current page counts — the
+    recrawl-planning step downstream of ``domain_stats_pages``.
+    Pure integer arithmetic (``relational.largest_remainder_
+    allocation``); the allocation always sums exactly to the
+    budget."""
+    from ..stages.relational import largest_remainder_allocation
+    counts = domain_stats_pages(sf_dir)
+    return largest_remainder_allocation(
+        counts, ["host", "section"], "n_pages", budget=10_000).sort(
+        ["host", "section"])
+
+
 def vocab_coverage_docs(sf_dir: str):
     """Per-document OOV rate against the corpus' own top-1000 token
     vocabulary (``retrieval.vocab_coverage``) — the tokenizer-vocab QA

@@ -1916,3 +1916,41 @@ def host_lang_entropy(pages: Dataset, n_buckets: int = 16) -> Dataset:
                  .groupby("_b")
                  .map_groups(fold, batch_format="pandas")
                  .sort("host"))
+
+
+def largest_remainder_allocation(counts: Dataset, key_cols: list[str],
+                                 count_col: str,
+                                 budget: int) -> Dataset:
+    """Hamilton (largest-remainder) apportionment of an integer
+    ``budget`` across keys proportional to ``count_col`` — the crawl-
+    budget / sampling-quota allocator: every key gets
+    ``budget*c // total`` and the leftover units go to the largest
+    remainders (ties by key order).  Pure integer arithmetic, so the
+    DuckDB oracle (window rank over ``(budget*c) % total``) matches
+    bit-exactly, and ``sum(allocated) == budget`` always.
+
+    The input is a COUNTS table (the output of a fold like
+    ``domain_stats_pages`` — keys × 1 row), so this is a driver-sized
+    computation by construction; the distributed work is the count
+    fold that produced it."""
+    import ray
+    df = counts.to_pandas()
+    if len(df) == 0:
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([], pa.string()) for c in key_cols}
+            | {count_col: pa.array([], pa.int64()),
+               "allocated": pa.array([], pa.int64())}))
+    c = df[count_col].to_numpy(np.int64)
+    total = int(c.sum())
+    base = (budget * c) // total
+    rem = (budget * c) % total
+    order = df.assign(_rem=rem).sort_values(
+        ["_rem"] + key_cols, ascending=[False] + [True] * len(key_cols),
+        kind="mergesort")
+    extra = np.zeros(len(df), np.int64)
+    n_extra = budget - int(base.sum())
+    extra[order.index.to_numpy()[:n_extra]] = 1
+    out = df[key_cols].copy()
+    out[count_col] = c
+    out["allocated"] = base + extra
+    return ray.data.from_pandas(out)

@@ -380,6 +380,69 @@ def vocab_coverage(docs: Dataset, vocab_size: int = 1000,
                 .map_batches(score, batch_format="pyarrow"))
 
 
+def tfidf_top_terms(docs: Dataset, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> Dataset:
+    """Per-document top-``k`` TF-IDF terms — keyword extraction, the
+    retrieval-era summarization primitive (and the feature a
+    distinctive-vocabulary router keys on).  Differs from
+    ``distinctive_term_docs`` (rarest-term argmax): this ranks by the
+    actual ``tf·idf`` product and returns ``k`` rows per doc.
+
+    Exactness contract: idf is quantized ONCE per token on the driver
+    — ``idf_e9 = floor((ln(N+1) - ln(df+1))·1e9 + 0.5)`` (the DSIR
+    discipline) — so scores are exact int64 products ``tf * idf_e9``
+    and the per-doc top-k tie-break (score DESC, term ASC) is
+    deterministic; the DuckDB oracle gates hash-exactly.
+
+    Dataflow: one token fold
+    (:func:`kgforge.stages.relational.doc_frequencies`) → the
+    token→idf map broadcast via ``ray.put`` (corpus-vocabulary-sized;
+    at web scale keep the df table as a Dataset and score through a
+    token-bucket join instead) → one scoring scan emitting k rows per
+    doc.  Output: ``(id_col, term, tf, score_e9)``."""
+    from .relational import doc_frequencies
+    n_docs = docs.count()
+    df_tab = (doc_frequencies(docs.select_columns([text_col]),
+                              text_col=text_col, k=None).to_pandas())
+    idf = {
+        t: math.floor((math.log(float(n_docs + 1))
+                       - math.log(float(d + 1))) * 1e9 + 0.5)
+        for t, d in zip(df_tab["token"], df_tab["df"])}
+    import ray
+    idf_ref = ray.put(idf)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64()),
+                      "score_e9": pa.array([], pa.int64())})
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(idf_ref)
+        flat, parents, _dl = _token_lists(t.column(text_col))
+        if len(parents) == 0:
+            return empty
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False),
+                          dtype=object)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        d = (pd.DataFrame({"r": parents, "term": toks})
+             .groupby(["r", "term"], as_index=False).size()
+             .rename(columns={"size": "tf"}))
+        d["score_e9"] = (d["tf"].to_numpy(np.int64)
+                         * d["term"].map(m).to_numpy(np.int64))
+        d = d.sort_values(["r", "score_e9", "term"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        d = d.groupby("r", sort=False).head(k)
+        return pa.table({
+            id_col: pa.array(ids[d["r"].to_numpy()], pa.int64()),
+            "term": pa.array(d["term"].to_numpy(object), pa.string()),
+            "tf": pa.array(d["tf"].to_numpy(np.int64), pa.int64()),
+            "score_e9": pa.array(d["score_e9"].to_numpy(np.int64),
+                                 pa.int64())})
+
+    return (docs.select_columns([id_col, text_col])
+                .map_batches(score, batch_format="pyarrow"))
+
+
 def inverted_index(docs: Dataset, id_col: str = "doc_id",
                    text_col: str = "text",
                    n_buckets: int = 16) -> Dataset:

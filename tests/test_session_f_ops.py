@@ -325,3 +325,54 @@ def test_host_lang_entropy_drops_null_lang():
     assert got.loc[0, "n_pages"] == 2
     assert got.loc[0, "n_langs"] == 1
     assert got.loc[0, "h_e9n"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_top_terms_matches_reference():
+    from kgforge.stages.retrieval import tfidf_top_terms
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    n = len(docs)
+    dfc: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for row in docs.itertuples():
+        tc = Counter(_tokens(row.text))
+        per_doc[row.doc_id] = tc
+        dfc.update(tc.keys())
+    idf = {t: math.floor((math.log(n + 1) - math.log(d + 1)) * 1e9
+                         + 0.5) for t, d in dfc.items()}
+    got = tfidf_top_terms(
+        ray.data.read_parquet(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        k=3).to_pandas()
+    by_doc = {d: g for d, g in got.groupby("doc_id", sort=False)}
+    for row in docs.itertuples():
+        tc = per_doc[row.doc_id]
+        ref = sorted(((tf * idf[t], t, tf) for t, tf in tc.items()),
+                     key=lambda r: (-r[0], r[1]))[:3]
+        g = by_doc.get(row.doc_id)
+        if not ref:
+            assert g is None
+            continue
+        g = g.sort_values(["score_e9", "term"],
+                          ascending=[False, True])
+        assert len(g) == len(ref)
+        for (score, term, tf), r in zip(ref, g.itertuples()):
+            assert (r.term, r.tf, r.score_e9) == (term, tf, score)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_largest_remainder_allocation_exact():
+    from kgforge.stages.relational import largest_remainder_allocation
+    t = pa.table({"k": pa.array(["a", "b", "c", "d"], pa.string()),
+                  "n": pa.array([1, 1, 1, 4], pa.int64())})
+    got = (largest_remainder_allocation(
+        ray.data.from_arrow(t), ["k"], "n", budget=10)
+        .to_pandas().set_index("k"))
+    # base = 10*n//7 -> a,b,c: 1 (rem 3), d: 5 (rem 5); leftover
+    # 10-8=2 units go to d (rem 5) then a (rem 3, smallest key)
+    assert got["allocated"].sum() == 10
+    assert got.loc["d", "allocated"] == 6
+    assert got.loc["a", "allocated"] == 2
+    assert got.loc["b", "allocated"] == 1
+    assert got.loc["c", "allocated"] == 1
