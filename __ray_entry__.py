@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_docs": Q.vocab_coverage_docs,
         "tfidf_terms_docs": Q.tfidf_terms_docs,
         "crawl_budget_sections": Q.crawl_budget_sections,
+        "kg_bfs_distances": Q.kg_bfs_distances,
         # stop-shingle-guard re-gate (r02/r03 green; the new default
         # cutoff 1000 exceeds the sf0.1 df range, so gate-scale
         # behavior is unchanged and the r03 row still covers it) and
@@ -932,6 +933,45 @@ def _katz_sql(n_iter: int = 5, scale_bits: int = 30) -> str:
         SELECT node_id, dn.den AS den, x AS katz_fixed,
                CAST(x AS DOUBLE) / {float(S)} AS katz
         FROM fin CROSS JOIN dn ORDER BY node_id""")
+    return "".join(parts)
+
+
+def _bfs_sql(n_hops: int = 6) -> str:
+    """Mechanically-unrolled BFS distance labeling mirroring
+    ``kgforge.stages.graph.bfs_distances`` exactly: seed = min node
+    id, each hop promotes unlabeled neighbors of the previous
+    frontier.  All integer; AS MATERIALIZED is load-bearing (the
+    k-core lesson)."""
+    parts = [f"""
+        WITH e0 AS ({_KG_EDGES_SQL}),
+        c AS MATERIALIZED (
+            SELECT DISTINCT src_id AS a, dst_id AS b FROM e0
+            WHERE src_id < dst_id
+            UNION SELECT DISTINCT dst_id, src_id FROM e0
+            WHERE dst_id < src_id),
+        nb AS MATERIALIZED (SELECT a AS u, b AS v FROM c
+                            UNION ALL SELECT b, a FROM c),
+        seed AS MATERIALIZED (SELECT min(u) AS s FROM nb),
+        d0 AS MATERIALIZED (
+            SELECT u AS node_id,
+                   CASE WHEN u = seed.s THEN 0 ELSE -1 END AS dist
+            FROM (SELECT DISTINCT u FROM nb) CROSS JOIN seed),"""]
+    for h in range(1, n_hops + 1):
+        parts.append(f"""
+        d{h} AS MATERIALIZED (
+            SELECT d.node_id,
+                   CASE WHEN d.dist >= 0 THEN d.dist
+                        WHEN f.node_id IS NOT NULL THEN {h}
+                        ELSE -1 END AS dist
+            FROM d{h - 1} d LEFT JOIN (
+                SELECT DISTINCT nb.v AS node_id
+                FROM nb JOIN d{h - 1} p ON nb.u = p.node_id
+                WHERE p.dist = {h - 1}) f
+              ON d.node_id = f.node_id),""")
+    parts.append(f"""
+        fin AS (SELECT node_id, CAST(dist AS BIGINT) AS dist
+                FROM d{n_hops} WHERE dist >= 0)
+        SELECT node_id, dist FROM fin ORDER BY node_id""")
     return "".join(parts)
 
 
@@ -1772,6 +1812,9 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point Katz: unrolled integer CTE chain, den derived
         # inside the SQL (2*max_degree + 1) so the string is static
         "kg_katz": _katz_sql(n_iter=5, scale_bits=30),
+        # hop-labeled BFS from the min-id seed: unrolled LEFT-JOIN
+        # frontier chain, all integer
+        "kg_bfs_distances": _bfs_sql(n_hops=6),
         # degree assortativity: HUGEINT moments over both edge
         # orientations, the grouped_corr IEEE finish mirrored op-for-op
         "kg_assortativity": f"""

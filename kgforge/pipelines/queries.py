@@ -3734,6 +3734,16 @@ def crawl_refresh_diff(sf_dir: str):
     return snapshot_diff(v1, v2)
 
 
+def kg_bfs_distances(sf_dir: str):
+    """Hop-labeled BFS distances of the built KG from the smallest
+    node id, 6 hops (``graph.bfs_distances``) — all-integer; oracle is
+    an unrolled LEFT-JOIN CTE chain, bit-exact."""
+    from ..stages.graph import bfs_distances
+    _ensure_gate_artifact(sf_dir)
+    return bfs_distances(_kg_result(sf_dir).edges,
+                         n_hops=6).sort("node_id")
+
+
 def kg_assortativity(sf_dir: str):
     """Degree assortativity of the built KG — one scalar (hubs-attach-
     to-hubs vs hubs-attach-to-leaves).  Exact integer moments over

@@ -1525,6 +1525,76 @@ def katz_fixed(edges: Dataset, src_col: str = "src_id",
     return ray.data.from_arrow(out)
 
 
+def bfs_distances(edges: Dataset, n_hops: int = 6,
+                  src_col: str = "src_id", dst_col: str = "dst_id",
+                  n_buckets: int = 64) -> Dataset:
+    """Hop-labeled BFS over the undirected simple graph from a
+    DETERMINISTIC seed (the smallest node id): ``(node_id, dist)`` for
+    every node within ``n_hops`` — the distance-labeling primitive
+    under k-hop audience queries, eccentricity estimates and
+    seed-centric graph debugging (``k_hop`` returns membership only;
+    this labels WHICH hop).
+
+    Fixed ``n_hops`` unroll (the k-core/PageRank oracle discipline —
+    a data-dependent loop length can't be a static SQL string);
+    everything is integer, so the unrolled LEFT-JOIN CTE chain in the
+    oracle is bit-exact.  Dataflow: canonical edge list indexed once
+    and kept distributed; per hop, one sparse frontier-neighbor
+    scatter against the broadcast distance vector (node-sized driver
+    state — :func:`pagerank_fixed`'s documented bound)."""
+    if n_hops < 1:
+        raise ValueError("n_hops must be >= 1")
+    canon = _canonical_edges(edges, src_col, dst_col,
+                             n_buckets).materialize()
+    nodes, _deg = _node_degrees(canon)
+    empty = pa.table({"node_id": pa.array([], pa.uint64()),
+                      "dist": pa.array([], pa.int64())})
+    if len(nodes) == 0:
+        return ray.data.from_arrow(empty)
+    nodes_ref = ray.put(nodes)
+
+    def index_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table({"ai": pa.array([], pa.int64()),
+                             "bi": pa.array([], pa.int64())})
+        nds = ray.get(nodes_ref)
+        a = np.searchsorted(nds, batch.column("a")
+                            .to_numpy(zero_copy_only=False))
+        b = np.searchsorted(nds, batch.column("b")
+                            .to_numpy(zero_copy_only=False))
+        return pa.table({"ai": pa.array(a, pa.int64()),
+                         "bi": pa.array(b, pa.int64())})
+
+    indexed = canon.map_batches(index_edges,
+                                batch_format="pyarrow").materialize()
+    n = len(nodes)
+    dist = np.full(n, -1, np.int64)
+    dist[0] = 0                      # nodes is sorted: seed = min id
+    for h in range(1, n_hops + 1):
+        dist_ref = ray.put(dist)
+        hm1 = h - 1
+
+        def frontier_scatter(batch: pa.Table) -> pa.Table:
+            d = ray.get(dist_ref)
+            ai = batch.column("ai").to_numpy()
+            bi = batch.column("bi").to_numpy()
+            hit = np.zeros(len(d), bool)
+            hit[bi[d[ai] == hm1]] = True
+            hit[ai[d[bi] == hm1]] = True
+            nz = np.flatnonzero(hit & (d == -1))
+            return pa.table({"i": pa.array(nz, pa.int64())})
+
+        parts = indexed.map_batches(frontier_scatter,
+                                    batch_format="pyarrow").to_pandas()
+        if len(parts) == 0:
+            break
+        dist[parts["i"].to_numpy(np.int64)] = h
+    keep = dist >= 0
+    return ray.data.from_arrow(pa.table({
+        "node_id": pa.array(nodes[keep], pa.uint64()),
+        "dist": pa.array(dist[keep], pa.int64())}))
+
+
 def degree_assortativity(edges: Dataset, src_col: str = "src_id",
                          dst_col: str = "dst_id",
                          n_buckets: int = 64) -> Dataset:

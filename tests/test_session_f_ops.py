@@ -376,3 +376,42 @@ def test_largest_remainder_allocation_exact():
     assert got.loc["a", "allocated"] == 2
     assert got.loc["b", "allocated"] == 1
     assert got.loc["c", "allocated"] == 1
+
+
+def _bfs_reference(edges, n_hops=6):
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        if a == b:
+            continue
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    seed = min(nbrs)
+    dist = {seed: 0}
+    frontier = {seed}
+    for h in range(1, n_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in nbrs[u]:
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_distances_matches_reference():
+    from kgforge.stages.graph import bfs_distances
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+             (8, 9), (2, 5), (20, 21)]   # 20-21 unreachable from 1
+    ds = ray.data.from_arrow(pa.table({
+        "src_id": pa.array([a for a, _ in edges], pa.uint64()),
+        "dst_id": pa.array([b for _, b in edges], pa.uint64())}))
+    ref = _bfs_reference(edges, n_hops=6)
+    got = bfs_distances(ds, n_hops=6).to_pandas().set_index("node_id")
+    assert set(got.index) == set(ref)
+    for u, d in ref.items():
+        assert got.loc[u, "dist"] == d
+    assert 20 not in got.index and 21 not in got.index
+    # boundary: via the 2-5 shortcut node 9 sits at exactly hop 6
+    assert got.loc[9, "dist"] == 6
