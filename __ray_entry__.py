@@ -313,6 +313,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": Q.events_value_quantiles,
         "pack_documents": Q.pack_documents,
         "multimodal_decode": Q.multimodal_decode,
+        "events_value_trend": Q.events_value_trend,
+        "events_decayed_value": Q.events_decayed_value,
+        "ttr_docs": Q.ttr_docs,
+        "host_vocab_jaccard_pages": Q.host_vocab_jaccard_pages,
     }
 
 
@@ -4226,6 +4230,120 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(k) AS BIGINT) AS max_k
             FROM x WHERE k IS NOT NULL
             GROUP BY event_type ORDER BY event_type
+        """,
+        # OLS trend: integer moments (epoch SECONDS × cents), HUGEINT
+        # carriers, mirrored IEEE finish (grouped_corr recipe)
+        "events_value_trend": r"""
+            WITH c AS (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 1000000 AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+                AND event_type IS NOT NULL),
+            st AS (
+              SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy
+              FROM c GROUP BY g),
+            sl AS (
+              SELECT g, n, sx, sy,
+                     (n * sxx - CAST(sx AS HUGEINT) * sx = 0) AS zv,
+                     CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+                          THEN 0.0
+                          ELSE CAST(n * sxy - CAST(sx AS HUGEINT) * sy
+                                    AS DOUBLE)
+                               / CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                                      AS DOUBLE)
+                     END AS slope
+              FROM st)
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n, slope,
+                   CASE WHEN zv THEN 0.0
+                        ELSE (CAST(sy AS DOUBLE)
+                              - slope * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                   END AS intercept
+            FROM sl ORDER BY event_type
+        """,
+        # half-life decay: dyadic weights cents << (40-k) are exact
+        # integers; ONE mirrored division by 2^40 finishes.  The anchor
+        # is MAX(ts) over all non-null timestamps (pre-filter), matching
+        # the engine's anchor pass.
+        "events_decayed_value": r"""
+            WITH a AS (
+              SELECT MAX(epoch_us(ts)) AS anchor FROM events
+              WHERE ts IS NOT NULL),
+            e AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL),
+            w AS (
+              SELECT user_id,
+                     CAST(cents AS HUGEINT)
+                     * (CAST(1 AS HUGEINT) << CAST(40 - (
+                          CASE WHEN (a.anchor - us) // 604800000000 > 40
+                               THEN 40
+                               ELSE (a.anchor - us) // 604800000000
+                          END) AS INTEGER)) AS ws
+              FROM e, a)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(ws) AS DOUBLE)
+                       / CAST(CAST(1 AS HUGEINT) << 40 AS DOUBLE)
+                       AS decayed_cents
+            FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        # type-token ratio: exact int counts, ONE mirrored division
+        "ttr_docs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(COALESCE(text, ''),
+                                               '\S+')) AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types,
+                   CAST(COUNT(DISTINCT t) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS ttr
+            FROM tok GROUP BY doc_id ORDER BY doc_id
+        """,
+        # domain-vocabulary Jaccard (domain = host/section): distinct
+        # (domain, token) sets re-derived in SQL; ONE mirrored division
+        "host_vocab_jaccard_pages": r"""
+            WITH p AS (
+              SELECT regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                  1) || '/' || regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                  2) AS dom, text
+              FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')
+              WHERE regexp_matches(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?')),
+            ht AS (
+              SELECT DISTINCT dom, t FROM (
+                SELECT dom,
+                       unnest(regexp_extract_all(COALESCE(text, ''),
+                                                 '\S+')) AS t
+                FROM p) WHERE t IS NOT NULL),
+            sz AS (SELECT dom, COUNT(*) AS n FROM ht GROUP BY dom),
+            pr AS (
+              SELECT a.dom AS domain_a, b.dom AS domain_b,
+                     COUNT(*) AS n_common
+              FROM ht a JOIN ht b ON a.t = b.t AND a.dom < b.dom
+              GROUP BY 1, 2)
+            SELECT pr.domain_a, pr.domain_b,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(pr.n_common AS BIGINT) AS n_common,
+                   CAST(pr.n_common AS DOUBLE)
+                       / CAST(sa.n + sb.n - pr.n_common AS DOUBLE)
+                       AS jaccard
+            FROM pr
+            JOIN sz sa ON sa.dom = pr.domain_a
+            JOIN sz sb ON sb.dom = pr.domain_b
+            ORDER BY domain_a, domain_b
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

@@ -303,3 +303,45 @@ class HashLinearScorer:
                                     pa.array(scores, pa.int64()))
         return batch.append_column("n_tokens_scored",
                                    pa.array(counts, pa.int64()))
+
+
+def ttr_batch(batch: pa.Table, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """Per-document type-token ratio (lexical diversity): ``n_types /
+    n_tokens`` over whitespace tokens — the cheap repetition/quality
+    signal next to the Gopher repetition stats.  Docs with zero tokens
+    are DROPPED (the oracle mirrors ``n_tokens > 0``); the ratio is
+    ONE IEEE division of two exact ints, so the float gates exactly.
+
+    Embarrassingly parallel: everything happens inside the batch, text
+    never shuffles (the 100-TB shape — a pure map stage)."""
+    import pandas as pd
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern_regex(pc.fill_null(col, ""),
+                                   pattern="[ \t\n\f\r]+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    df = pd.DataFrame({"r": parent.to_numpy(zero_copy_only=False),
+                       "t": flat.to_numpy(zero_copy_only=False)})
+    df = df[df["t"] != ""]
+    n = len(batch)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    n_types = np.zeros(n, dtype=np.int64)
+    if len(df):
+        cnt = df.groupby("r").size()
+        n_tokens[cnt.index.to_numpy()] = cnt.to_numpy()
+        d = df.drop_duplicates().groupby("r").size()
+        n_types[d.index.to_numpy()] = d.to_numpy()
+    keep = n_tokens > 0
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)[keep]
+    nt = n_tokens[keep]
+    ny = n_types[keep]
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(nt, pa.int64()),
+        "n_types": pa.array(ny, pa.int64()),
+        "ttr": pa.array(ny.astype(np.float64) / nt.astype(np.float64),
+                        pa.float64())})

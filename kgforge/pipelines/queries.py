@@ -3762,3 +3762,42 @@ def kg_two_hop_reach(sf_dir: str):
     from ..stages.graph import two_hop_reach
     _ensure_gate_artifact(sf_dir)
     return two_hop_reach(_kg_result(sf_dir).edges).sort("node_id")
+
+
+def events_value_trend(sf_dir: str):
+    """Per-event-type OLS trend (slope cents/second + intercept) of
+    value against event time — exact integer moments, mirrored IEEE
+    finish (the grouped_corr recipe applied to regression)."""
+    from ..stages.relational import grouped_ols_trend
+    return grouped_ols_trend(
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"]),
+        "event_type", "ts", "value")
+
+
+def events_decayed_value(sf_dir: str):
+    """Per-user half-life (7-day) time-decayed value sum — dyadic
+    weights ``2^-k`` keep the fold an exact big-int sum; ONE mirrored
+    division by ``2^40`` finishes."""
+    from ..stages.windows import decayed_sum
+    return decayed_sum(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]))
+
+
+def ttr_docs(sf_dir: str):
+    """Per-document type-token ratio (lexical diversity) — pure map
+    stage, exact int counts, one mirrored division."""
+    from ..functions.textstats import ttr_batch
+    return _read(sf_dir, "documents",
+                 columns=["doc_id", "text"]).map_batches(
+        ttr_batch, batch_format="pyarrow")
+
+
+def host_vocab_jaccard_pages(sf_dir: str):
+    """Pairwise host-vocabulary Jaccard over the CC-style pages corpus
+    (mirror/syndication detection at host granularity) — distinct
+    (host, token) combiner, one token-bucket exchange."""
+    from ..stages.relational import host_vocab_jaccard
+    _ensure_gate_pages(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url", "text"])
+    return host_vocab_jaccard(pages)

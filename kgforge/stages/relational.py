@@ -1954,3 +1954,193 @@ def largest_remainder_allocation(counts: Dataset, key_cols: list[str],
     out[count_col] = c
     out["allocated"] = base + extra
     return ray.data.from_pandas(out)
+
+
+def grouped_ols_trend(ds: Dataset, group_col: str, ts_col: str,
+                      value_col: str) -> Dataset:
+    """Per-group OLS trend line of ``value`` (cents) against time
+    (epoch SECONDS) — the drift detector that turns "is this event
+    type's value going up?" into one number per group.
+
+    Exactness follows :func:`grouped_corr`'s recipe: per-batch
+    combiners emit exact integer moments ``(n, sx, sy, sxx, sxy)``
+    (second-order sums carried as ``decimal128(38)`` — epoch-seconds
+    squares overflow int64 after ~10^5 rows), the driver folds the tiny
+    O(blocks × groups) partial table with Python ints, and the finish
+    is mirrored IEEE op-for-op against the DuckDB oracle::
+
+        slope     = CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(n*sxx - sx*sx AS DOUBLE)          -- 1 div
+        intercept = (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))
+                    / CAST(n AS DOUBLE)
+
+    Units: slope is cents per second.  Rows with a NULL group, ts or
+    value are dropped (both sides).  Zero-variance groups emit
+    slope = intercept = 0.0 (mirrored CASE)."""
+    import ray
+
+    dec = pa.decimal128(38, 0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, ts_col, value_col])
+        t = t.filter(pc.and_(
+            pc.and_(t.column(ts_col).is_valid(),
+                    t.column(value_col).is_valid()),
+            t.column(group_col).is_valid()))
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64()),
+                             "sy": pa.array([], pa.int64()),
+                             "sxx": pa.array([], dec),
+                             "sxy": pa.array([], dec)})
+        # epoch seconds: µs // 1e6, matching the oracle's
+        # epoch_us(ts) // 1000000 (int floor division both sides)
+        x = pc.divide(t.column(ts_col).cast(pa.int64()),
+                      1_000_000).to_numpy(zero_copy_only=False)
+        y = _cents(t.column(value_col).to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({group_col: t.column(group_col).to_pylist()})
+        gname, ns, sxs, sys_, sxxs, sxys = [], [], [], [], [], []
+        for g, idx in df.groupby(group_col, sort=False).groups.items():
+            xi = x[np.asarray(idx)]
+            yi = y[np.asarray(idx)]
+            xo = xi.astype(object)
+            yo = yi.astype(object)
+            gname.append(g)
+            ns.append(len(xi))
+            sxs.append(int(xi.sum()))
+            sys_.append(int(yi.sum()))
+            sxxs.append(int((xo * xo).sum()))
+            sxys.append(int((xo * yo).sum()))
+        return pa.table({group_col: pa.array(gname, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "sx": pa.array(sxs, pa.int64()),
+                         "sy": pa.array(sys_, pa.int64()),
+                         "sxx": pa.array(sxxs, dec),
+                         "sxy": pa.array(sxys, dec)})
+
+    folded: dict[str, list[int]] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        e = folded.setdefault(row[group_col], [0, 0, 0, 0, 0])
+        e[0] += int(row["n"]); e[1] += int(row["sx"])
+        e[2] += int(row["sy"]); e[3] += int(row["sxx"])
+        e[4] += int(row["sxy"])
+    groups = sorted(folded)
+    ns, slopes, intercepts = [], [], []
+    for g in groups:
+        n, sx, sy, sxx, sxy = folded[g]
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope, intercept = 0.0, 0.0
+        else:
+            slope = float(n * sxy - sx * sy) / float(den)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+        ns.append(n); slopes.append(slope); intercepts.append(intercept)
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(groups, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "slope": pa.array(slopes, pa.float64()),
+        "intercept": pa.array(intercepts, pa.float64())}))
+
+
+def host_vocab_jaccard(pages: Dataset, n_buckets: int = N_BUCKETS
+                       ) -> Dataset:
+    """Pairwise Jaccard similarity of the distinct-token vocabularies
+    of every DOMAIN pair (domain = ``host/section``, the corpus's
+    crawl-partition unit) — the crawl-audit signal for mirror/
+    syndication detection (near-identical vocabularies flag scraped
+    copies that URL canonicalization misses).
+
+    Scale shape: the per-batch combiner emits DISTINCT ``(host,
+    token)`` rows (text never leaves the batch), ONE token-bucket
+    exchange dedups them globally, and each bucket emits per-host
+    vocabulary counts plus per-host-PAIR intersection counts (pairs
+    per token = hosts-on-token choose 2 — bounded by the host fan-out
+    of a token, not the corpus).  The driver folds the tiny
+    O(buckets × host-pairs) table; ``jaccard = n_common /
+    (n_a + n_b - n_common)`` is ONE IEEE division, mirrored in the
+    oracle.  Host count is assumed small relative to the corpus
+    (domains, not documents); the pair table is O(hosts²) worst case
+    but only for token-sharing hosts."""
+    import ray
+
+    from ..functions.web import url_host_section
+
+    def partial(t: pa.Table) -> pa.Table:
+        host, section, ok = url_host_section(t.column("url"))
+        dom = pc.binary_join_element_wise(host, section, "/")
+        t2 = pa.table({"host": dom,
+                       "text": t.column("text")}).filter(ok)
+        col = t2.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(col, ""),
+                                       pattern="[ \t\n\f\r]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        hosts_np = t2.column("host").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"host": hosts_np[parent.to_numpy()],
+                           "token": flat.to_numpy(zero_copy_only=False)})
+        df = df[df["token"] != ""].drop_duplicates()
+        bucket = str_bucket(df["token"], n_buckets)
+        return pa.table({"host": pa.array(df["host"], pa.string()),
+                         "token": pa.array(df["token"], pa.string()),
+                         "_b": pa.array(bucket, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        cols = {"kind": pa.array([], pa.string()),
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())}
+        if len(g) == 0 or "host" not in g.columns:
+            return pa.table(cols)
+        g = g.drop_duplicates(["host", "token"])
+        kinds, a_, b_, ns = [], [], [], []
+        hc = g.groupby("host").size()
+        kinds += ["h"] * len(hc)
+        a_ += hc.index.tolist()
+        b_ += [""] * len(hc)
+        ns += [int(v) for v in hc.to_numpy()]
+        # per token: emit every (h1 < h2) host pair once
+        pair_counts: dict[tuple, int] = {}
+        for _, hosts in g.groupby("token")["host"]:
+            hs = sorted(hosts)
+            if len(hs) < 2:
+                continue
+            for i in range(len(hs)):
+                for j in range(i + 1, len(hs)):
+                    k = (hs[i], hs[j])
+                    pair_counts[k] = pair_counts.get(k, 0) + 1
+        for (ha, hb), c in pair_counts.items():
+            kinds.append("p"); a_.append(ha); b_.append(hb); ns.append(c)
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "a": pa.array(a_, pa.string()),
+                         "b": pa.array(b_, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    parts = (pages.map_batches(partial, batch_format="pyarrow")
+                  .groupby("_b")
+                  .map_groups(fold, batch_format="pandas"))
+    sizes: dict[str, int] = {}
+    commons: dict[tuple, int] = {}
+    for row in parts.take_all():
+        if row["kind"] == "h":
+            sizes[row["a"]] = sizes.get(row["a"], 0) + int(row["n"])
+        else:
+            k = (row["a"], row["b"])
+            commons[k] = commons.get(k, 0) + int(row["n"])
+    pairs = sorted(commons)
+    ha, hb, na, nb, nc, jac = [], [], [], [], [], []
+    for a, b in pairs:
+        c = commons[(a, b)]
+        sa, sb = sizes[a], sizes[b]
+        ha.append(a); hb.append(b)
+        na.append(sa); nb.append(sb); nc.append(c)
+        jac.append(float(c) / float(sa + sb - c))
+    return ray.data.from_arrow(pa.table({
+        "domain_a": pa.array(ha, pa.string()),
+        "domain_b": pa.array(hb, pa.string()),
+        "n_a": pa.array(na, pa.int64()),
+        "n_b": pa.array(nb, pa.int64()),
+        "n_common": pa.array(nc, pa.int64()),
+        "jaccard": pa.array(jac, pa.float64())}))

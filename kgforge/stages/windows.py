@@ -722,3 +722,92 @@ def grouped_transitions(ds: Dataset, key_col: str = "user_id",
             .map_groups(fold, batch_format="pandas")
             .groupby("_fb")
             .map_groups(final, batch_format="pandas"))
+
+
+def decayed_sum(ds: Dataset, key_col: str = "user_id", ts_col: str = "ts",
+                value_col: str = "value",
+                halflife_us: int = 604_800_000_000, kmax: int = 40,
+                n_buckets: int = 64) -> Dataset:
+    """Half-life time-decayed value sum per key — the freshness
+    weighting a crawl scheduler / recency-biased sampler applies to
+    activity counts (a 7-day-old event counts half, 14-day-old a
+    quarter, ...).
+
+    EXACT by staying dyadic: with ``k = min((anchor - ts) //
+    halflife, kmax)`` (anchor = the corpus max timestamp, integer µs
+    both sides), every event contributes ``cents << (kmax - k)`` — an
+    integer — so the per-key sum is an order-free big-int fold
+    (``decimal128`` carrier; cents·2^40 overflows int64 after a few
+    rows) and the float finish is ONE mirrored division by ``2^kmax``.
+    Events older than ``kmax`` half-lives saturate at weight
+    ``2^-kmax`` (≈1e-12 — below any curation threshold).
+
+    Scale shape: per-batch combiner → ONE coarse key-bucket exchange of
+    O(blocks × keys) partial rows; values/timestamps never shuffle."""
+    import ray
+
+    dec = pa.decimal128(38, 0)
+
+    def ts_max(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col).cast(pa.int64())
+        m = pc.max(col).as_py()
+        return pa.table({"m": pa.array(
+            [] if m is None else [m], pa.int64())})
+
+    anchors = [r["m"] for r in
+               ds.select_columns([ts_col])
+                 .map_batches(ts_max, batch_format="pyarrow").take_all()]
+    if not anchors:
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "decayed_cents": pa.array([], pa.float64())}))
+    anchor = max(anchors)
+
+    from .relational import _cents
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, ts_col, value_col])
+        t = t.filter(pc.and_(
+            pc.and_(t.column(ts_col).is_valid(),
+                    t.column(value_col).is_valid()),
+            t.column(key_col).is_valid()))
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], dec),
+                             "_b": pa.array([], pa.int64())})
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        k = np.minimum((anchor - us) // halflife_us, kmax)
+        cents = _cents(t.column(value_col).to_numpy(zero_copy_only=False))
+        w = cents.astype(object) * [1 << int(kmax - ki) for ki in k]
+        df = pd.DataFrame({
+            key_col: t.column(key_col).to_numpy(zero_copy_only=False),
+            "w": w})
+        agg = df.groupby(key_col)["w"].agg(["size", "sum"]).reset_index()
+        keys = agg[key_col].to_numpy(np.int64)
+        return pa.table({
+            key_col: pa.array(keys, pa.int64()),
+            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array([int(v) for v in agg["sum"]], dec),
+            "_b": pa.array(keys % n_buckets, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or key_col not in g.columns:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "decayed_cents": pa.array([], pa.float64())})
+        agg = g.groupby(key_col).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        scale = float(1 << kmax)
+        dc = [float(int(v)) / scale for v in agg["s"]]
+        return pa.table({
+            key_col: pa.array(agg[key_col].to_numpy(np.int64), pa.int64()),
+            "n_events": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "decayed_cents": pa.array(dc, pa.float64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_b")
+              .map_groups(fold, batch_format="pandas")
+              .sort(key_col))

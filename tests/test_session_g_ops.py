@@ -1,0 +1,132 @@
+"""Round-5 session-G operators: grouped OLS trend, half-life decayed
+sums, type-token ratio, domain-vocabulary Jaccard — plain-python
+reference parity + edge cases (the DuckDB-exactness gates live in
+test_entry_gate.py; these pin semantics against naive references)."""
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from kgforge.functions.textstats import ttr_batch
+from kgforge.stages.relational import grouped_ols_trend, host_vocab_jaccard
+from kgforge.stages.windows import decayed_sum
+
+_WS = re.compile(r"[ \t\n\f\r]+")
+
+
+def _tokens(text) -> list[str]:
+    return [t for t in _WS.split(text or "") if t]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ols_trend_recovers_exact_line():
+    # y = 3x + 700 cents on a perfect line -> exact slope/intercept
+    base = 1_700_000_000_000_000  # µs
+    xs = [base + i * 1_000_000_000_000 for i in range(6)]  # 1e6-sec steps
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["a"] * 6, pa.string()),
+        "ts": pa.array(xs, pa.timestamp("us")),
+        # value in dollars; cents = 3 * epoch_sec + 700
+        "value": pa.array([(3 * (x // 1_000_000) + 700) / 100.0
+                           for x in xs], pa.float64())}))
+    out = grouped_ols_trend(ds, "g", "ts", "value").to_pandas()
+    assert len(out) == 1
+    assert out["n"][0] == 6
+    assert out["slope"][0] == pytest.approx(3.0, abs=1e-9)
+    assert out["intercept"][0] == pytest.approx(700.0, rel=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ols_trend_zero_variance_and_nulls():
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["z", "z", None, "z"], pa.string()),
+        "ts": pa.array([1_000_000] * 4, pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0, None], pa.float64())}))
+    out = grouped_ols_trend(ds, "g", "ts", "value").to_pandas()
+    # same x for every row -> zero variance -> slope = intercept = 0.0
+    assert len(out) == 1 and out["n"][0] == 2
+    assert out["slope"][0] == 0.0 and out["intercept"][0] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decayed_sum_halves_per_halflife():
+    hl = 604_800_000_000
+    anchor = 10 * hl
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([anchor, anchor - hl, anchor - 2 * hl, anchor],
+                       pa.timestamp("us")),
+        "value": pa.array([4.0, 4.0, 4.0, 1.0], pa.float64())}))
+    out = decayed_sum(ds).to_pandas().set_index("user_id")
+    # user 1: 400 + 200 + 100 cents decayed
+    assert out.loc[1, "decayed_cents"] == pytest.approx(700.0)
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[2, "decayed_cents"] == pytest.approx(100.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decayed_sum_saturates_at_kmax():
+    hl = 604_800_000_000
+    anchor = 1_000 * hl
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([7, 7], pa.int64()),
+        "ts": pa.array([anchor, anchor - 500 * hl], pa.timestamp("us")),
+        "value": pa.array([1.0, 1.0], pa.float64())}))
+    out = decayed_sum(ds).to_pandas()
+    # the 500-half-life-old event contributes 100/2^40, not 0
+    expected = 100.0 + 100.0 / float(1 << 40)
+    assert out["decayed_cents"][0] == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ttr_matches_reference_counts():
+    texts = ["a b a c", "x x x", "", None, "solo"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = ttr_batch(t).to_pandas().set_index("doc_id")
+    # zero-token docs (idx 2, 3) are dropped
+    assert sorted(out.index) == [0, 1, 4]
+    assert out.loc[0, "n_tokens"] == 4 and out.loc[0, "n_types"] == 3
+    assert out.loc[0, "ttr"] == 3.0 / 4.0
+    assert out.loc[1, "ttr"] == 1.0 / 3.0
+    assert out.loc[4, "ttr"] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_vocab_jaccard_reference():
+    urls = ["https://a.test/x/1", "https://a.test/x/2",
+            "https://a.test/y/1", "https://b.test/x/1"]
+    texts = ["apple banana", "banana cherry", "apple dates", "banana"]
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "text": pa.array(texts, pa.string())}))
+    out = host_vocab_jaccard(ds).to_pandas()
+    vocab = {}
+    for u, txt in zip(urls, texts):
+        m = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?", u)
+        dom = f"{m.group(1)}/{m.group(2) or ''}"
+        vocab.setdefault(dom, set()).update(_tokens(txt))
+    doms = sorted(vocab)
+    expected = {}
+    for i in range(len(doms)):
+        for j in range(i + 1, len(doms)):
+            common = vocab[doms[i]] & vocab[doms[j]]
+            if common:
+                expected[(doms[i], doms[j])] = (
+                    len(common),
+                    len(common) / len(vocab[doms[i]] | vocab[doms[j]]))
+    got = {(r.domain_a, r.domain_b): (r.n_common, r.jaccard)
+           for r in out.itertuples()}
+    assert set(got) == set(expected)
+    for k, (nc, jac) in expected.items():
+        assert got[k][0] == nc
+        assert got[k][1] == pytest.approx(jac)
+    # sizes are the distinct-vocabulary cardinalities
+    sizes = {r.domain_a: r.n_a for r in out.itertuples()}
+    for d, n in sizes.items():
+        assert n == len(vocab[d])
