@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_value": Q.events_decayed_value,
         "ttr_docs": Q.ttr_docs,
         "host_vocab_jaccard_pages": Q.host_vocab_jaccard_pages,
+        "kg_entity_pmi": Q.kg_entity_pmi,
+        "char_entropy_docs": Q.char_entropy_docs,
     }
 
 
@@ -4344,6 +4346,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.dom = pr.domain_a
             JOIN sz sb ON sb.dom = pr.domain_b
             ORDER BY domain_a, domain_b
+        """,
+        # entity-pair PMI over the mention artifact: log-free exact
+        # rational (c_ab*N)/(c_a*c_b), ONE mirrored division
+        "kg_entity_pmi": r"""
+            WITH pm AS (SELECT DISTINCT url_hash, node_key
+                        FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
+                        WHERE attr = ''),
+            tot AS (SELECT COUNT(DISTINCT url_hash) AS n FROM pm),
+            ec AS (SELECT node_key, COUNT(*) AS c FROM pm
+                   GROUP BY node_key),
+            p AS (SELECT a.node_key AS src_key, b.node_key AS dst_key,
+                         COUNT(*) AS n_pages
+                  FROM pm a JOIN pm b ON a.url_hash = b.url_hash
+                   AND a.node_key < b.node_key
+                  GROUP BY 1, 2)
+            SELECT p.src_key, p.dst_key,
+                   CAST(p.n_pages AS BIGINT) AS n_pages,
+                   CAST(ca.c AS BIGINT) AS n_src,
+                   CAST(cb.c AS BIGINT) AS n_dst,
+                   CAST(p.n_pages * tot.n AS DOUBLE)
+                       / CAST(ca.c * cb.c AS DOUBLE) AS pmi_ratio
+            FROM p
+            CROSS JOIN tot
+            JOIN ec ca ON ca.node_key = p.src_key
+            JOIN ec cb ON cb.node_key = p.dst_key
+            ORDER BY src_key, dst_key
+        """,
+        # per-doc char entropy: quantized-ln on counts (order-free
+        # integer n·H in nano-nats), one mirrored IEEE finish
+        "char_entropy_docs": r"""
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0),
+            cc AS (SELECT doc_id, c, COUNT(*) AS n
+                   FROM ch GROUP BY 1, 2),
+            cq AS (SELECT doc_id, n,
+                          n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9
+                                         + 0.5) AS BIGINT) AS cq
+                   FROM cc),
+            d AS (SELECT doc_id,
+                         CAST(SUM(n) AS BIGINT) AS n_chars,
+                         CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+                         CAST(SUM(cq) AS BIGINT) AS sum_cq
+                  FROM cq GROUP BY 1)
+            SELECT doc_id, n_chars, n_distinct_chars,
+                   n_chars * CAST(floor(
+                       ln(CAST(n_chars AS DOUBLE)) * 1e9 + 0.5)
+                       AS BIGINT) - sum_cq AS h_e9n,
+                   CAST(n_chars * CAST(floor(
+                       ln(CAST(n_chars AS DOUBLE)) * 1e9 + 0.5)
+                       AS BIGINT) - sum_cq AS DOUBLE)
+                       / (CAST(n_chars AS DOUBLE) * 1e9) AS entropy
+            FROM d ORDER BY doc_id
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

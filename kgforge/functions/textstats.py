@@ -345,3 +345,51 @@ def ttr_batch(batch: pa.Table, text_col: str = "text",
         "n_types": pa.array(ny, pa.int64()),
         "ttr": pa.array(ny.astype(np.float64) / nt.astype(np.float64),
                         pa.float64())})
+
+
+def char_entropy_batch(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Per-document Shannon entropy of the CHARACTER distribution —
+    the encoding/garbage detector (mojibake and binary-in-text score
+    far from natural-language entropy; near-zero entropy flags
+    single-char padding).  Empty/null docs are DROPPED (oracle mirrors
+    ``length(text) > 0``).
+
+    Integer-exact via the quantized-ln trick on counts (the
+    ``host_lang_entropy`` recipe): ``q(x) = floor(ln(x)*1e9 + 0.5)``,
+    ``h_e9n = n*q(n) - Σ c*q(c)`` is an order-free integer (n·H in
+    nano-nats); the float ``entropy`` is one mirrored IEEE expression.
+    Pure map stage — text never shuffles."""
+    import pandas as pd
+
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    lens = np.array([0 if t is None else len(t) for t in texts],
+                    np.int64)
+    cps = [np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+           for t in texts]
+    flat = (np.concatenate(cps) if cps
+            else np.array([], np.uint32))
+    parent = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    cnt = (pd.DataFrame({"r": parent, "c": flat})
+           .groupby(["r", "c"]).size().reset_index(name="n"))
+
+    def q(v: np.ndarray) -> np.ndarray:
+        return np.floor(
+            np.log(v.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
+
+    cnt["cq"] = cnt["n"].to_numpy(np.int64) * q(cnt["n"].to_numpy())
+    per = cnt.groupby("r").agg(
+        n_chars=("n", "sum"), n_distinct_chars=("n", "size"),
+        sum_cq=("cq", "sum")).reset_index()
+    n = per["n_chars"].to_numpy(np.int64)
+    h_e9n = n * q(n) - per["sum_cq"].to_numpy(np.int64)
+    ent = h_e9n.astype(np.float64) / (n.astype(np.float64) * 1e9)
+    idx = per["r"].to_numpy(np.int64)
+    return pa.table({
+        id_col: pa.array(ids[idx], pa.int64()),
+        "n_chars": pa.array(n, pa.int64()),
+        "n_distinct_chars": pa.array(
+            per["n_distinct_chars"].to_numpy(np.int64), pa.int64()),
+        "h_e9n": pa.array(h_e9n, pa.int64()),
+        "entropy": pa.array(ent, pa.float64())})

@@ -3801,3 +3801,21 @@ def host_vocab_jaccard_pages(sf_dir: str):
     _, pages_path = pages_for_sf(sf_dir)
     pages = ray.data.read_parquet(pages_path, columns=["url", "text"])
     return host_vocab_jaccard(pages)
+
+
+def kg_entity_pmi(sf_dir: str):
+    """PMI-normalized entity co-mention strength (log-free exact
+    ratio, the pmi_collocations trick over the KG mention graph)."""
+    from ..stages.graph import entity_pmi
+    _ensure_gate_artifact(sf_dir)
+    return entity_pmi(_entity_page_mentions(sf_dir),
+                      "url_hash", "node_key")
+
+
+def char_entropy_docs(sf_dir: str):
+    """Per-document character-distribution entropy (mojibake/garbage
+    detector) — quantized-ln integer core, pure map stage."""
+    from ..functions.textstats import char_entropy_batch
+    return _read(sf_dir, "documents",
+                 columns=["doc_id", "text"]).map_batches(
+        char_entropy_batch, batch_format="pyarrow")

@@ -3323,3 +3323,70 @@ def walk_skipgram_pairs(walks: Dataset, window: int = 2,
                  .map_groups(pairs, batch_format="pandas")
                  .groupby("_pb")
                  .map_groups(fold, batch_format="pandas"))
+
+
+def entity_pmi(page_entities: Dataset, page_col: str, key_col: str,
+               n_buckets: int = 64) -> Dataset:
+    """Pointwise mutual information of every co-mentioned entity pair —
+    the collocation-strength upgrade of :func:`entity_cooccurrence`
+    (raw pair counts over-rank ubiquitous entities; PMI normalizes by
+    each entity's page frequency).
+
+    Log-free exactness (the ``pmi_collocations`` trick): PMI =
+    ``ln(c_ab·N / (c_a·c_b))`` is monotone in the exact rational, so
+    ``pmi_ratio = (c_ab·N) / (c_a·c_b)`` is emitted instead — integer
+    products, ONE IEEE division, bit-exact against the SQL oracle.
+
+    Scale shape: pair counts ride :func:`entity_cooccurrence`'s
+    page-bucketed machinery; the per-entity page frequencies and the
+    page total take one more bucket exchange of count partials (pages
+    never span buckets, so in-bucket distinct is global).  The final
+    compose collects entity-count and pair tables on the driver —
+    node-scale, the same bound every graph driver path documents."""
+
+    def page_bucket(batch: pa.Table) -> pa.Table:
+        pages = batch.column(page_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((pages % n_buckets).astype(np.int64),
+                               pa.int64()))
+
+    def counts(g: pd.DataFrame) -> pd.DataFrame:
+        pk = (g[[page_col, key_col]]
+              .drop_duplicates([page_col, key_col]))
+        ec = pk.groupby(key_col, as_index=False).size()
+        kinds = ["k"] * len(ec) + ["t"]
+        keys = ec[key_col].astype(str).tolist() + [""]
+        ns = [int(v) for v in ec["size"].to_numpy()]
+        ns.append(int(pk[page_col].nunique()))
+        return pd.DataFrame({"kind": kinds, "key": keys,
+                             "n": np.asarray(ns, np.int64)})
+
+    parts = (page_entities.map_batches(page_bucket,
+                                       batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(counts, batch_format="pandas"))
+    sizes: dict[str, int] = {}
+    total = 0
+    for row in parts.take_all():
+        if row["kind"] == "t":
+            total += int(row["n"])
+        else:
+            sizes[row["key"]] = sizes.get(row["key"], 0) + int(row["n"])
+
+    cooc = entity_cooccurrence(page_entities, page_col, key_col,
+                               n_buckets=n_buckets)
+    pairs = sorted((r["src_key"], r["dst_key"], int(r["n_pages"]))
+                   for r in cooc.take_all())
+    src, dst, nab, na, nb, ratio = [], [], [], [], [], []
+    for a, b, c in pairs:
+        ca, cb = sizes[a], sizes[b]
+        src.append(a); dst.append(b); nab.append(c)
+        na.append(ca); nb.append(cb)
+        ratio.append(float(c * total) / float(ca * cb))
+    return ray.data.from_arrow(pa.table({
+        "src_key": pa.array(src, pa.string()),
+        "dst_key": pa.array(dst, pa.string()),
+        "n_pages": pa.array(nab, pa.int64()),
+        "n_src": pa.array(na, pa.int64()),
+        "n_dst": pa.array(nb, pa.int64()),
+        "pmi_ratio": pa.array(ratio, pa.float64())}))

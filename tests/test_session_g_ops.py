@@ -130,3 +130,41 @@ def test_host_vocab_jaccard_reference():
     sizes = {r.domain_a: r.n_a for r in out.itertuples()}
     for d, n in sizes.items():
         assert n == len(vocab[d])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_char_entropy_reference():
+    from kgforge.functions.textstats import char_entropy_batch
+    texts = ["aab", "xxxx", "", None, "ab\ncé"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = char_entropy_batch(t).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [0, 1, 4]  # empty/null dropped
+    # uniform single char -> entropy exactly 0
+    assert out.loc[1, "entropy"] == 0.0 and out.loc[1, "h_e9n"] == 0
+    # "aab": H = ln(3) - (2*ln2 + 1*ln1)/3, via quantized ints
+    import math
+    q = lambda x: math.floor(math.log(x) * 1e9 + 0.5)
+    h = 3 * q(3) - (2 * q(2) + 1 * q(1))
+    assert out.loc[0, "h_e9n"] == h
+    assert out.loc[0, "entropy"] == h / (3.0 * 1e9)
+    assert out.loc[4, "n_chars"] == 5 and out.loc[4, "n_distinct_chars"] == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entity_pmi_reference():
+    from kgforge.stages.graph import entity_pmi
+    # pages: 1:{A,B} 2:{A,B} 3:{A,C} 4:{B}  (uint64 page ids)
+    pages = [1, 1, 2, 2, 3, 3, 4]
+    keys = ["A", "B", "A", "B", "A", "C", "B"]
+    ds = ray.data.from_arrow(pa.table({
+        "url_hash": pa.array(pages, pa.uint64()),
+        "node_key": pa.array(keys, pa.string())}))
+    out = entity_pmi(ds, "url_hash", "node_key").to_pandas()
+    got = {(r.src_key, r.dst_key): r for r in out.itertuples()}
+    assert set(got) == {("A", "B"), ("A", "C")}
+    ab = got[("A", "B")]
+    assert ab.n_pages == 2 and ab.n_src == 3 and ab.n_dst == 3
+    assert ab.pmi_ratio == (2 * 4) / (3 * 3)
+    ac = got[("A", "C")]
+    assert ac.n_pages == 1 and ac.pmi_ratio == (1 * 4) / (3 * 1)
