@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_vocab_jaccard_pages": Q.host_vocab_jaccard_pages,
         "kg_entity_pmi": Q.kg_entity_pmi,
         "char_entropy_docs": Q.char_entropy_docs,
+        "bigram_surprisal_docs": Q.bigram_surprisal_docs,
+        "lang_quality_buckets_docs": Q.lang_quality_buckets_docs,
     }
 
 
@@ -4401,6 +4403,87 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) - sum_cq AS DOUBLE)
                        / (CAST(n_chars AS DOUBLE) * 1e9) AS entropy
             FROM d ORDER BY doc_id
+        """,
+        # bigram-LM conditional surprisal: hashed transition cells
+        # pb*256+cb, add-1 smoothing vs the 256-way next fan-out,
+        # per-cell weight quantized once — doc scores are order-free
+        # integer sums (the DSIR/unigram-surprisal discipline)
+        "bigram_surprisal_docs": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_extract_all(COALESCE(text, ''), '\S+')
+                         AS toks
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)), i ->
+                       CAST((('0x' || substr(md5(toks[i]), 1, 8))
+                                 ::UBIGINT % 256) * 256
+                          + (('0x' || substr(md5(toks[i+1]), 1, 8))
+                                 ::UBIGINT % 256) AS BIGINT))) AS cell
+              FROM d WHERE len(toks) >= 2),
+            cnt AS (SELECT cell, count(*) AS c FROM b GROUP BY cell),
+            ctx AS (SELECT cell // 256 AS pb, sum(c) AS cc
+                    FROM cnt GROUP BY 1),
+            w AS (
+              SELECT cnt.cell,
+                     CAST(floor((ln(CAST(ctx.cc + 256 AS DOUBLE))
+                                 - ln(CAST(cnt.c + 1 AS DOUBLE)))
+                                * 1e9 + 0.5) AS BIGINT) AS w
+              FROM cnt JOIN ctx ON ctx.pb = cnt.cell // 256),
+            doccell AS (SELECT doc_id, cell, count(*) AS c
+                        FROM b GROUP BY 1, 2),
+            scores AS (
+              SELECT dc.doc_id,
+                     CAST(sum(dc.c) AS BIGINT) AS n_bigrams,
+                     CAST(sum(dc.c * w.w) AS BIGINT)
+                         AS bigram_surprisal_e9
+              FROM doccell dc JOIN w USING (cell) GROUP BY 1)
+            SELECT doc.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(s.bigram_surprisal_e9, 0)
+                       AS bigram_surprisal_e9
+            FROM documents doc LEFT JOIN scores s USING (doc_id)
+            ORDER BY doc.doc_id
+        """,
+        # CCNet head/middle/tail terciles: the unigram-surprisal score
+        # (integer-exact) ranked per language, ntile(3) with doc_id
+        # tie-break — zero-token docs score 0 and rank first
+        "lang_quality_buckets_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(COALESCE(text, ''),
+                                               '\S+')) AS t
+              FROM documents),
+            tok2 AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % 256
+                          AS BIGINT) AS dim
+              FROM toks),
+            cnt AS (SELECT dim, count(*) AS c FROM tok2 GROUP BY dim),
+            tot AS (SELECT sum(c) AS b_tot FROM cnt),
+            w AS (
+              SELECT dim,
+                     CAST(floor((ln(CAST(tot.b_tot + 256 AS DOUBLE))
+                                 - ln(CAST(c + 1 AS DOUBLE)))
+                                * 1e9 + 0.5) AS BIGINT) AS w
+              FROM cnt, tot),
+            docdim AS (SELECT doc_id, dim, count(*) AS c
+                       FROM tok2 GROUP BY 1, 2),
+            scores AS (
+              SELECT d.doc_id,
+                     CAST(sum(d.c * w.w) AS BIGINT) AS surprisal_e9
+              FROM docdim d JOIN w USING (dim) GROUP BY 1),
+            ranked AS (
+              SELECT doc.doc_id, doc.lang,
+                     COALESCE(s.surprisal_e9, 0) AS surprisal_e9
+              FROM documents doc LEFT JOIN scores s USING (doc_id)
+              WHERE doc.lang IS NOT NULL)
+            SELECT doc_id, lang,
+                   CAST(ntile(3) OVER (
+                       PARTITION BY lang ORDER BY surprisal_e9, doc_id
+                   ) AS BIGINT) AS tile
+            FROM ranked ORDER BY doc_id
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

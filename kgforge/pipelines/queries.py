@@ -3819,3 +3819,23 @@ def char_entropy_docs(sf_dir: str):
     return _read(sf_dir, "documents",
                  columns=["doc_id", "text"]).map_batches(
         char_entropy_batch, batch_format="pyarrow")
+
+
+def bigram_surprisal_docs(sf_dir: str):
+    """Per-doc bigram-LM conditional surprisal (hashed 256²-cell
+    transition model, add-1 smoothing) — integer-quantized scores."""
+    from ..stages.retrieval import bigram_surprisal
+    return bigram_surprisal(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def lang_quality_buckets_docs(sf_dir: str):
+    """CCNet-style head/middle/tail quality terciles per language:
+    docs ranked by unigram surprisal (integer-exact) and split by
+    ntile(3) with doc_id tie-break — deterministic, SQL-exact."""
+    from ..stages.retrieval import unigram_surprisal
+    from ..stages.windows import grouped_ntile
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang"])
+    scored = unigram_surprisal(docs, keep_cols=["lang"])
+    return grouped_ntile(scored, "lang", "surprisal_e9", "doc_id", 3)

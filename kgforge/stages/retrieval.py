@@ -262,7 +262,8 @@ def importance_weights(docs: Dataset, target_col: str, target_value,
 
 def unigram_surprisal(docs: Dataset, id_col: str = "doc_id",
                       text_col: str = "text",
-                      dim: int = 256) -> Dataset:
+                      dim: int = 256,
+                      keep_cols: list[str] | None = None) -> Dataset:
     """Per-document unigram-LM surprisal — the cheapest useful
     "perplexity-ish" quality score a pretraining curation pass runs
     before any neural scorer: fit a hashed unigram LM on the corpus
@@ -323,12 +324,15 @@ def unigram_surprisal(docs: Dataset, id_col: str = "doc_id",
             # int64 np.add.at, not a float bincount — exactness is the
             # contract (importance_weights' argument)
             np.add.at(score, parents, wv[_md5_dims(toks, dim)])
-        return pa.table({
-            id_col: t.column(id_col),
-            "n_tokens": pa.array(dl, pa.int64()),
-            "surprisal_e9": pa.array(score, pa.int64())})
+        cols = {id_col: t.column(id_col)}
+        for c in keep_cols or []:
+            cols[c] = t.column(c)
+        cols["n_tokens"] = pa.array(dl, pa.int64())
+        cols["surprisal_e9"] = pa.array(score, pa.int64())
+        return pa.table(cols)
 
-    return (docs.select_columns([id_col, text_col])
+    return (docs.select_columns([id_col, text_col]
+                                + list(keep_cols or []))
                 .map_batches(score_partial, batch_format="pyarrow"))
 
 
@@ -640,3 +644,81 @@ def bpe_pair_counts(docs: Dataset, text_col: str = "text",
     return (docs.map_batches(partial, batch_format="pyarrow")
                 .groupby("_bucket")
                 .map_groups(fold, batch_format="pandas"))
+
+
+def bigram_surprisal(docs: Dataset, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     dim: int = 256) -> Dataset:
+    """Per-document BIGRAM-LM conditional surprisal — the CCNet-style
+    "perplexity filter" one rung above :func:`unigram_surprisal`:
+    fit a hashed bigram LM on the corpus itself (token buckets
+    ``md5 % dim``, transition cells ``pb*dim + cb``, add-1 smoothing
+    against the ``dim``-way next-bucket fan-out), then score each doc
+    by the total conditional negative log-likelihood of its
+    transitions.  Fluent/templated text scores LOW, disfluent or
+    shuffled text HIGH — this separates word-salad from prose where
+    the unigram score cannot.
+
+    Exactness contract (the DSIR discipline): each transition cell's
+    surprisal ``w = floor((ln(ctx + dim) - ln(c + 1)) * 1e9 + 0.5)``
+    (``ctx`` = total transitions leaving the cell's prev-bucket) is
+    quantized ONCE on the driver, so doc scores are order-free INTEGER
+    sums and the DuckDB oracle matches hash-exactly.
+
+    Dataflow: the BM25 two-scan shape — pass 1 folds per-batch
+    transition ``bincount`` partials (nonzero cells only) into one
+    driver-side ``dim²`` vector (512 KB at dim=256 — broadcast, not
+    shuffled); pass 2 re-tokenizes and emits one ``(id, n_bigrams,
+    bigram_surprisal_e9)`` row per document.  Text never shuffles."""
+    dim2 = dim * dim
+
+    def _transitions(col):
+        flat, parents, dl = _token_lists(col)
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False),
+                          dtype=object)
+        if len(toks) < 2:
+            return (np.array([], np.int64), np.array([], np.int64), dl)
+        dims = _md5_dims(toks, dim)
+        adj = parents[1:] == parents[:-1]
+        cells = dims[:-1][adj] * dim + dims[1:][adj]
+        return cells, parents[1:][adj], dl
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        cells, _, _ = _transitions(t.column(text_col))
+        if len(cells) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(uniq.astype(np.int64)),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    partials = (docs.select_columns([text_col])
+                    .map_batches(count_partial, batch_format="pyarrow")
+                    .to_pandas())
+    agg = partials.groupby("cell")["c"].sum()
+    c_big = np.zeros(dim2, dtype=np.int64)
+    c_big[agg.index.to_numpy()] = agg.to_numpy()
+    ctx = c_big.reshape(dim, dim).sum(axis=1)
+    # quantized per-cell conditional surprisal, op-for-op the oracle:
+    # ln(ctx[pb] + dim) - ln(c + 1), then floor(x*1e9 + .5)
+    w = np.array(
+        [math.floor((math.log(float(ctx[cell // dim] + dim))
+                     - math.log(float(c_big[cell] + 1))) * 1e9 + 0.5)
+         for cell in range(dim2)], dtype=np.int64)
+
+    import ray
+    w_ref = ray.put(w)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        cells, cell_parents, dl = _transitions(t.column(text_col))
+        score = np.zeros(t.num_rows, dtype=np.int64)
+        if len(cells):
+            np.add.at(score, cell_parents, wv[cells])
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_bigrams": pa.array(np.maximum(dl - 1, 0), pa.int64()),
+            "bigram_surprisal_e9": pa.array(score, pa.int64())})
+
+    return (docs.select_columns([id_col, text_col])
+                .map_batches(score_partial, batch_format="pyarrow"))

@@ -168,3 +168,51 @@ def test_entity_pmi_reference():
     assert ab.pmi_ratio == (2 * 4) / (3 * 3)
     ac = got[("A", "C")]
     assert ac.n_pages == 1 and ac.pmi_ratio == (1 * 4) / (3 * 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_surprisal_reference():
+    import hashlib
+    from kgforge.stages.retrieval import bigram_surprisal
+    texts = ["a b c a b", "b c", "x", None]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+    out = bigram_surprisal(ds).to_pandas().set_index("doc_id")
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 256
+
+    from collections import Counter
+    cells = Counter()
+    doc_cells = {}
+    for i, txt in enumerate(texts):
+        toks = (txt or "").split()
+        cs = [bucket(a) * 256 + bucket(b)
+              for a, b in zip(toks, toks[1:])]
+        doc_cells[i] = cs
+        cells.update(cs)
+    ctx = Counter()
+    for c, n in cells.items():
+        ctx[c // 256] += n
+    q = lambda x: math.floor(x * 1e9 + 0.5)
+    for i in range(4):
+        toks = (texts[i] or "").split()
+        assert out.loc[i, "n_bigrams"] == max(len(toks) - 1, 0)
+        exp = sum(q(math.log(float(ctx[c // 256] + 256))
+                    - math.log(float(cells[c] + 1)))
+                  for c in doc_cells[i])
+        assert out.loc[i, "bigram_surprisal_e9"] == exp
+    # repeated fluent bigrams score lower per transition than novel ones
+    assert out.loc[0, "bigram_surprisal_e9"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_quality_buckets_tercile_sizes():
+    from kgforge.pipelines.queries import lang_quality_buckets_docs
+    out = lang_quality_buckets_docs("/root/testdata/sf0.001").to_pandas()
+    # every (lang) group splits 3-way with sizes differing by <= 1
+    for lang, g in out.groupby("lang"):
+        sizes = g["tile"].value_counts()
+        assert set(sizes.index) <= {1, 2, 3}
+        assert sizes.max() - sizes.min() <= 1
