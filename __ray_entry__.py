@@ -321,6 +321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy_docs": Q.char_entropy_docs,
         "bigram_surprisal_docs": Q.bigram_surprisal_docs,
         "lang_quality_buckets_docs": Q.lang_quality_buckets_docs,
+        "crawl_frontier_rounds": Q.crawl_frontier_rounds,
+        "kg_cooccurrence_capped": Q.kg_cooccurrence_capped,
     }
 
 
@@ -4484,6 +4486,47 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY lang ORDER BY surprisal_e9, doc_id
                    ) AS BIGINT) AS tile
             FROM ranked ORDER BY doc_id
+        """,
+        # politeness scheduling: 0-based fetch round per (host,
+        # section), 10 URLs per domain per round in md5(url) order
+        "crawl_frontier_rounds": r"""
+            WITH p AS (
+              SELECT url,
+                     regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                  1) AS host,
+                     regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?',
+                  2) AS section
+              FROM read_parquet('/tmp/kgforge_gate/pages/*.parquet')
+              WHERE regexp_matches(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)(?:/([^/?#]*))?'))
+            SELECT url, host, section,
+                   CAST((row_number() OVER (
+                       PARTITION BY host, section
+                       ORDER BY md5(url), url) - 1) // 10
+                       AS BIGINT) AS round
+            FROM p ORDER BY url
+        """,
+        # degree-capped co-mention graph: the kg_cooccurrence pair
+        # table with at most 5 dst per src in md5(dst_key) order
+        "kg_cooccurrence_capped": r"""
+            WITH pm AS (SELECT DISTINCT url_hash, node_key
+                        FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
+                        WHERE attr = ''),
+            p AS (SELECT a.node_key AS src_key, b.node_key AS dst_key
+                  FROM pm a JOIN pm b ON a.url_hash = b.url_hash
+                   AND a.node_key < b.node_key),
+            c AS (SELECT src_key, dst_key,
+                         CAST(count(*) AS BIGINT) AS n_pages
+                  FROM p GROUP BY src_key, dst_key)
+            SELECT src_key, dst_key, n_pages
+            FROM c
+            QUALIFY row_number() OVER (
+                PARTITION BY src_key
+                ORDER BY md5(dst_key), dst_key) <= 5
+            ORDER BY src_key, dst_key
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

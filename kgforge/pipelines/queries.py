@@ -3839,3 +3839,56 @@ def lang_quality_buckets_docs(sf_dir: str):
                  columns=["doc_id", "text", "lang"])
     scored = unigram_surprisal(docs, keep_cols=["lang"])
     return grouped_ntile(scored, "lang", "surprisal_e9", "doc_id", 3)
+
+
+def crawl_frontier_rounds(sf_dir: str):
+    """Politeness-scheduled crawl frontier: every URL gets a 0-based
+    fetch round within its (host, section) domain — at most 10 fetches
+    per domain per round, deterministic md5(url) order."""
+    import hashlib as _h
+
+    from ..functions.web import url_host_section
+    from ..stages.relational import grouped_order_rounds
+    _ensure_gate_pages(sf_dir)
+    _, pages_path = pages_for_sf(sf_dir)
+    pages = ray.data.read_parquet(pages_path, columns=["url"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        host, sec, ok = url_host_section(t.column("url"))
+        tt = pa.table({"url": t.column("url"), "host": host,
+                       "section": sec}).filter(ok)
+        key = pc.binary_join_element_wise(tt.column("host"),
+                                          tt.column("section"), "\x1f")
+        ordh = [_h.md5(u.encode()).hexdigest()
+                for u in tt.column("url").to_pylist()]
+        return tt.append_column("key", key).append_column(
+            "ord", pa.array(ordh, pa.string()))
+
+    out = grouped_order_rounds(
+        pages.map_batches(prep, batch_format="pyarrow"),
+        "key", "ord", rate=10)
+    return out.select_columns(["url", "host", "section", "round"])
+
+
+def kg_cooccurrence_capped(sf_dir: str):
+    """Degree-capped co-mention graph (sparsification before the
+    expensive graph ops): at most 5 neighbors kept per src_key, chosen
+    in deterministic md5(dst_key) order — the per-node cap that bounds
+    hub fan-out at web scale."""
+    import hashlib as _h
+
+    from ..stages.graph import entity_cooccurrence
+    from ..stages.relational import grouped_limit
+    _ensure_gate_artifact(sf_dir)
+    pairs = entity_cooccurrence(_entity_page_mentions(sf_dir),
+                                "url_hash", "node_key")
+
+    def prep(t: pa.Table) -> pa.Table:
+        ordh = [_h.md5(d.encode()).hexdigest()
+                for d in t.column("dst_key").to_pylist()]
+        return t.append_column("ord", pa.array(ordh, pa.string()))
+
+    capped = grouped_limit(pairs.map_batches(prep,
+                                             batch_format="pyarrow"),
+                           "src_key", "ord", k=5)
+    return capped.select_columns(["src_key", "dst_key", "n_pages"])

@@ -2144,3 +2144,43 @@ def host_vocab_jaccard(pages: Dataset, n_buckets: int = N_BUCKETS
         "n_b": pa.array(nb, pa.int64()),
         "n_common": pa.array(nc, pa.int64()),
         "jaccard": pa.array(jac, pa.float64())}))
+
+
+def grouped_order_rounds(ds: Dataset, key_col: str, order_col: str,
+                         rate: int, n_buckets: int = N_BUCKETS
+                         ) -> Dataset:
+    """Assign every row a 0-based ROUND within its key: rows ordered by
+    ``(order_col, ...)`` are dealt into consecutive rounds of ``rate``
+    rows each — the crawl-frontier politeness scheduler (a host with
+    35 queued URLs at rate 10 fetches over rounds 0..3) and the
+    batch-quota allocator behind it.  ``order_col`` must be unique per
+    key (use a hash column) for a deterministic result.
+
+    SQL mirror: ``(row_number() OVER (PARTITION BY key ORDER BY ord)
+    - 1) // rate``.  One coarse key-bucket exchange; ranking is global
+    per key so there is no local combiner (unlike ``grouped_limit``)
+    — shuffle volume is the frontier table itself, which is the
+    operator's working set by definition (URLs + keys, never
+    payloads).  Like :func:`grouped_limit`, the rank runs on a
+    (key, order) pandas projection and rows are re-assembled with
+    ``Table.take`` so payload columns never round-trip through pandas."""
+    if rate < 1:
+        raise ValueError("rate must be >= 1")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", _key_bucket(t.column(key_col), n_buckets))
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"k": t.column(key_col).to_pandas(),
+                          "o": t.column(order_col).to_pandas()})
+        g = g.sort_values(["k", "o"], kind="mergesort")
+        cc = g.groupby("k", sort=False).cumcount().to_numpy(np.int64)
+        out = t.take(pa.array(g.index.to_numpy(), pa.int64()))
+        out = out.append_column("round",
+                                pa.array(cc // rate, pa.int64()))
+        return out.drop_columns(["_bucket"])
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(fold, batch_format="pyarrow"))

@@ -216,3 +216,36 @@ def test_lang_quality_buckets_tercile_sizes():
         sizes = g["tile"].value_counts()
         assert set(sizes.index) <= {1, 2, 3}
         assert sizes.max() - sizes.min() <= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_order_rounds_reference():
+    from kgforge.stages.relational import grouped_order_rounds
+    # 7 rows for key A at rate 3 -> rounds 0,0,0,1,1,1,2
+    ids = list(range(7)) + [100]
+    keys = ["A"] * 7 + ["B"]
+    ords = [f"{i:03d}" for i in range(7)] + ["000"]
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "k": pa.array(keys, pa.string()),
+        "o": pa.array(ords, pa.string())}))
+    out = grouped_order_rounds(ds, "k", "o", rate=3).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert out[out["k"] == "A"]["round"].tolist() == [0, 0, 0, 1, 1, 1, 2]
+    assert out[out["k"] == "B"]["round"].tolist() == [0]
+    # payload stays int64 (no pandas round-trip corruption)
+    assert out["id"].dtype == np.int64
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_order_rounds_big_uint64_payload_survives():
+    from kgforge.stages.relational import grouped_order_rounds
+    big = [2**63 + 5, 2**63 + 7]
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(big, pa.uint64()),
+        "k": pa.array(["x", "x"], pa.string()),
+        "o": pa.array(["a", "b"], pa.string())}))
+    out = grouped_order_rounds(ds, "k", "o", rate=1)
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    assert sorted(tbl.column("id").to_pylist()) == sorted(big)
+    assert tbl.column("round").to_pylist() in ([0, 1], [1, 0])
