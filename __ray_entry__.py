@@ -323,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality_buckets_docs": Q.lang_quality_buckets_docs,
         "crawl_frontier_rounds": Q.crawl_frontier_rounds,
         "kg_cooccurrence_capped": Q.kg_cooccurrence_capped,
+        "multimodal_image_dedup": Q.multimodal_image_dedup,
+        "kg_attr_completeness": Q.kg_attr_completeness,
     }
 
 
@@ -4527,6 +4529,98 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY src_key
                 ORDER BY md5(dst_key), dst_key) <= 5
             ORDER BY src_key, dst_key
+        """,
+        # perceptual dHash dedup over md5-formulaic 9x8 FKIM pixels:
+        # pixel j of seed s = byte j%16 of md5(s || ':' || j//16); bit
+        # (r,c) set when px(r,c) > px(r,c+1); hash = 16-hex row bytes
+        "multimodal_image_dedup": r"""
+            WITH items AS (
+              SELECT item_id, item_id % 37 AS seed FROM (
+                SELECT CAST(row_number() OVER () - 1 AS BIGINT)
+                    AS item_id FROM documents)
+              WHERE item_id < (SELECT greatest(32, count(*) // 4)
+                               FROM documents)),
+            px AS (
+              SELECT item_id, t.j AS j,
+                     CAST(('0x' || substr(
+                         md5(seed || ':' || (t.j // 16)),
+                         (t.j % 16) * 2 + 1, 2))::UBIGINT AS BIGINT)
+                         AS v
+              FROM items CROSS JOIN generate_series(0, 71) t(j)),
+            rowbyte AS (
+              SELECT p.item_id, p.j // 9 AS r,
+                     SUM(CASE WHEN p.v > q.v
+                              THEN 1 << CAST(7 - (p.j % 9) AS INTEGER)
+                              ELSE 0 END) AS byte
+              FROM px p JOIN px q
+                ON q.item_id = p.item_id AND q.j = p.j + 1
+              WHERE p.j % 9 < 8
+              GROUP BY 1, 2),
+            dh AS (
+              SELECT item_id,
+                     string_agg(printf('%02x',
+                                       CAST(byte AS INTEGER)),
+                                '' ORDER BY r) AS dhash
+              FROM rowbyte GROUP BY item_id)
+            SELECT item_id, dhash,
+                   MIN(item_id) OVER (PARTITION BY dhash)
+                       AS canonical_id,
+                   CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT)
+                       AS n_copies
+            FROM dh ORDER BY item_id
+        """,
+        # per-(label, attr) completeness of the canonical node table —
+        # the kg_nodes LWW body reused, unpivoted, ONE division
+        "kg_attr_completeness": r"""
+            WITH m AS (SELECT * FROM read_parquet(
+                   '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')),
+            marks AS (
+              SELECT node_key, any_value(label) AS label,
+                     any_value(u_name) AS name,
+                     any_value(u_title) AS title
+              FROM m WHERE attr = '' GROUP BY node_key),
+            lww AS (
+              SELECT node_key, attr, vn, vb
+              FROM m WHERE attr <> ''
+              QUALIFY row_number() OVER (
+                  PARTITION BY node_key, attr
+                  ORDER BY ts DESC, url_hash DESC, seq DESC,
+                           vjson DESC) = 1),
+            piv AS (
+              SELECT node_key,
+                     max(CASE WHEN attr = 'age' THEN vn END) AS age,
+                     max(CASE WHEN attr = 'release_year' THEN vn END)
+                         AS release_year,
+                     max(CASE WHEN attr = 'is_sequel' THEN vb END)
+                         AS is_sequel
+              FROM lww GROUP BY node_key),
+            nodes AS (
+              SELECT marks.label, marks.name, piv.age, marks.title,
+                     piv.release_year, piv.is_sequel
+              FROM marks LEFT JOIN piv USING (node_key)),
+            agg AS (
+              SELECT label, COUNT(*) AS n_nodes,
+                     COUNT(age) AS c_age,
+                     COUNT(is_sequel) AS c_is_sequel,
+                     COUNT(name) AS c_name,
+                     COUNT(release_year) AS c_release_year,
+                     COUNT(title) AS c_title
+              FROM nodes GROUP BY label),
+            up AS (
+              SELECT label, 'age' AS attr, n_nodes, c_age AS n_present
+              FROM agg
+              UNION ALL SELECT label, 'is_sequel', n_nodes, c_is_sequel
+              FROM agg
+              UNION ALL SELECT label, 'name', n_nodes, c_name FROM agg
+              UNION ALL SELECT label, 'release_year', n_nodes,
+                               c_release_year FROM agg
+              UNION ALL SELECT label, 'title', n_nodes, c_title
+              FROM agg)
+            SELECT label, attr, CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_present AS BIGINT) AS n_present,
+                   CAST(n_present AS DOUBLE) / CAST(n_nodes AS DOUBLE)
+                       AS completeness
+            FROM up ORDER BY label, attr
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

@@ -3892,3 +3892,94 @@ def kg_cooccurrence_capped(sf_dir: str):
                                              batch_format="pyarrow"),
                            "src_key", "ord", k=5)
     return capped.select_columns(["src_key", "dst_key", "n_pages"])
+
+
+def multimodal_image_dedup(sf_dir: str):
+    """Image-level exact dedup via perceptual dHash over md5-formulaic
+    FKIM payloads (seed = item_id % 37 plants duplicates): decode +
+    hash in an actor pool, then one dhash-bucket exchange assigns each
+    item its group canonical (min item_id) and copy count."""
+    from ..stages.joins import str_bucket
+    from ..stages.multimodal import PerceptualDHash, formulaic_image_bytes
+    n = max(32, _read(sf_dir, "documents", columns=["doc_id"]).count() // 4)
+
+    def gen(batch: dict) -> pa.Table:
+        ids = [int(i) for i in batch["id"]]
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "content": pa.array([formulaic_image_bytes(i % 37)
+                                 for i in ids], pa.binary())})
+
+    ds = (ray.data.range(n, override_num_blocks=max(2, n // 64))
+          .map_batches(gen, batch_format="numpy"))
+    hashed = ds.map_batches(PerceptualDHash, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 2))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        b = str_bucket(pd.Series(t.column("dhash").to_pylist(),
+                                 dtype=object), 16)
+        return t.append_column("_b", pa.array(b, pa.int64()))
+
+    def fold(g):
+        if len(g) == 0 or "dhash" not in g.columns:
+            return pa.table({"item_id": pa.array([], pa.int64()),
+                             "dhash": pa.array([], pa.string()),
+                             "canonical_id": pa.array([], pa.int64()),
+                             "n_copies": pa.array([], pa.int64())})
+        g = g.sort_values("item_id", kind="mergesort")
+        canon = g.groupby("dhash")["item_id"].transform("min")
+        n_copies = g.groupby("dhash")["item_id"].transform("size")
+        return pa.table({
+            "item_id": pa.array(g["item_id"].to_numpy("int64")),
+            "dhash": pa.array(g["dhash"], pa.string()),
+            "canonical_id": pa.array(canon.to_numpy("int64")),
+            "n_copies": pa.array(n_copies.to_numpy("int64"))})
+
+    return (hashed.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("_b")
+                  .map_groups(fold, batch_format="pandas"))
+
+
+def kg_attr_completeness(sf_dir: str):
+    """KG-QA audit: per (label, attribute) the fraction of canonical
+    nodes carrying the attribute after LWW merge — the completeness
+    report a KG-construction pipeline ships with every build.  One
+    combiner pass over the node table (labels × attrs partials), ONE
+    mirrored division."""
+    _ensure_gate_artifact(sf_dir)
+    nodes = _kg_result(sf_dir).nodes
+    meta = {"node_id", "node_key", "label", "n_mentions"}
+    attr_cols = sorted(c for c in nodes.schema().names if c not in meta)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["label"] + attr_cols).to_pandas()
+        g = df.groupby("label")
+        labels, attrs, n_nodes, n_present = [], [], [], []
+        sizes = g.size()
+        for a in attr_cols:
+            cnt = g[a].count()
+            labels += cnt.index.tolist()
+            attrs += [a] * len(cnt)
+            n_nodes += [int(v) for v in sizes.to_numpy()]
+            n_present += [int(v) for v in cnt.to_numpy()]
+        return pa.table({
+            "label": pa.array(labels, pa.string()),
+            "attr": pa.array(attrs, pa.string()),
+            "n_nodes": pa.array(n_nodes, pa.int64()),
+            "n_present": pa.array(n_present, pa.int64())})
+
+    folded: dict = {}
+    for row in nodes.map_batches(partial,
+                                 batch_format="pyarrow").take_all():
+        e = folded.setdefault((row["label"], row["attr"]), [0, 0])
+        e[0] += int(row["n_nodes"]); e[1] += int(row["n_present"])
+    keys = sorted(folded)
+    return ray.data.from_arrow(pa.table({
+        "label": pa.array([k[0] for k in keys], pa.string()),
+        "attr": pa.array([k[1] for k in keys], pa.string()),
+        "n_nodes": pa.array([folded[k][0] for k in keys], pa.int64()),
+        "n_present": pa.array([folded[k][1] for k in keys], pa.int64()),
+        "completeness": pa.array(
+            [float(folded[k][1]) / float(folded[k][0]) for k in keys],
+            pa.float64())}))

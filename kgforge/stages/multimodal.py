@@ -275,3 +275,49 @@ class ResizeImage:
             "resized", pa.array(payloads, pa.binary()))
         return batch.append_column(
             "resized_checksum", pa.array(checksums, pa.int64()))
+
+
+def formulaic_image_bytes(seed: int, width: int = 9,
+                          height: int = 8) -> bytes:
+    """FKIM payload whose pixels are md5-formulaic (16-byte blocks of
+    ``md5(f"{seed}:{block}")``) — unlike :func:`fake_image_bytes`'s
+    numpy-rng pixels, these are re-derivable in SQL, so perceptual-hash
+    operators over them can carry EXACT DuckDB oracles."""
+    import hashlib
+    n = width * height
+    blocks = b"".join(
+        hashlib.md5(f"{seed}:{b}".encode()).digest()
+        for b in range((n + 15) // 16))
+    return (MAGIC + struct.pack("<iii", width, height, seed)
+            + blocks[:n])
+
+
+class PerceptualDHash:
+    """Actor-pool stage: FKIM ``content`` → 64-bit difference hash as a
+    16-hex-char string (the classic 9×8 dHash: bit (r, c) set when
+    pixel (r, c) > pixel (r, c+1)).  Identical images collide exactly;
+    near-identical ones differ in few bits — the first line of
+    image-level dedup.  Real decoders would resize to 9×8 first (the
+    PIL import-try slot of :class:`DecodeImage`); the FKIM path reads
+    the 9×8 pixels directly.  Hex-string packing keeps every
+    intermediate ≤ 255 (int64-safe both sides — no uint64 bit-63
+    edge)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for v in batch.column("content"):
+            raw = v.as_py()
+            if raw is None or raw[:4] != MAGIC:
+                raise NotImplementedError(
+                    "real image codecs unavailable in this container; "
+                    "payload is not FKIM fake format")
+            w, h, _seed = struct.unpack("<iii", raw[4:16])
+            px = np.frombuffer(raw[16:16 + w * h],
+                               dtype=np.uint8).reshape(h, w)
+            bits = px[:, :-1] > px[:, 1:]          # (h, w-1) bool
+            weights = (1 << (7 - np.arange(w - 1, dtype=np.int64)))
+            rowbytes = (bits * weights).sum(axis=1)
+            hashes.append("".join(f"{b:02x}" for b in rowbytes))
+        return pa.table({
+            "item_id": batch.column("item_id"),
+            "dhash": pa.array(hashes, pa.string())})

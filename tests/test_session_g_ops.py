@@ -249,3 +249,46 @@ def test_grouped_order_rounds_big_uint64_payload_survives():
     tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
     assert sorted(tbl.column("id").to_pylist()) == sorted(big)
     assert tbl.column("round").to_pylist() in ([0, 1], [1, 0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_perceptual_dhash_reference():
+    import hashlib
+    from kgforge.stages.multimodal import (PerceptualDHash,
+                                           formulaic_image_bytes)
+    t = pa.table({"item_id": pa.array([0, 1, 37], pa.int64()),
+                  "content": pa.array(
+                      [formulaic_image_bytes(0),
+                       formulaic_image_bytes(1),
+                       formulaic_image_bytes(0)], pa.binary())})
+    out = PerceptualDHash()(t).to_pandas().set_index("item_id")
+    # same seed -> identical hash; different seed -> different
+    assert out.loc[0, "dhash"] == out.loc[37, "dhash"]
+    assert out.loc[0, "dhash"] != out.loc[1, "dhash"]
+    assert len(out.loc[0, "dhash"]) == 16
+    # plain-python reference for seed 0
+    px = []
+    for b in range(5):
+        px.extend(hashlib.md5(f"0:{b}".encode()).digest())
+    px = px[:72]
+    hex_ref = ""
+    for r in range(8):
+        byte = 0
+        for c in range(8):
+            if px[r * 9 + c] > px[r * 9 + c + 1]:
+                byte |= 1 << (7 - c)
+        hex_ref += f"{byte:02x}"
+    assert out.loc[0, "dhash"] == hex_ref
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_dedup_groups_by_seed():
+    from kgforge.pipelines.queries import multimodal_image_dedup
+    out = multimodal_image_dedup("/root/testdata/sf0.001").to_pandas()
+    # n = max(32, n_docs//4) items, seeds item_id % 37
+    n = len(out)
+    assert n >= 32
+    full, rem = n // 37, n % 37
+    for r in out.itertuples():
+        assert r.canonical_id == r.item_id % 37
+        assert r.n_copies == full + (1 if r.item_id % 37 < rem else 0)
