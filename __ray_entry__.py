@@ -325,6 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence_capped": Q.kg_cooccurrence_capped,
         "multimodal_image_dedup": Q.multimodal_image_dedup,
         "kg_attr_completeness": Q.kg_attr_completeness,
+        "events_hourly_chi2": Q.events_hourly_chi2,
+        "events_value_gini": Q.events_value_gini,
     }
 
 
@@ -4621,6 +4623,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_present AS DOUBLE) / CAST(n_nodes AS DOUBLE)
                        AS completeness
             FROM up ORDER BY label, attr
+        """,
+        # diurnal chi-square vs uniform: Σ(24·o−n)²/(24n) — integer
+        # numerator over ALL 24 cells (zeros included), ONE division
+        "events_hourly_chi2": r"""
+            WITH e AS (
+              SELECT event_type AS g,
+                     (epoch_us(ts) // 3600000000) % 24 AS h
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            o AS (
+              SELECT g, t.h AS h,
+                     COALESCE(c.c, 0) AS o
+              FROM (SELECT DISTINCT g FROM e)
+              CROSS JOIN generate_series(0, 23) t(h)
+              LEFT JOIN (SELECT g, h, COUNT(*) AS c
+                         FROM e GROUP BY 1, 2) c USING (g, h)),
+            n AS (SELECT g, SUM(o) AS n FROM o GROUP BY g),
+            s AS (
+              SELECT o.g,
+                     SUM((24 * o.o - n.n) * (24 * o.o - n.n)) AS num
+              FROM o JOIN n USING (g) GROUP BY o.g)
+            SELECT s.g AS event_type, CAST(n.n AS BIGINT) AS n,
+                   CAST(s.num AS DOUBLE)
+                       / CAST(24 * n.n AS DOUBLE) AS chi2
+            FROM s JOIN n USING (g) ORDER BY event_type
+        """,
+        # Gini: rank-weighted integer sums over the deterministic
+        # (value, event_id) order; ONE mirrored division
+        "events_value_gini": r"""
+            WITH v AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS x, event_id
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL
+                AND event_type IS NOT NULL),
+            r AS (
+              SELECT event_type, x,
+                     row_number() OVER (
+                         PARTITION BY event_type
+                         ORDER BY x, event_id) AS i
+              FROM v),
+            a AS (
+              SELECT event_type, COUNT(*) AS n, SUM(x) AS s,
+                     SUM(CAST(i AS HUGEINT) * x) AS ix
+              FROM r GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CASE WHEN s = 0 THEN 0.0
+                        ELSE CAST(2 * ix - (n + 1)
+                                  * CAST(s AS HUGEINT) AS DOUBLE)
+                             / CAST(n * CAST(s AS HUGEINT) AS DOUBLE)
+                   END AS gini
+            FROM a ORDER BY event_type
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

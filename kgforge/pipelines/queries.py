@@ -3983,3 +3983,23 @@ def kg_attr_completeness(sf_dir: str):
         "completeness": pa.array(
             [float(folded[k][1]) / float(folded[k][0]) for k in keys],
             pa.float64())}))
+
+
+def events_hourly_chi2(sf_dir: str):
+    """Per-event-type diurnal seasonality: chi-square of the 24-bin
+    hour histogram vs uniform — integer numerator, one division."""
+    from ..stages.relational import grouped_hourly_chi2
+    return grouped_hourly_chi2(
+        _read(sf_dir, "events", columns=["event_type", "ts"]),
+        "event_type", "ts")
+
+
+def events_value_gini(sf_dir: str):
+    """Per-event-type Gini coefficient of the value distribution —
+    rank-weighted integer sums, deterministic (value, event_id) tie
+    order, one mirrored division."""
+    from ..stages.relational import grouped_gini
+    return grouped_gini(
+        _read(sf_dir, "events", columns=["event_type", "value",
+                                         "event_id"]),
+        "event_type", "value", "event_id")

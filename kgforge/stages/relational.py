@@ -2184,3 +2184,108 @@ def grouped_order_rounds(ds: Dataset, key_col: str, order_col: str,
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
               .groupby("_bucket")
               .map_groups(fold, batch_format="pyarrow"))
+
+
+def grouped_hourly_chi2(ds: Dataset, group_col: str, ts_col: str
+                        ) -> Dataset:
+    """Per-group hour-of-day seasonality test: chi-square statistic of
+    the 24-bin hour histogram against uniform — the traffic-anomaly /
+    bot-detection signal (organic event types show diurnal structure;
+    uniform or single-spike types are automation).
+
+    EXACT: with integer counts ``o_h`` and ``n = Σ o_h``, the statistic
+    ``Σ (o_h - n/24)² / (n/24) = Σ (24·o_h - n)² / (24·n)`` has an
+    integer numerator (all 24 cells, including zeros), so the float is
+    ONE mirrored division.  Hours are integer arithmetic both sides
+    (``(epoch_µs // 3.6e9) % 24`` — no timezone/calendar surface).
+    One tiny (group, hour) count exchange via per-batch combiners."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, ts_col])
+        t = t.filter(pc.and_(t.column(ts_col).is_valid(),
+                             t.column(group_col).is_valid()))
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        df = pd.DataFrame({"g": t.column(group_col).to_pylist(),
+                           "h": hour})
+        agg = df.groupby(["g", "h"], as_index=False).size()
+        return pa.table({
+            "g": pa.array(agg["g"], pa.string()),
+            "h": pa.array(agg["h"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64())})
+
+    folded: dict[tuple, int] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        k = (row["g"], int(row["h"]))
+        folded[k] = folded.get(k, 0) + int(row["n"])
+    groups = sorted({g for g, _ in folded})
+    ns, chi2s = [], []
+    for g in groups:
+        o = [folded.get((g, h), 0) for h in range(24)]
+        n = sum(o)
+        num = sum((24 * oh - n) ** 2 for oh in o)
+        ns.append(n)
+        chi2s.append(float(num) / float(24 * n) if n else 0.0)
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(groups, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "chi2": pa.array(chi2s, pa.float64())}))
+
+
+def grouped_gini(ds: Dataset, group_col: str, value_col: str,
+                 id_col: str, n_buckets: int = 16) -> Dataset:
+    """Per-group Gini coefficient of the value distribution — the
+    inequality audit (is one user/domain taking all the value?) next
+    to the winsorized stats.  Deterministic under ties via the
+    ``(value, id)`` rank order, so the rank-weighted sum is exact::
+
+        G = (2·Σ i·x_(i) - (n+1)·Σx) / (n·Σx)     -- i = 1-based rank
+
+    — integer numerator and denominator (cents × python-int ranks),
+    ONE mirrored IEEE division; zero-sum groups emit 0.0 (mirrored
+    CASE).  One coarse group-bucket exchange of (group, value, id)
+    rows (ranking is global per group — no combiner exists); the fold
+    sorts its bucket once and reduces each group to one row, so
+    output is group-sized."""
+    import ray
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col, id_col])
+        t = t.filter(pc.and_(
+            pc.and_(t.column(value_col).is_valid(),
+                    t.column(id_col).is_valid()),
+            t.column(group_col).is_valid()))
+        from .joins import key_bucket
+        return t.append_column(
+            "_b", key_bucket(t.column(group_col), n_buckets))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or group_col not in g.columns:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "gini": pa.array([], pa.float64())})
+        x_all = _cents(g[value_col].to_numpy(np.float64))
+        g = g.assign(_x=x_all).sort_values(
+            [group_col, "_x", id_col], kind="mergesort")
+        names, ns, ginis = [], [], []
+        for name, grp in g.groupby(group_col, sort=True):
+            x = grp["_x"].to_numpy(np.int64).astype(object)
+            n = len(x)
+            s = int(x.sum())
+            ix = int((np.arange(1, n + 1, dtype=np.int64)
+                      .astype(object) * x).sum())
+            names.append(name)
+            ns.append(n)
+            ginis.append(
+                float(2 * ix - (n + 1) * s) / float(n * s)
+                if s != 0 else 0.0)
+        return pa.table({group_col: pa.array(names, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "gini": pa.array(ginis, pa.float64())})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("_b")
+              .map_groups(fold, batch_format="pandas")
+              .sort(group_col))

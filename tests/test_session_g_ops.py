@@ -292,3 +292,39 @@ def test_image_dedup_groups_by_seed():
     for r in out.itertuples():
         assert r.canonical_id == r.item_id % 37
         assert r.n_copies == full + (1 if r.item_id % 37 < rem else 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hourly_chi2_uniform_and_spike():
+    from kgforge.stages.relational import grouped_hourly_chi2
+    hr = 3_600_000_000
+    # "flat": one event in every hour -> chi2 = 0
+    ts_flat = [h * hr + 5 for h in range(24)]
+    # "spike": all 24 events in hour 0 -> chi2 = 23*n = 552
+    ts_spike = [0 + i for i in range(24)]
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["flat"] * 24 + ["spike"] * 24),
+        "ts": pa.array(ts_flat + ts_spike, pa.timestamp("us"))}))
+    out = grouped_hourly_chi2(ds, "event_type", "ts").to_pandas()
+    out = out.set_index("event_type")
+    assert out.loc["flat", "chi2"] == 0.0
+    # spike: num = (24*24-24)^2 + 23*(0-24)^2 = 552^2 + 23*576
+    n = 24
+    num = (24 * 24 - n) ** 2 + 23 * n ** 2
+    assert out.loc["spike", "chi2"] == num / (24.0 * n)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_extremes():
+    from kgforge.stages.relational import grouped_gini
+    # equal values -> gini 0; one-takes-all -> (n-1)/n
+    vals = [5.0] * 4 + [0.0, 0.0, 0.0, 8.0]
+    types = ["eq"] * 4 + ["all"] * 4
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "event_id": pa.array(range(8), pa.int64())}))
+    out = grouped_gini(ds, "event_type", "value",
+                       "event_id").to_pandas().set_index("event_type")
+    assert out.loc["eq", "gini"] == 0.0
+    assert out.loc["all", "gini"] == 3.0 / 4.0
