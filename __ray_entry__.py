@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_attr_completeness": Q.kg_attr_completeness,
         "events_hourly_chi2": Q.events_hourly_chi2,
         "events_value_gini": Q.events_value_gini,
+        "events_daily_autocorr": Q.events_daily_autocorr,
+        "token_zipf_slope_docs": Q.token_zipf_slope_docs,
+        "doc_length_lognormal": Q.doc_length_lognormal,
     }
 
 
@@ -4675,6 +4678,109 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n * CAST(s AS HUGEINT) AS DOUBLE)
                    END AS gini
             FROM a ORDER BY event_type
+        """,
+        # lag-1 autocorr of zero-filled daily counts: integer moments
+        # over the calendar-bounded series, mirrored Pearson finish
+        "events_daily_autocorr": r"""
+            WITH e AS (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 86400000000 AS d
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            rng AS (SELECT g, MIN(d) AS lo, MAX(d) AS hi
+                    FROM e GROUP BY g),
+            days AS (
+              SELECT g,
+                     lo + unnest(generate_series(
+                         0, CAST(hi - lo AS BIGINT))) AS d
+              FROM rng),
+            c AS (SELECT g, d, COUNT(*) AS c FROM e GROUP BY 1, 2),
+            f AS (SELECT days.g, days.d, COALESCE(c.c, 0) AS x
+                  FROM days LEFT JOIN c USING (g, d)),
+            p AS (SELECT a.g, a.x AS x, b.x AS y
+                  FROM f a JOIN f b ON b.g = a.g AND b.d = a.d + 1),
+            st AS (
+              SELECT g, COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy
+              FROM p GROUP BY g),
+            allg AS (SELECT g, hi - lo AS m0 FROM rng)
+            SELECT allg.g AS event_type,
+                   CAST(COALESCE(st.m, GREATEST(allg.m0, 0)) AS BIGINT)
+                       AS n_pairs,
+                   CASE WHEN st.g IS NULL
+                          OR st.m * st.sxx
+                             - CAST(st.sx AS HUGEINT) * st.sx = 0
+                          OR st.m * st.syy
+                             - CAST(st.sy AS HUGEINT) * st.sy = 0
+                        THEN 0.0
+                        ELSE CAST(st.m * st.sxy
+                                  - CAST(st.sx AS HUGEINT) * st.sy
+                                  AS DOUBLE)
+                             / (sqrt(CAST(st.m * st.sxx
+                                   - CAST(st.sx AS HUGEINT) * st.sx
+                                   AS DOUBLE))
+                                * sqrt(CAST(st.m * st.syy
+                                   - CAST(st.sy AS HUGEINT) * st.sy
+                                   AS DOUBLE)))
+                   END AS autocorr
+            FROM allg LEFT JOIN st USING (g) ORDER BY event_type
+        """,
+        # Zipf slope over the deterministic top-100 spectrum: both
+        # axes quantized ln once, HUGEINT moments, ONE division
+        "token_zipf_slope_docs": r"""
+            WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                           AS token
+                       FROM documents),
+            top AS (
+              SELECT token, count(*) AS n
+              FROM t GROUP BY token
+              ORDER BY n DESC, token LIMIT 100),
+            rk AS (
+              SELECT row_number() OVER (ORDER BY n DESC, token) AS i, n
+              FROM top),
+            qq AS (
+              SELECT CAST(floor(ln(CAST(i AS DOUBLE)) * 1e9 + 0.5)
+                          AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5)
+                          AS BIGINT) AS y
+              FROM rk),
+            st AS (
+              SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy
+              FROM qq)
+            SELECT CAST(k AS BIGINT) AS k,
+                   CASE WHEN k * sxx - CAST(sx AS HUGEINT) * sx = 0
+                        THEN 0.0
+                        ELSE CAST(k * sxy - CAST(sx AS HUGEINT) * sy
+                                  AS DOUBLE)
+                             / CAST(k * sxx - CAST(sx AS HUGEINT) * sx
+                                    AS DOUBLE)
+                   END AS slope
+            FROM st
+        """,
+        # lognormal length fit: quantized ln(n_chars) moments, two
+        # mirrored divisions (mean, population variance)
+        "doc_length_lognormal": r"""
+            WITH q AS (
+              SELECT lang,
+                     CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e9
+                                + 0.5) AS BIGINT) AS q
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                AND n_chars >= 1),
+            st AS (
+              SELECT lang, COUNT(*) AS n, SUM(q) AS s,
+                     SUM(CAST(q AS HUGEINT) * q) AS sq
+              FROM q GROUP BY lang)
+            SELECT lang, CAST(n AS BIGINT) AS n,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS mean_log_e9,
+                   CAST(n * sq - CAST(s AS HUGEINT) * s AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS var_log_e18
+            FROM st ORDER BY lang
         """,
     }
     # the incremental build must be bit-identical to the full rebuild:

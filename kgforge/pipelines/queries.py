@@ -4003,3 +4003,29 @@ def events_value_gini(sf_dir: str):
         _read(sf_dir, "events", columns=["event_type", "value",
                                          "event_id"]),
         "event_type", "value", "event_id")
+
+
+def events_daily_autocorr(sf_dir: str):
+    """Per-event-type lag-1 autocorrelation of zero-filled daily
+    counts — integer moments over the driver-folded day series."""
+    from ..stages.relational import grouped_daily_autocorr
+    return grouped_daily_autocorr(
+        _read(sf_dir, "events", columns=["event_type", "ts"]),
+        "event_type", "ts")
+
+
+def token_zipf_slope_docs(sf_dir: str):
+    """Zipf slope of the corpus token spectrum (OLS on quantized
+    log rank / log count over the deterministic top-100)."""
+    from ..stages.retrieval import token_zipf_slope
+    return token_zipf_slope(
+        _read(sf_dir, "documents", columns=["text"]))
+
+
+def doc_length_lognormal(sf_dir: str):
+    """Per-language lognormal fit of document length: mean/variance of
+    quantized ln(n_chars) — the outlier-threshold audit."""
+    from ..stages.relational import grouped_log_moments
+    return grouped_log_moments(
+        _read(sf_dir, "documents", columns=["lang", "n_chars"]),
+        "lang", "n_chars")

@@ -2289,3 +2289,138 @@ def grouped_gini(ds: Dataset, group_col: str, value_col: str,
               .groupby("_b")
               .map_groups(fold, batch_format="pandas")
               .sort(group_col))
+
+
+def grouped_daily_autocorr(ds: Dataset, group_col: str, ts_col: str
+                           ) -> Dataset:
+    """Per-group lag-1 autocorrelation of the DAILY count series
+    (zero-filled over the group's [min_day, max_day] span) — the
+    periodicity/trend-persistence signal next to the KS drift monitor
+    (organic activity autocorrelates; bursty bot traffic does not).
+
+    EXACT by the :func:`grouped_corr` discipline: daily counts are
+    integers, the lag-pair moments are integer sums over the
+    driver-folded (group, day) count table (days are calendar-bounded
+    — thousands of rows per group, a driver-sized series by
+    construction), and the Pearson finish mirrors the oracle op-for-op
+    (two sqrt, one division).  One tiny (group, day) count exchange;
+    events never shuffle."""
+    import math
+
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, ts_col])
+        t = t.filter(pc.and_(t.column(ts_col).is_valid(),
+                             t.column(group_col).is_valid()))
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"g": t.column(group_col).to_pylist(),
+                           "d": us // 86_400_000_000})
+        agg = df.groupby(["g", "d"], as_index=False).size()
+        return pa.table({
+            "g": pa.array(agg["g"], pa.string()),
+            "d": pa.array(agg["d"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64())})
+
+    folded: dict[tuple, int] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        k = (row["g"], int(row["d"]))
+        folded[k] = folded.get(k, 0) + int(row["n"])
+    by_group: dict[str, dict[int, int]] = {}
+    for (g, d), n in folded.items():
+        by_group.setdefault(g, {})[d] = n
+    groups = sorted(by_group)
+    n_pairs, acs = [], []
+    for g in groups:
+        days = by_group[g]
+        lo, hi = min(days), max(days)
+        series = [days.get(d, 0) for d in range(lo, hi + 1)]
+        m = len(series) - 1
+        if m < 1:
+            n_pairs.append(max(m, 0)); acs.append(0.0)
+            continue
+        xs, ys = series[:-1], series[1:]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+        if vx == 0 or vy == 0:
+            ac = 0.0
+        else:
+            ac = (float(m * sxy - sx * sy)
+                  / (math.sqrt(float(vx)) * math.sqrt(float(vy))))
+        n_pairs.append(m); acs.append(ac)
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(groups, pa.string()),
+        "n_pairs": pa.array(n_pairs, pa.int64()),
+        "autocorr": pa.array(acs, pa.float64())}))
+
+
+def grouped_log_moments(ds: Dataset, group_col: str, value_col: str
+                        ) -> Dataset:
+    """Per-group mean/variance of ``ln(value)`` — the lognormal length
+    audit (document lengths are lognormal-ish per language; μ/σ of the
+    log pin the outlier-filter thresholds a curation pass uses).
+
+    EXACT: each value's log is quantized ``q(v) = floor(ln(v)·1e9 +
+    0.5)`` (an integer, the quantized-ln discipline), so per-group
+    ``(n, Σq, Σq²)`` partials are exact big-int sums (decimal128
+    carrier for the squares) and the finishes are mirrored divisions::
+
+        mean_log_e9  = CAST(Σq AS DOUBLE) / CAST(n AS DOUBLE)
+        var_log_e18  = CAST(n·Σq² - (Σq)² AS DOUBLE)
+                       / CAST(n·n AS DOUBLE)         -- population var
+
+    Rows with NULL group or value < 1 are dropped (ln undefined /
+    negative-length guard; the oracle mirrors ``value >= 1``).  One
+    tiny O(blocks × groups) partial fold on the driver."""
+    import ray
+
+    dec = pa.decimal128(38, 0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col])
+        t = t.filter(pc.and_(
+            pc.and_(t.column(value_col).is_valid(),
+                    pc.greater_equal(t.column(value_col), 1)),
+            t.column(group_col).is_valid()))
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "sq": pa.array([], dec)})
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        q = np.floor(np.log(v.astype(np.float64)) * 1e9
+                     + 0.5).astype(np.int64)
+        df = pd.DataFrame({group_col: t.column(group_col).to_pylist()})
+        gname, ns, ss, sqs = [], [], [], []
+        for g, idx in df.groupby(group_col, sort=False).groups.items():
+            qi = q[np.asarray(idx)].astype(object)
+            gname.append(g)
+            ns.append(len(qi))
+            ss.append(int(qi.sum()))
+            sqs.append(int((qi * qi).sum()))
+        return pa.table({group_col: pa.array(gname, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "s": pa.array(ss, pa.int64()),
+                         "sq": pa.array(sqs, dec)})
+
+    folded: dict[str, list[int]] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        e = folded.setdefault(row[group_col], [0, 0, 0])
+        e[0] += int(row["n"]); e[1] += int(row["s"])
+        e[2] += int(row["sq"])
+    groups = sorted(folded)
+    ns, means, vars_ = [], [], []
+    for g in groups:
+        n, s, sq = folded[g]
+        ns.append(n)
+        means.append(float(s) / float(n))
+        vars_.append(float(n * sq - s * s) / float(n * n))
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(groups, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "mean_log_e9": pa.array(means, pa.float64()),
+        "var_log_e18": pa.array(vars_, pa.float64())}))

@@ -722,3 +722,46 @@ def bigram_surprisal(docs: Dataset, id_col: str = "doc_id",
 
     return (docs.select_columns([id_col, text_col])
                 .map_batches(score_partial, batch_format="pyarrow"))
+
+
+def token_zipf_slope(docs: Dataset, text_col: str = "text",
+                     k: int = 100) -> Dataset:
+    """Zipf-law fit of the corpus token spectrum: OLS slope of
+    ``ln(frequency)`` against ``ln(rank)`` over the top-``k`` tokens —
+    the one-number corpus-health signal (natural language ≈ −1;
+    templated/boilerplate corpora flatten toward 0, token-salad
+    steepens).
+
+    EXACT: ranks and counts are integers from the
+    ``token_frequencies`` fold (deterministic ``(n DESC, token)``
+    order); both axes are quantized ``q(x) = floor(ln(x)·1e9 + 0.5)``
+    ONCE on the driver, so the OLS moments are exact big-int sums and
+    ``slope`` is ONE mirrored IEEE division.  Output is a single row
+    (k, slope) — the reduction after the one token-bucket exchange
+    ``token_frequencies`` already pays."""
+    import math
+
+    import ray
+
+    from .relational import token_frequencies
+
+    top = token_frequencies(docs, text_col=text_col, k=k).to_pandas()
+    kk = len(top)
+    if kk < 2:
+        return ray.data.from_arrow(pa.table({
+            "k": pa.array([kk], pa.int64()),
+            "slope": pa.array([0.0], pa.float64())}))
+
+    def q(x: float) -> int:
+        return math.floor(math.log(x) * 1e9 + 0.5)
+
+    xs = [q(float(i)) for i in range(1, kk + 1)]
+    ys = [q(float(n)) for n in top["n"].tolist()]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    den = kk * sxx - sx * sx
+    slope = float(kk * sxy - sx * sy) / float(den) if den else 0.0
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array([kk], pa.int64()),
+        "slope": pa.array([slope], pa.float64())}))

@@ -328,3 +328,63 @@ def test_gini_extremes():
                        "event_id").to_pandas().set_index("event_type")
     assert out.loc["eq", "gini"] == 0.0
     assert out.loc["all", "gini"] == 3.0 / 4.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_daily_autocorr_alternating_series():
+    from kgforge.stages.relational import grouped_daily_autocorr
+    day = 86_400_000_000
+    # 10,0,10,0,10,0 daily counts -> strong negative lag-1 autocorr
+    ts = []
+    for d in range(6):
+        n = 10 if d % 2 == 0 else 0
+        ts += [d * day + i for i in range(n)]
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["alt"] * len(ts), pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us"))}))
+    out = grouped_daily_autocorr(ds, "event_type", "ts").to_pandas()
+    # series has a zero-count day 5? d runs 0..5 with counts
+    # [10,0,10,0,10,0] but day 5 has no events -> span is 0..4
+    # (max day with events = 4), series [10,0,10,0,10], pairs = 4
+    assert out["n_pairs"][0] == 4
+    assert out["autocorr"][0] == pytest.approx(-1.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zipf_slope_exact_power_law():
+    from kgforge.stages.retrieval import token_zipf_slope
+    # craft corpus where token t_i appears 2^(8-i) times, i=1..4:
+    # counts 128,64,32,16 -> ln n = ln 256 - i*ln 2: slope vs ln(rank)
+    toks = []
+    for i, c in enumerate([128, 64, 32, 16]):
+        toks += [f"t{i}"] * c
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array([" ".join(toks)], pa.string())}))
+    out = token_zipf_slope(ds, k=4).to_pandas()
+    assert out["k"][0] == 4
+    # reference slope from the same quantized ints
+    q = lambda x: math.floor(math.log(x) * 1e9 + 0.5)
+    xs = [q(i) for i in [1.0, 2.0, 3.0, 4.0]]
+    ys = [q(c) for c in [128.0, 64.0, 32.0, 16.0]]
+    k = 4
+    num = k * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = k * sum(a * a for a in xs) - sum(xs) ** 2
+    assert out["slope"][0] == float(num) / float(den)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_log_moments_constant_and_known():
+    from kgforge.stages.relational import grouped_log_moments
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array(["en"] * 3 + ["de"] * 2, pa.string()),
+        "n_chars": pa.array([100, 100, 100, 10, 1000], pa.int64())}))
+    out = grouped_log_moments(ds, "lang", "n_chars").to_pandas()
+    out = out.set_index("lang")
+    # constant values -> zero variance
+    assert out.loc["en", "var_log_e18"] == 0.0
+    q = lambda x: math.floor(math.log(x) * 1e9 + 0.5)
+    assert out.loc["en", "mean_log_e9"] == float(q(100))
+    s = q(10) + q(1000)
+    sq = q(10) ** 2 + q(1000) ** 2
+    assert out.loc["de", "mean_log_e9"] == s / 2.0
+    assert out.loc["de", "var_log_e18"] == float(2 * sq - s * s) / 4.0
