@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_autocorr": Q.events_daily_autocorr,
         "token_zipf_slope_docs": Q.token_zipf_slope_docs,
         "doc_length_lognormal": Q.doc_length_lognormal,
+        "kg_ktruss": Q.kg_ktruss,
     }
 
 
@@ -409,6 +410,59 @@ def _kcore_sql(k: int, rounds: int) -> str:
                 JOIN {last} q ON nb.v = q.n
                 GROUP BY nb.u)
         SELECT node_id, core_degree FROM fin ORDER BY node_id""")
+    return "".join(parts)
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Mechanically-unrolled k-truss peel over the co-mention graph:
+    round i recomputes per-edge triangle support over ``e_{i-1}`` and
+    keeps edges with support ≥ k-2 (triangle-free edges drop — they
+    are absent from the support table, exactly the engine semantics).
+    A final support pass over the fixpoint set yields the reported
+    support.  AS MATERIALIZED is load-bearing (each round references
+    the previous set three times — default inlining is exponential);
+    the engine's peel converges inside ``rounds`` (runtime guard in
+    ``graph.ktruss_edges`` + pytest margin pin)."""
+    s = k - 2
+    parts = ["""
+        WITH pm AS (SELECT DISTINCT url_hash, node_id
+                    FROM read_parquet(
+               '/tmp/kgforge_gate/mentions/kind=entity/*.parquet')
+                    WHERE attr = ''),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT x.node_id AS a, y.node_id AS b
+            FROM pm x JOIN pm y ON x.url_hash = y.url_hash
+             AND x.node_id < y.node_id)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""",
+        tri{i} AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e{p} e1
+            JOIN e{p} e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e{p} e3 ON e3.a = e1.b AND e3.b = e2.b),
+        sup{i} AS MATERIALIZED (
+            SELECT a, b, count(*) AS s FROM (
+              SELECT x AS a, y AS b FROM tri{i}
+              UNION ALL SELECT x, z FROM tri{i}
+              UNION ALL SELECT y, z FROM tri{i})
+            GROUP BY a, b),
+        e{i} AS MATERIALIZED (
+            SELECT a, b FROM sup{i} WHERE s >= {s})""")
+    parts.append(f""",
+        trif AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e{rounds} e1
+            JOIN e{rounds} e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e{rounds} e3 ON e3.a = e1.b AND e3.b = e2.b),
+        supf AS (
+            SELECT a, b, count(*) AS s FROM (
+              SELECT x AS a, y AS b FROM trif
+              UNION ALL SELECT x, z FROM trif
+              UNION ALL SELECT y, z FROM trif)
+            GROUP BY a, b)
+        SELECT a AS src_id, b AS dst_id, CAST(s AS BIGINT) AS support
+        FROM supf WHERE s >= {s} ORDER BY src_id, dst_id""")
     return "".join(parts)
 
 
@@ -3869,8 +3923,10 @@ def oracle_sql() -> dict[str, str]:
                      SUM(CAST(cents AS HUGEINT) * cents) AS ss
               FROM c GROUP BY event_type),
             sv AS (
+              -- ss is HUGEINT: route the cast through VARCHAR (the
+              -- direct HUGEINT->DOUBLE cast mis-rounds above 2^53)
               SELECT event_type, CAST(s AS DOUBLE) / n AS mean,
-                     (CAST(ss AS DOUBLE)
+                     (CAST(CAST(ss AS VARCHAR) AS DOUBLE)
                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n
                          AS var
               FROM st),
@@ -3965,12 +4021,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
                           OR n * syy - CAST(sy AS HUGEINT) * sy = 0
                         THEN 0.0
-                        ELSE CAST(n * sxy - CAST(sx AS HUGEINT) * sy
-                                  AS DOUBLE)
-                             / (sqrt(CAST(n * sxx
-                                    - CAST(sx AS HUGEINT) * sx AS DOUBLE))
-                                * sqrt(CAST(n * syy
-                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                        ELSE CAST(CAST(n * sxy
+                                  - CAST(sx AS HUGEINT) * sy
+                                  AS VARCHAR) AS DOUBLE)
+                             / (sqrt(CAST(CAST(n * sxx
+                                    - CAST(sx AS HUGEINT) * sx
+                                    AS VARCHAR) AS DOUBLE))
+                                * sqrt(CAST(CAST(n * syy
+                                    - CAST(sy AS HUGEINT) * sy
+                                    AS VARCHAR) AS DOUBLE)))
                    END AS corr
             FROM st ORDER BY l_returnflag
         """,
@@ -4099,6 +4158,9 @@ def oracle_sql() -> dict[str, str]:
         # at run time (queries.kg_kcore raises if the engine's peel
         # exceeds it) and asserted on the gate graph in pytest
         "kg_kcore": _kcore_sql(Q.KCORE_K, Q.KCORE_SQL_ROUNDS),
+        # k-truss: unrolled support-peel chain (see _ktruss_sql); the
+        # engine raises at run time if the peel exceeds the budget
+        "kg_ktruss": _ktruss_sql(Q.KTRUSS_K, Q.KTRUSS_SQL_ROUNDS),
         # deterministic negative sampling: candidate index is md5-derived
         # mod |nodes| into the rank-ordered node vector; self-loop and
         # existing-edge candidates DROP (no resampling — that
@@ -4259,24 +4321,27 @@ def oracle_sql() -> dict[str, str]:
                      SUM(CAST(x AS HUGEINT) * x) AS sxx,
                      SUM(CAST(x AS HUGEINT) * y) AS sxy
               FROM c GROUP BY g),
-            sl AS (
+            nd AS (
               SELECT g, n, sx, sy,
-                     (n * sxx - CAST(sx AS HUGEINT) * sx = 0) AS zv,
-                     CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
-                          THEN 0.0
-                          ELSE CAST(n * sxy - CAST(sx AS HUGEINT) * sy
-                                    AS DOUBLE)
-                               / CAST(n * sxx - CAST(sx AS HUGEINT) * sx
-                                      AS DOUBLE)
-                     END AS slope
+                     n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                     n * sxx - CAST(sx AS HUGEINT) * sx AS den
               FROM st)
-            SELECT g AS event_type, CAST(n AS BIGINT) AS n, slope,
-                   CASE WHEN zv THEN 0.0
-                        ELSE (CAST(sy AS DOUBLE)
-                              - slope * CAST(sx AS DOUBLE))
-                             / CAST(n AS DOUBLE)
+            -- HUGEINT -> DOUBLE casts go through VARCHAR: DuckDB's
+            -- direct cast is NOT correctly rounded above 2^53 (caught
+            -- by the sf0.1 mirror); strtod is, matching float(int)
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                   CASE WHEN den = 0 THEN 0.0
+                        ELSE CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                             / CAST(CAST(den AS VARCHAR) AS DOUBLE)
+                   END AS slope,
+                   -- exact rational intercept: no float product (the
+                   -- (sy - slope*sx)/n form FMA-diverged at sf0.1)
+                   CASE WHEN den = 0 THEN 0.0
+                        ELSE CAST(CAST(CAST(sy AS HUGEINT) * den
+                                  - num * sx AS VARCHAR) AS DOUBLE)
+                             / CAST(CAST(n * den AS VARCHAR) AS DOUBLE)
                    END AS intercept
-            FROM sl ORDER BY event_type
+            FROM nd ORDER BY event_type
         """,
         # half-life decay: dyadic weights cents << (40-k) are exact
         # integers; ONE mirrored division by 2^40 finishes.  The anchor
@@ -4303,7 +4368,7 @@ def oracle_sql() -> dict[str, str]:
               FROM e, a)
             SELECT user_id,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   CAST(SUM(ws) AS DOUBLE)
+                   CAST(CAST(SUM(ws) AS VARCHAR) AS DOUBLE)
                        / CAST(CAST(1 AS HUGEINT) << 40 AS DOUBLE)
                        AS decayed_cents
             FROM w GROUP BY user_id ORDER BY user_id
@@ -4673,9 +4738,11 @@ def oracle_sql() -> dict[str, str]:
               FROM r GROUP BY event_type)
             SELECT event_type, CAST(n AS BIGINT) AS n,
                    CASE WHEN s = 0 THEN 0.0
-                        ELSE CAST(2 * ix - (n + 1)
-                                  * CAST(s AS HUGEINT) AS DOUBLE)
-                             / CAST(n * CAST(s AS HUGEINT) AS DOUBLE)
+                        ELSE CAST(CAST(2 * ix - (n + 1)
+                                  * CAST(s AS HUGEINT) AS VARCHAR)
+                                  AS DOUBLE)
+                             / CAST(CAST(n * CAST(s AS HUGEINT)
+                                  AS VARCHAR) AS DOUBLE)
                    END AS gini
             FROM a ORDER BY event_type
         """,
@@ -4754,10 +4821,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(k AS BIGINT) AS k,
                    CASE WHEN k * sxx - CAST(sx AS HUGEINT) * sx = 0
                         THEN 0.0
-                        ELSE CAST(k * sxy - CAST(sx AS HUGEINT) * sy
-                                  AS DOUBLE)
-                             / CAST(k * sxx - CAST(sx AS HUGEINT) * sx
-                                    AS DOUBLE)
+                        ELSE CAST(CAST(k * sxy
+                                  - CAST(sx AS HUGEINT) * sy
+                                  AS VARCHAR) AS DOUBLE)
+                             / CAST(CAST(k * sxx
+                                    - CAST(sx AS HUGEINT) * sx
+                                    AS VARCHAR) AS DOUBLE)
                    END AS slope
             FROM st
         """,
@@ -4778,7 +4847,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(n AS BIGINT) AS n,
                    CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
                        AS mean_log_e9,
-                   CAST(n * sq - CAST(s AS HUGEINT) * s AS DOUBLE)
+                   CAST(CAST(n * sq - CAST(s AS HUGEINT) * s
+                             AS VARCHAR) AS DOUBLE)
                        / CAST(n * n AS DOUBLE) AS var_log_e18
             FROM st ORDER BY lang
         """,

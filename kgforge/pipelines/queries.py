@@ -4029,3 +4029,21 @@ def doc_length_lognormal(sf_dir: str):
     return grouped_log_moments(
         _read(sf_dir, "documents", columns=["lang", "n_chars"]),
         "lang", "n_chars")
+
+
+def kg_ktruss(sf_dir: str):
+    """4-truss of the entity co-mention graph — iterative per-edge
+    support peel (every surviving edge closes ≥ 2 triangles within the
+    subgraph), the cohesion filter above k-core.  Convergence is
+    pinned inside the oracle's unrolled-CTE budget."""
+    from ..stages.graph import ktruss_edges
+    _ensure_gate_artifact(sf_dir)
+    return ktruss_edges(_comention_edges(sf_dir), k=4).sort(
+        ["src_id", "dst_id"])
+
+
+# k-truss contract constants: the oracle unrolls KTRUSS_SQL_ROUNDS peel
+# rounds; pytest pins KTRUSS_SQL_ROUNDS == graph.KTRUSS_UNROLL (the
+# engine's runtime budget) so they cannot drift apart
+KTRUSS_K = 4
+KTRUSS_SQL_ROUNDS = 6

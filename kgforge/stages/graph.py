@@ -3390,3 +3390,188 @@ def entity_pmi(page_entities: Dataset, page_col: str, key_col: str,
         "n_src": pa.array(na, pa.int64()),
         "n_dst": pa.array(nb, pa.int64()),
         "pmi_ratio": pa.array(ratio, pa.float64())}))
+
+
+# k-truss SQL-unroll budget: the oracle unrolls this many peel rounds;
+# the engine raises if convergence needs more (the k-core contract)
+KTRUSS_UNROLL = 6
+
+
+def _edge_support(canon: Dataset, n_buckets: int = 64) -> Dataset:
+    """Per-EDGE triangle support over a canonical (a < b) edge set —
+    the k-truss inner primitive.  Same degree-ordered wedge/edge
+    tag-union as :func:`triangle_counts` (O(m^1.5) wedge bound, edge
+    set never broadcast), but each closed triangle (u, a, b) credits
+    its THREE edges, and the per-pair partials take one more
+    pair-bucket fold (a triangle's side edges hash to other buckets
+    than its closing pair)."""
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    nodes, deg = _node_degrees(canon)
+    empty = pa.table({"a": pa.array([], pa.uint64()),
+                      "b": pa.array([], pa.uint64()),
+                      "support": pa.array([], pa.int64())})
+    if len(nodes) == 0:
+        return ray.data.from_arrow(empty)
+    nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg)
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table({"u": pa.array([], pa.uint64()),
+                             "v": pa.array([], pa.uint64()),
+                             "wb": pa.array([], pa.int64())})
+        nds, dg = ray.get(nodes_ref), ray.get(deg_ref)
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        da, db = dg[np.searchsorted(nds, a)], dg[np.searchsorted(nds, b)]
+        lo_first = (da < db) | (da == db)
+        u = np.where(lo_first, a, b)
+        v = np.where(lo_first, b, a)
+        ubk = ((u * MIX) & np.uint64(63)).astype(np.int64)
+        return pa.table({"u": pa.array(u, pa.uint64()),
+                         "v": pa.array(v, pa.uint64()),
+                         "wb": pa.array(ubk, pa.int64())})
+
+    oriented = canon.map_batches(tagged, batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "u" not in g.columns:
+            m = None
+        else:
+            e = g[["u", "v"]]
+            m = e.merge(e, on="u")
+            m = m[m["v_x"] < m["v_y"]]
+        if m is None or len(m) == 0:
+            return pa.table({"a": pa.array([], pa.uint64()),
+                             "b": pa.array([], pa.uint64()),
+                             "u": pa.array([], pa.uint64()),
+                             "kind": pa.array([], pa.int64())})
+        return pa.table({
+            "a": pa.array(m["v_x"].to_numpy(np.uint64), pa.uint64()),
+            "b": pa.array(m["v_y"].to_numpy(np.uint64), pa.uint64()),
+            "u": pa.array(m["u"].to_numpy(np.uint64), pa.uint64()),
+            "kind": pa.array(np.ones(len(m), np.int64), pa.int64())})
+
+    wedge_ds = (oriented.groupby("wb")
+                .map_groups(wedges, batch_format="pandas"))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.uint64()),
+                             "b": pa.array([], pa.uint64()),
+                             "u": pa.array([], pa.uint64()),
+                             "kind": pa.array([], pa.int64())})
+        n = t.num_rows
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "u": pa.array(np.zeros(n, np.uint64),
+                                       pa.uint64()),
+                         "kind": pa.array(np.zeros(n, np.int64),
+                                          pa.int64())})
+
+    union = wedge_ds.union(canon.map_batches(edge_rows,
+                                             batch_format="pyarrow"))
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        bk = ((a * MIX + b) & np.uint64(n_buckets - 1)).astype(np.int64)
+        return t.append_column("pb", pa.array(bk, pa.int64()))
+
+    def close_support(g: pd.DataFrame) -> pa.Table:
+        out_empty = pa.table({"a": pa.array([], pa.uint64()),
+                              "b": pa.array([], pa.uint64()),
+                              "n": pa.array([], pa.int64()),
+                              "pb2": pa.array([], pa.int64())})
+        if len(g) == 0 or "kind" not in g.columns:
+            return out_empty
+        ed = g[g["kind"] == 0][["a", "b"]]
+        wd = g[g["kind"] == 1]
+        if len(ed) == 0 or len(wd) == 0:
+            return out_empty
+        tri = wd.merge(ed, on=["a", "b"])
+        if len(tri) == 0:
+            return out_empty
+        u = tri["u"].to_numpy(np.uint64)
+        a = tri["a"].to_numpy(np.uint64)
+        b = tri["b"].to_numpy(np.uint64)
+        all_a = np.concatenate([a, np.minimum(u, a), np.minimum(u, b)])
+        all_b = np.concatenate([b, np.maximum(u, a), np.maximum(u, b)])
+        cnt = (pd.DataFrame({"a": all_a, "b": all_b})
+               .groupby(["a", "b"], as_index=False).size())
+        ca = cnt["a"].to_numpy(np.uint64)
+        cb = cnt["b"].to_numpy(np.uint64)
+        bk2 = ((ca * MIX + cb) & np.uint64(n_buckets - 1)).astype(
+            np.int64)
+        return pa.table({"a": pa.array(ca, pa.uint64()),
+                         "b": pa.array(cb, pa.uint64()),
+                         "n": pa.array(cnt["size"].to_numpy(np.int64),
+                                       pa.int64()),
+                         "pb2": pa.array(bk2, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "a" not in g.columns:
+            return pa.table({"a": pa.array([], pa.uint64()),
+                             "b": pa.array([], pa.uint64()),
+                             "support": pa.array([], pa.int64())})
+        s = g.groupby(["a", "b"], as_index=False)["n"].sum()
+        return pa.table({"a": pa.array(s["a"].to_numpy(np.uint64),
+                                       pa.uint64()),
+                         "b": pa.array(s["b"].to_numpy(np.uint64),
+                                       pa.uint64()),
+                         "support": pa.array(
+                             s["n"].to_numpy(np.int64), pa.int64())})
+
+    return (union.map_batches(pair_bucket, batch_format="pyarrow")
+                 .groupby("pb")
+                 .map_groups(close_support, batch_format="pandas")
+                 .groupby("pb2")
+                 .map_groups(fold, batch_format="pandas"))
+
+
+def ktruss_edges(edges: Dataset, k: int = 4,
+                 src_col: str = "src_id", dst_col: str = "dst_id",
+                 n_buckets: int = 64,
+                 max_rounds: int = KTRUSS_UNROLL) -> Dataset:
+    """The k-truss of the undirected simple graph: the maximal edge
+    subgraph where every edge participates in ≥ k-2 triangles WITHIN
+    the subgraph — the cohesion filter one rung stronger than k-core
+    (a k-truss edge's endpoints share k-2 common neighbors, so it
+    prunes barely-attached hubs that k-core keeps).
+
+    Iterative peel: each round computes per-edge support over the
+    SURVIVING edge set (:func:`_edge_support` — degree-ordered wedges,
+    two bucket exchanges) and drops edges with support < k-2
+    (including triangle-free edges, absent from the support table);
+    fixpoint when no edge drops.  Convergence must land inside
+    ``max_rounds`` (the oracle's mechanically-unrolled CTE budget, the
+    k-core contract — runtime raises past it, pytest pins the margin).
+    Output: (src_id, dst_id, support) with src < dst, support measured
+    in the final subgraph."""
+    canon = _canonical_edges(edges, src_col, dst_col,
+                             n_buckets).materialize()
+    n_edges = canon.count()
+    empty = pa.table({"src_id": pa.array([], pa.uint64()),
+                      "dst_id": pa.array([], pa.uint64()),
+                      "support": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+    for _ in range(max_rounds + 1):
+        sup = _edge_support(canon, n_buckets)
+        keep = sup.filter(expr=f"support >= {k - 2}").materialize()
+        n_keep = keep.count()
+        if n_keep == n_edges:
+            def rename(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "a" not in t.column_names:
+                    return empty
+                return pa.table({"src_id": t.column("a"),
+                                 "dst_id": t.column("b"),
+                                 "support": t.column("support")})
+            return keep.map_batches(rename, batch_format="pyarrow")
+        if n_keep == 0:
+            return ray.data.from_arrow(empty)
+        canon = keep.drop_columns(["support"]).materialize()
+        n_edges = n_keep
+    raise RuntimeError(
+        f"k-truss peel did not converge within the {max_rounds}-round "
+        f"SQL unroll budget — raise KTRUSS_UNROLL and the oracle "
+        f"together")

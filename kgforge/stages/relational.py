@@ -1969,14 +1969,21 @@ def grouped_ols_trend(ds: Dataset, group_col: str, ts_col: str,
     O(blocks × groups) partial table with Python ints, and the finish
     is mirrored IEEE op-for-op against the DuckDB oracle::
 
-        slope     = CAST(n*sxy - sx*sy AS DOUBLE)
-                    / CAST(n*sxx - sx*sx AS DOUBLE)          -- 1 div
-        intercept = (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))
-                    / CAST(n AS DOUBLE)
+        num       = n*sxy - sx*sy          -- exact ints
+        den       = n*sxx - sx*sx
+        slope     = CAST(num AS DOUBLE) / CAST(den AS DOUBLE) -- 1 div
+        intercept = CAST(sy*den - num*sx AS DOUBLE)
+                    / CAST(n*den AS DOUBLE)                   -- 1 div
 
-    Units: slope is cents per second.  Rows with a NULL group, ts or
-    value are dropped (both sides).  Zero-variance groups emit
-    slope = intercept = 0.0 (mirrored CASE)."""
+    Units: slope is cents per second.  The intercept is the EXACT
+    rational ``(sy·den - num·sx)/(n·den)`` — one division of exact
+    integers; the naive ``(sy - slope·sx)/n`` float product rounds
+    differently under DuckDB's fused multiply-add and diverged at
+    sf0.1 (caught by the full mirror).  ``num·sx`` stays inside
+    HUGEINT up to ~10^8 rows/group at epoch-second × cent magnitudes;
+    past that, center x first.  Rows with a NULL group, ts or value
+    are dropped (both sides).  Zero-variance groups emit slope =
+    intercept = 0.0 (mirrored CASE)."""
     import ray
 
     dec = pa.decimal128(38, 0)
@@ -2029,12 +2036,13 @@ def grouped_ols_trend(ds: Dataset, group_col: str, ts_col: str,
     ns, slopes, intercepts = [], [], []
     for g in groups:
         n, sx, sy, sxx, sxy = folded[g]
+        num = n * sxy - sx * sy
         den = n * sxx - sx * sx
         if den == 0:
             slope, intercept = 0.0, 0.0
         else:
-            slope = float(n * sxy - sx * sy) / float(den)
-            intercept = (float(sy) - slope * float(sx)) / float(n)
+            slope = float(num) / float(den)
+            intercept = float(sy * den - num * sx) / float(n * den)
         ns.append(n); slopes.append(slope); intercepts.append(intercept)
     return ray.data.from_arrow(pa.table({
         group_col: pa.array(groups, pa.string()),
