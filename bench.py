@@ -81,7 +81,12 @@ SECONDARY = ["dedup_exact_docs", "dedup_minhash_docs", "dedup_ngram_docs",
              "ngram_novelty_docs", "kg_walk_pairs",
              # round-5 session-F additions (unigram-LM surprisal
              # scoring, Katz centrality, host language entropy)
-             "surprisal_docs", "kg_katz", "host_lang_entropy_pages"]
+             "surprisal_docs", "kg_katz", "host_lang_entropy_pages",
+             # round-5 session-G additions (bigram-LM scoring, decay
+             # weighting, dHash image dedup, frontier rounds, k-truss)
+             "bigram_surprisal_docs", "events_decayed_value",
+             "multimodal_image_dedup", "crawl_frontier_rounds",
+             "kg_ktruss"]
 
 
 def _ivf_recall(sf_dir: str, k: int = 10, nprobe: int = 2,
