@@ -3395,6 +3395,12 @@ def entity_pmi(page_entities: Dataset, page_col: str, key_col: str,
 # k-truss SQL-unroll budget: the oracle unrolls this many peel rounds;
 # the engine raises if convergence needs more (the k-core contract)
 KTRUSS_UNROLL = 6
+# below this canonical-edge count the peel runs on the driver (edge
+# list ≈ 16 B/edge — 5M edges = 80 MB, the graph-driver-path budget);
+# past it the keyed-Dataset peel runs.  Both paths are parity-pinned
+# in pytest and both return a Dataset (the r4 ADVICE contract: auto
+# must not change the return type at the gate)
+KTRUSS_DRIVER_EDGE_LIMIT = 5_000_000
 
 
 def _edge_support(canon: Dataset, n_buckets: int = 64) -> Dataset:
@@ -3528,10 +3534,45 @@ def _edge_support(canon: Dataset, n_buckets: int = 64) -> Dataset:
                  .map_groups(fold, batch_format="pandas"))
 
 
+def _ktruss_driver(a: np.ndarray, b: np.ndarray, k: int,
+                   max_rounds: int) -> pa.Table:
+    """Driver-side simultaneous k-truss peel over a collected
+    canonical edge list — the fast path below
+    ``KTRUSS_DRIVER_EDGE_LIMIT`` (the k-truss fixpoint is unique, so
+    this is bit-identical to the keyed-Dataset peel; pinned in
+    pytest).  Support per edge = |N(a) ∩ N(b)| via sorted-adjacency
+    ``np.intersect1d`` per edge — O(Σ deg) work per round, a few
+    seconds at millions of edges."""
+    es = {(int(x), int(y)) for x, y in zip(a, b)}
+    for _ in range(max_rounds + 1):
+        adj: dict[int, set] = {}
+        for x, y in es:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in es}
+        keep = {e for e, s in sup.items() if s >= k - 2}
+        if keep == es:
+            out = sorted(es)
+            return pa.table({
+                "src_id": pa.array([e[0] for e in out], pa.uint64()),
+                "dst_id": pa.array([e[1] for e in out], pa.uint64()),
+                "support": pa.array([sup[e] for e in out], pa.int64())})
+        es = keep
+        if not es:
+            return pa.table({"src_id": pa.array([], pa.uint64()),
+                             "dst_id": pa.array([], pa.uint64()),
+                             "support": pa.array([], pa.int64())})
+    raise RuntimeError(
+        f"k-truss peel did not converge within the {max_rounds}-round "
+        f"SQL unroll budget — raise KTRUSS_UNROLL and the oracle "
+        f"together")
+
+
 def ktruss_edges(edges: Dataset, k: int = 4,
                  src_col: str = "src_id", dst_col: str = "dst_id",
                  n_buckets: int = 64,
-                 max_rounds: int = KTRUSS_UNROLL) -> Dataset:
+                 max_rounds: int = KTRUSS_UNROLL,
+                 mode: str = "auto") -> Dataset:
     """The k-truss of the undirected simple graph: the maximal edge
     subgraph where every edge participates in ≥ k-2 triangles WITHIN
     the subgraph — the cohesion filter one rung stronger than k-core
@@ -3555,6 +3596,17 @@ def ktruss_edges(edges: Dataset, k: int = 4,
                       "support": pa.array([], pa.int64())})
     if n_edges == 0:
         return ray.data.from_arrow(empty)
+    if mode == "driver" or (mode == "auto"
+                            and n_edges <= KTRUSS_DRIVER_EDGE_LIMIT):
+        tbls = [t for t in ray.get(canon.to_arrow_refs())
+                if t.num_rows and "a" in t.column_names]
+        t = pa.concat_tables(tbls) if tbls else None
+        if t is None:
+            return ray.data.from_arrow(empty)
+        return ray.data.from_arrow(_ktruss_driver(
+            t.column("a").to_numpy(zero_copy_only=False),
+            t.column("b").to_numpy(zero_copy_only=False),
+            k, max_rounds))
     for _ in range(max_rounds + 1):
         sup = _edge_support(canon, n_buckets)
         keep = sup.filter(expr=f"support >= {k - 2}").materialize()

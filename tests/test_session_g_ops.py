@@ -457,3 +457,26 @@ def test_ktruss_gate_converges_inside_budget():
     full = {(int(a), int(b)) for a, b in zip(edges["a"], edges["b"])}
     got = {(int(r.src_id), int(r.dst_id)) for r in out.itertuples()}
     assert got <= full
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ktruss_driver_distributed_parity():
+    from kgforge.stages.graph import ktruss_edges
+    # deterministic random-ish graph: edges from md5-free arithmetic
+    srcs, dsts = [], []
+    for i in range(200):
+        srcs.append((i * 7919) % 43)
+        dsts.append((i * 104729 + 13) % 43)
+    # plant a K5 on 100-104 so the 4-truss is non-empty
+    for x in range(100, 105):
+        for y in range(x + 1, 105):
+            srcs.append(x); dsts.append(y)
+    ds = ray.data.from_arrow(pa.table({
+        "src_id": pa.array(srcs, pa.uint64()),
+        "dst_id": pa.array(dsts, pa.uint64())}))
+    a = (ktruss_edges(ds, k=4, mode="driver").to_pandas()
+         .sort_values(["src_id", "dst_id"]).reset_index(drop=True))
+    b = (ktruss_edges(ds, k=4, mode="distributed").to_pandas()
+         .sort_values(["src_id", "dst_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0  # the peel must leave something to compare
