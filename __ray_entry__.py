@@ -4605,18 +4605,17 @@ def oracle_sql() -> dict[str, str]:
         # (r,c) set when px(r,c) > px(r,c+1); hash = 16-hex row bytes
         "multimodal_image_dedup": r"""
             WITH items AS (
-              SELECT item_id, item_id % 37 AS seed FROM (
-                SELECT CAST(row_number() OVER () - 1 AS BIGINT)
-                    AS item_id FROM documents)
-              WHERE item_id < (SELECT greatest(32, count(*) // 4)
-                               FROM documents)),
+              SELECT unnest(generate_series(
+                  0, (SELECT greatest(32, count(*) // 4) - 1
+                      FROM documents))) AS item_id),
+            its AS (SELECT item_id, item_id % 37 AS seed FROM items),
             px AS (
               SELECT item_id, t.j AS j,
                      CAST(('0x' || substr(
                          md5(seed || ':' || (t.j // 16)),
                          (t.j % 16) * 2 + 1, 2))::UBIGINT AS BIGINT)
                          AS v
-              FROM items CROSS JOIN generate_series(0, 71) t(j)),
+              FROM its CROSS JOIN generate_series(0, 71) t(j)),
             rowbyte AS (
               SELECT p.item_id, p.j // 9 AS r,
                      SUM(CASE WHEN p.v > q.v
@@ -4713,8 +4712,9 @@ def oracle_sql() -> dict[str, str]:
                      SUM((24 * o.o - n.n) * (24 * o.o - n.n)) AS num
               FROM o JOIN n USING (g) GROUP BY o.g)
             SELECT s.g AS event_type, CAST(n.n AS BIGINT) AS n,
-                   CAST(s.num AS DOUBLE)
-                       / CAST(24 * n.n AS DOUBLE) AS chi2
+                   CAST(CAST(s.num AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(24 * n.n AS VARCHAR) AS DOUBLE)
+                       AS chi2
             FROM s JOIN n USING (g) ORDER BY event_type
         """,
         # Gini: rank-weighted integer sums over the deterministic
@@ -4782,15 +4782,15 @@ def oracle_sql() -> dict[str, str]:
                           OR st.m * st.syy
                              - CAST(st.sy AS HUGEINT) * st.sy = 0
                         THEN 0.0
-                        ELSE CAST(st.m * st.sxy
+                        ELSE CAST(CAST(st.m * st.sxy
                                   - CAST(st.sx AS HUGEINT) * st.sy
-                                  AS DOUBLE)
-                             / (sqrt(CAST(st.m * st.sxx
+                                  AS VARCHAR) AS DOUBLE)
+                             / (sqrt(CAST(CAST(st.m * st.sxx
                                    - CAST(st.sx AS HUGEINT) * st.sx
-                                   AS DOUBLE))
-                                * sqrt(CAST(st.m * st.syy
+                                   AS VARCHAR) AS DOUBLE))
+                                * sqrt(CAST(CAST(st.m * st.syy
                                    - CAST(st.sy AS HUGEINT) * st.sy
-                                   AS DOUBLE)))
+                                   AS VARCHAR) AS DOUBLE)))
                    END AS autocorr
             FROM allg LEFT JOIN st USING (g) ORDER BY event_type
         """,
@@ -4845,8 +4845,8 @@ def oracle_sql() -> dict[str, str]:
                      SUM(CAST(q AS HUGEINT) * q) AS sq
               FROM q GROUP BY lang)
             SELECT lang, CAST(n AS BIGINT) AS n,
-                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-                       AS mean_log_e9,
+                   CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS mean_log_e9,
                    CAST(CAST(n * sq - CAST(s AS HUGEINT) * s
                              AS VARCHAR) AS DOUBLE)
                        / CAST(n * n AS DOUBLE) AS var_log_e18

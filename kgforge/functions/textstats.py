@@ -317,16 +317,12 @@ def ttr_batch(batch: pa.Table, text_col: str = "text",
     never shuffles (the 100-TB shape — a pure map stage)."""
     import pandas as pd
 
-    col = batch.column(text_col)
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    lists = pc.split_pattern_regex(pc.fill_null(col, ""),
-                                   pattern="[ \t\n\f\r]+")
-    flat = pc.list_flatten(lists)
-    parent = pc.list_parent_indices(lists)
-    df = pd.DataFrame({"r": parent.to_numpy(zero_copy_only=False),
+    # shared tokenize kernel — the one RE2 '\S+'-equivalent split
+    from ..stages.retrieval import _token_lists
+
+    flat, parent, _dl = _token_lists(batch.column(text_col))
+    df = pd.DataFrame({"r": parent,
                        "t": flat.to_numpy(zero_copy_only=False)})
-    df = df[df["t"] != ""]
     n = len(batch)
     n_tokens = np.zeros(n, dtype=np.int64)
     n_types = np.zeros(n, dtype=np.int64)

@@ -3351,6 +3351,11 @@ def entity_pmi(page_entities: Dataset, page_col: str, key_col: str,
                                pa.int64()))
 
     def counts(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or page_col not in g.columns:
+            return pd.DataFrame({
+                "kind": pd.Series([], dtype=object),
+                "key": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64)})
         pk = (g[[page_col, key_col]]
               .drop_duplicates([page_col, key_col]))
         ec = pk.groupby(key_col, as_index=False).size()
@@ -3540,28 +3545,59 @@ def _ktruss_driver(a: np.ndarray, b: np.ndarray, k: int,
     canonical edge list — the fast path below
     ``KTRUSS_DRIVER_EDGE_LIMIT`` (the k-truss fixpoint is unique, so
     this is bit-identical to the keyed-Dataset peel; pinned in
-    pytest).  Support per edge = |N(a) ∩ N(b)| via sorted-adjacency
-    ``np.intersect1d`` per edge — O(Σ deg) work per round, a few
-    seconds at millions of edges."""
-    es = {(int(x), int(y)) for x, y in zip(a, b)}
+    pytest).  Each round is the distributed algorithm in-process at C
+    speed: degree-ordered orientation, a vectorized pandas self-merge
+    for wedges (O(m^1.5) bound), a merge against the edge set to close
+    triangles, and one groupby for per-edge support — no interpreted
+    per-edge set intersections."""
+    es = pd.DataFrame({"a": a.astype(np.uint64),
+                       "b": b.astype(np.uint64)})
+    empty = pa.table({"src_id": pa.array([], pa.uint64()),
+                      "dst_id": pa.array([], pa.uint64()),
+                      "support": pa.array([], pa.int64())})
     for _ in range(max_rounds + 1):
-        adj: dict[int, set] = {}
-        for x, y in es:
-            adj.setdefault(x, set()).add(y)
-            adj.setdefault(y, set()).add(x)
-        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in es}
-        keep = {e for e, s in sup.items() if s >= k - 2}
-        if keep == es:
-            out = sorted(es)
+        ids = np.concatenate([es["a"].to_numpy(np.uint64),
+                              es["b"].to_numpy(np.uint64)])
+        nodes, deg = np.unique(ids, return_counts=True)
+        da = deg[np.searchsorted(nodes, es["a"].to_numpy(np.uint64))]
+        db = deg[np.searchsorted(nodes, es["b"].to_numpy(np.uint64))]
+        lo_first = da <= db
+        ori = pd.DataFrame({
+            "u": np.where(lo_first, es["a"], es["b"]),
+            "v": np.where(lo_first, es["b"], es["a"])})
+        w = ori.merge(ori, on="u")
+        w = w[w["v_x"] < w["v_y"]]
+        tri = w.merge(es, left_on=["v_x", "v_y"],
+                      right_on=["a", "b"])
+        if len(tri):
+            u = tri["u"].to_numpy(np.uint64)
+            x = tri["v_x"].to_numpy(np.uint64)
+            y = tri["v_y"].to_numpy(np.uint64)
+            all_a = np.concatenate([x, np.minimum(u, x),
+                                    np.minimum(u, y)])
+            all_b = np.concatenate([y, np.maximum(u, x),
+                                    np.maximum(u, y)])
+            sup = (pd.DataFrame({"a": all_a, "b": all_b})
+                   .groupby(["a", "b"], as_index=False).size()
+                   .rename(columns={"size": "support"}))
+        else:
+            sup = pd.DataFrame({"a": pd.Series([], dtype=np.uint64),
+                                "b": pd.Series([], dtype=np.uint64),
+                                "support": pd.Series([],
+                                                     dtype=np.int64)})
+        keep = sup[sup["support"] >= k - 2]
+        if len(keep) == len(es):
+            out = keep.sort_values(["a", "b"], kind="mergesort")
             return pa.table({
-                "src_id": pa.array([e[0] for e in out], pa.uint64()),
-                "dst_id": pa.array([e[1] for e in out], pa.uint64()),
-                "support": pa.array([sup[e] for e in out], pa.int64())})
-        es = keep
-        if not es:
-            return pa.table({"src_id": pa.array([], pa.uint64()),
-                             "dst_id": pa.array([], pa.uint64()),
-                             "support": pa.array([], pa.int64())})
+                "src_id": pa.array(out["a"].to_numpy(np.uint64),
+                                   pa.uint64()),
+                "dst_id": pa.array(out["b"].to_numpy(np.uint64),
+                                   pa.uint64()),
+                "support": pa.array(out["support"].to_numpy(np.int64),
+                                    pa.int64())})
+        if len(keep) == 0:
+            return empty
+        es = keep[["a", "b"]].reset_index(drop=True)
     raise RuntimeError(
         f"k-truss peel did not converge within the {max_rounds}-round "
         f"SQL unroll budget — raise KTRUSS_UNROLL and the oracle "

@@ -2075,21 +2075,20 @@ def host_vocab_jaccard(pages: Dataset, n_buckets: int = N_BUCKETS
     from ..functions.web import url_host_section
 
     def partial(t: pa.Table) -> pa.Table:
+        # shared tokenize kernel (retrieval._token_lists): ONE
+        # implementation of the RE2 '\S+'-equivalent split keeps every
+        # operator's tokenization oracle-aligned
+        from .retrieval import _token_lists
+
         host, section, ok = url_host_section(t.column("url"))
         dom = pc.binary_join_element_wise(host, section, "/")
         t2 = pa.table({"host": dom,
                        "text": t.column("text")}).filter(ok)
-        col = t2.column("text")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lists = pc.split_pattern_regex(pc.fill_null(col, ""),
-                                       pattern="[ \t\n\f\r]+")
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists)
+        flat, parent, _dl = _token_lists(t2.column("text"))
         hosts_np = t2.column("host").to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"host": hosts_np[parent.to_numpy()],
+        df = pd.DataFrame({"host": hosts_np[parent],
                            "token": flat.to_numpy(zero_copy_only=False)})
-        df = df[df["token"] != ""].drop_duplicates()
+        df = df.drop_duplicates()
         bucket = str_bucket(df["token"], n_buckets)
         return pa.table({"host": pa.array(df["host"], pa.string()),
                          "token": pa.array(df["token"], pa.string()),
@@ -2109,18 +2108,19 @@ def host_vocab_jaccard(pages: Dataset, n_buckets: int = N_BUCKETS
         a_ += hc.index.tolist()
         b_ += [""] * len(hc)
         ns += [int(v) for v in hc.to_numpy()]
-        # per token: emit every (h1 < h2) host pair once
-        pair_counts: dict[tuple, int] = {}
-        for _, hosts in g.groupby("token")["host"]:
-            hs = sorted(hosts)
-            if len(hs) < 2:
-                continue
-            for i in range(len(hs)):
-                for j in range(i + 1, len(hs)):
-                    k = (hs[i], hs[j])
-                    pair_counts[k] = pair_counts.get(k, 0) + 1
-        for (ha, hb), c in pair_counts.items():
-            kinds.append("p"); a_.append(ha); b_.append(hb); ns.append(c)
+        # per token: every (h1 < h2) host pair once — a vectorized
+        # self-merge, not a per-token Python loop (a stopword shared
+        # by H domains would cost H²/2 interpreted dict ops)
+        gt = g[["token", "host"]]
+        m = gt.merge(gt, on="token")
+        m = m[m["host_x"] < m["host_y"]]
+        if len(m):
+            pc_ = (m.groupby(["host_x", "host_y"], as_index=False)
+                   .size())
+            kinds += ["p"] * len(pc_)
+            a_ += pc_["host_x"].tolist()
+            b_ += pc_["host_y"].tolist()
+            ns += [int(v) for v in pc_["size"].to_numpy()]
         return pa.table({"kind": pa.array(kinds, pa.string()),
                          "a": pa.array(a_, pa.string()),
                          "b": pa.array(b_, pa.string()),
